@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session construction so Verify, Bench and tests agree
+  * on the configs that affect correctness and local-mode performance.
+  */
+object Sessions {
+  def local(appName: String, defaultCpus: String = "4"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — unsupported natively;
+      // read as epoch-nanos long, converted in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Broadcast threshold stays default (10 MB) — all index/dim
+      // sides we broadcast are far below it at any SF because they are
+      // bounded by key-space/dimension size, not data size.
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,146 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised discretization — the train-time "encoder" of the reference
+  * (src/encoder.py:22-97), re-expressed as deterministic Spark jobs.
+  *
+  * Bin semantics (must match src/encoder.py:113-128 exactly):
+  *  - numeric: bin(v) = index of the FIRST split strictly greater than v;
+  *    v >= last split  -> splits.length (overflow bin); NULL -> splits.length.
+  *  - categorical: fitted map lookup; unseen or NULL -> map.size.
+  *
+  * The fit itself (optbinning's OptimalBinning) is replaced by a
+  * deterministic quantile-prebin + greedy adjacent-merge driver loop
+  * (SURVEY §7.4 risk #1: reproduce the *shape* — sorted splits +
+  * overflow bin — not optbinning's exact split values).
+  */
+sealed trait BinSpec {
+  /** Number of bins including the overflow bin. */
+  def numBins: Int
+  /** Encode a raw column into its bin index (LongType). Pure Column
+    * expression -> stays in whole-stage codegen; the CASE chain also
+    * handles NULL via the ELSE branch exactly like the generated SQL
+    * in the reference (src/transpiler.py:1122-1166).
+    */
+  def toColumn(c: Column): Column
+}
+
+final case class NumericBins(splits: Array[Double]) extends BinSpec {
+  require(splits.sameElements(splits.sorted), "splits must be sorted ascending")
+  override def numBins: Int = splits.length + 1
+  override def toColumn(c: Column): Column =
+    if (splits.isEmpty) lit(0L)
+    else {
+      val chain = splits.zipWithIndex.tail.foldLeft(
+        when(c < splits.head, 0L)
+      ) { case (w, (s, i)) => w.when(c < s, i.toLong) }
+      // NULL comparisons are never true -> ELSE, i.e. the overflow bin,
+      // matching encoder.py's TypeError path.
+      chain.otherwise(splits.length.toLong)
+    }
+}
+
+final case class CategoricalBins(mapping: Map[String, Int]) extends BinSpec {
+  override def numBins: Int = mapping.values.toSet.size + 1
+  private val overflow = mapping.size.toLong
+  override def toColumn(c: Column): Column = {
+    // O(1) hash lookup inside codegen via a literal map — scales to
+    // thousands of categories where a when-chain would blow up codegen.
+    if (mapping.isEmpty) lit(overflow)
+    else {
+      val m = map(mapping.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(v.toLong))
+      }: _*)
+      coalesce(element_at(m, c.cast("string")), lit(overflow))
+    }
+  }
+}
+
+object Binning {
+  /** Deterministic supervised binning for a numeric feature.
+    *
+    * 1. Exact quantile pre-bins (approxQuantile with relativeError=0).
+    * 2. Per-prebin (count, avg(target)) aggregate — one Spark job.
+    * 3. Greedy driver loop merging the adjacent pair with the most
+    *    similar target mean (weighted) until `maxBins` remain.
+    *
+    * Deterministic: exact quantiles + ties broken by lowest index.
+    */
+  def fitNumeric(
+      df: DataFrame,
+      feature: String,
+      target: String,
+      maxBins: Int = 8,
+      preBins: Int = 32
+  ): NumericBins = {
+    val probs = (1 until preBins).map(_.toDouble / preBins).toArray
+    val qs    = df.stat.approxQuantile(feature, probs, 0.0)
+    val candidates = qs.distinct.sorted
+    if (candidates.isEmpty) return NumericBins(Array.empty)
+
+    val spec  = NumericBins(candidates)
+    val aggs  = df
+      .select(spec.toColumn(col(feature)).as("b"), col(target).cast("double").as("y"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"), avg("y").as("m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+
+    // stats per current bin: (count, mean); bins delimited by `splits`
+    var bins: Vector[(Long, Double)] = {
+      val byId = aggs.map(t => t._1 -> (t._2, t._3)).toMap
+      (0L to candidates.length.toLong).map(i => byId.getOrElse(i, (0L, 0.0))).toVector
+    }
+    var splits = candidates.toVector
+
+    while (bins.length > maxBins && splits.nonEmpty) {
+      // cost of merging bin i and i+1: |m_i - m_{i+1}| scaled by the
+      // smaller side's weight; empty bins merge for free.
+      var best = 0; var bestCost = Double.MaxValue
+      var i = 0
+      while (i < bins.length - 1) {
+        val (n1, m1) = bins(i); val (n2, m2) = bins(i + 1)
+        val cost =
+          if (n1 == 0 || n2 == 0) -1.0
+          else math.abs(m1 - m2) * math.min(n1.toDouble, n2.toDouble)
+        if (cost < bestCost) { bestCost = cost; best = i }
+        i += 1
+      }
+      val (n1, m1) = bins(best); val (n2, m2) = bins(best + 1)
+      val n = n1 + n2
+      val m = if (n == 0) 0.0 else (m1 * n1 + m2 * n2) / n
+      bins = (bins.take(best) :+ ((n, m))) ++ bins.drop(best + 2)
+      splits = splits.take(best) ++ splits.drop(best + 1)
+    }
+    NumericBins(splits.toArray)
+  }
+
+  /** Categorical binning: distinct values ordered by target mean then
+    * value (deterministic), each value its own bin up to `maxBins`;
+    * beyond that, low-frequency values share the tail bin — mirrors
+    * the reference's cat_cutoff fallback to ordinal codes
+    * (src/encoder.py:69-76).
+    */
+  def fitCategorical(
+      df: DataFrame,
+      feature: String,
+      target: String,
+      maxBins: Int = 32
+  ): CategoricalBins = {
+    val rows = df
+      .select(col(feature).cast("string").as("v"), col(target).cast("double").as("y"))
+      .where(col("v").isNotNull)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"), avg("y").as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (v, n, _) => (-n, v) } // frequent first, then lexicographic
+    val mapping = rows.zipWithIndex.map { case ((v, _, _), i) =>
+      v -> math.min(i, maxBins - 1)
+    }.toMap
+    CategoricalBins(mapping)
+  }
+}

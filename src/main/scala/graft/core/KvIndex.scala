@@ -1,0 +1,132 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared aggregate helpers. */
+object Aggregates {
+  /** Per-group mode with pinned tie-break (highest count, then lowest
+    * value — deterministic under Spark shuffles; the reference's pandas
+    * idxmax / Counter.most_common tie-breaks are insertion-order
+    * dependent: src/transpiler.py:986-992, inference_trie.py:96-98 —
+    * SURVEY §7.4 risk #3 says pin it explicitly).
+    *
+    * Two shuffle-free-after-partial aggregations, no window: counts per
+    * (group, value), then max_by(value, (count, -value)) per group.
+    */
+  def mode(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val counted = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // min over (-cnt, value) == highest count, then lowest value — works
+    // for numeric AND string value columns (no negation of the value).
+    counted
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min_by(col(valueCol), struct(-col("cnt"), col(valueCol))).as(valueCol)
+      )
+  }
+}
+
+/** The learned key–value index: exact probe + field-wise prefix
+  * fallback (ref: src/inference_trie.py:60-98, src/transpiler.py
+  * :1004-1099; SURVEY §2.9).
+  *
+  * Spark-first design: instead of the reference's row-at-a-time
+  * dynamic-SQL `prefix_search`, every prefix length L gets a small
+  * precomputed aggregate table at build time; the probe is then a
+  * cascade of BROADCAST hash joins + one coalesce — fully parallel, no
+  * iteration, and the only shuffle in the whole serve path is whatever
+  * the caller's plan already needed. At 100 TB the probe side streams;
+  * the index sides are bounded by the key space (small by construction
+  * — that is the point of the paper) and always broadcast.
+  */
+final case class KvModel(
+    task: Task,
+    keyLen: Int,
+    kv: DataFrame,                      // (key string, value double)
+    prefixes: Seq[(Int, DataFrame)],    // len -> (prefix string, value double), len = keyLen-1 .. 1
+    globalValue: Double                 // trie-root fallback
+) {
+  /** Append `predName` to `input` by probing the index with `key`.
+    * Exact hit wins; else the longest non-empty prefix aggregate; else
+    * the global aggregate (trie-root DFS, inference_trie.py:91-98).
+    */
+  def probe(input: DataFrame, key: Column, predName: String = "prediction"): DataFrame = {
+    val keyed = input.withColumn("__key", key)
+    val exact = keyed.join(
+      broadcast(kv.select(col("key").as("__key"), col("value").as("__v_exact"))),
+      Seq("__key"), "left")
+    val cascaded = prefixes.foldLeft(exact) { case (df, (l, tbl)) =>
+      df.join(
+        broadcast(tbl.select(col("prefix").as(s"__p_$l"), col("value").as(s"__v_$l"))),
+        Keys.prefix(col("__key"), l) === col(s"__p_$l"), "left")
+        .drop(s"__p_$l")
+    }
+    val fallbackCols = prefixes.map { case (l, _) => col(s"__v_$l") }
+    val pred = coalesce((col("__v_exact") +: fallbackCols) :+ lit(globalValue): _*)
+    cascaded
+      .withColumn(predName, pred)
+      .drop("__key" +: "__v_exact" +: prefixes.map { case (l, _) => s"__v_$l" }: _*)
+  }
+}
+
+object KvIndexBuilder {
+  /** Build the KV index from an encoded training DataFrame.
+    *
+    * @param encoded  DataFrame with LongType bin columns `keyCols` and
+    *                 a numeric prediction column `predCol` (the trained
+    *                 model's predictions on train — transpiler.py:573).
+    * @param balanceRatio optional class-balance reweighting
+    *                 (`min(value*ratio, 1)`, transpiler.py:3080-3081).
+    *
+    * Aggregation per key: mean for regression/binary, mode for
+    * multi-class (transpiler.py:986-996). Prefix tables aggregate over
+    * DISTINCT KEYS (one row per kv entry), not raw rows — matching the
+    * trie's DFS over leaves (inference_trie.py:73-98).
+    */
+  def build(
+      encoded: DataFrame,
+      keyCols: Seq[String],
+      predCol: String,
+      task: Task,
+      balanceRatio: Option[Double] = None
+  ): KvModel = {
+    val keyed = encoded.select(
+      Keys.keyColumn(keyCols.map(col)).as("key"),
+      col(predCol).cast("double").as("pred"))
+
+    val kvRaw = task match {
+      case Task.MultiClass =>
+        Aggregates.mode(keyed, Seq("key"), "pred").withColumnRenamed("pred", "value")
+      case _ =>
+        keyed.groupBy("key").agg(avg("pred").as("value"))
+    }
+    val kv = balanceRatio match {
+      case Some(r) => kvRaw.withColumn("value", least(col("value") * r, lit(1.0)))
+      case None    => kvRaw
+    }
+    val kvCached = kv.cache()
+    kvCached.count() // materialize once; every probe broadcasts from here
+
+    val prefixes = (keyCols.length - 1 to 1 by -1).map { l =>
+      val pfx = kvCached.select(Keys.prefix(col("key"), l).as("prefix"), col("value"))
+      val tbl = task match {
+        case Task.MultiClass =>
+          Aggregates.mode(pfx, Seq("prefix"), "value")
+        case _ =>
+          pfx.groupBy("prefix").agg(avg("value").as("value"))
+      }
+      l -> tbl.cache()
+    }
+
+    val globalValue = task match {
+      case Task.MultiClass =>
+        Aggregates.mode(kvCached.select(col("value")), Seq.empty, "value")
+          .head().getDouble(0)
+      case _ =>
+        kvCached.agg(avg("value")).head().getDouble(0)
+    }
+    KvModel(task, keyCols.length, kvCached, prefixes, globalValue)
+  }
+}

@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.{Aggregates, Keys, NumericBins}
+import graft.functions.Fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.1–§2.7), one driver-checkable
+  * query per operator id. Every query has a DuckDB oracle in [[oracle]];
+  * column names are aliased identically on both sides (the driver's
+  * compare sorts columns by name before hashing).
+  *
+  * Scale notes (100 TB thinking, verified on `.explain("formatted")`):
+  *  - scans carry explicit filters/projections so parquet gets
+  *    `PushedFilters` + pruned `ReadSchema`;
+  *  - small sides (region/nation/part/derived aggregates) are
+  *    broadcast explicitly — no shuffle on the big probe side;
+  *  - argmax/mode use `min_by`/`max_by` single-pass aggregates instead
+  *    of rank windows (partial agg map-side, one shuffle, no sort).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal aggregation: 2-decimal doubles summed as integer
+    * cents then rescaled. Bit-identical across Spark and DuckDB (no
+    * float-summation-order noise, no round() half-boundary skew).
+    */
+  private def sumCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  val defs: Map[String, Q] = Map(
+    // S1/P5/P4: projection + selection, pushed into the parquet scan.
+    "s1_scan_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // A1/A6: TPC-H Q1-shaped grouped aggregation (partial+final agg).
+    "a1_groupby_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          sumCents(col("l_extendedprice")).as("sum_price"),
+          (sumCents(col("l_discount")) / count(lit(1))).as("avg_disc"))),
+
+    // J2: multiway equi joins, dims broadcast, one shuffle for the agg.
+    "j2_join_multiway" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("revenue"))
+    }),
+
+    // J1: the KV-probe join shape — big fact ⨝ broadcast small dim.
+    "j1_broadcast_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_size") <= 20)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sumCents(col("l_extendedprice")).as("revenue"))
+    }),
+
+    // J7: semi join (IN subquery) — no row multiplication.
+    "j7_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J6: 1-row cross join (global scalar fanned out to every row).
+    "j6_cross_scalar" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val g = p.agg((sumCents(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+      p.crossJoin(broadcast(g))
+        .select(col("p_partkey"), (col("p_retailprice") / col("avg_price")).as("price_ratio"))
+    }),
+
+    // J4: expression-valued equi key (concat'd composite), J1 broadcast.
+    "j4_expr_key_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val freq = e.groupBy(concat_ws("_", col("event_type"), hour(col("ts"))).as("combo"))
+        .agg(count(lit(1)).as("n"))
+      e.join(broadcast(freq),
+          concat_ws("_", col("event_type"), hour(col("ts"))) === col("combo"), "left")
+        .select(col("event_id"), coalesce(col("n"), lit(0L)).as("type_hour_freq"))
+    }),
+
+    // J5/P6: lateral unnest to COO triples + zero pruning.
+    "j5_unnest_coo" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("col_id", "val")))
+        .filter(col("val") =!= 0.0f)),
+
+    // O1/P7: global sort + limit with pinned tie-break.
+    "o1_sort_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+
+    // A11: distinct.
+    "a11_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // O6/O5(shape): set difference.
+    "o6_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())),
+
+    // A2: per-group mode with pinned tie-break (count desc, value asc).
+    "a2_groupby_mode" -> ((s, d) =>
+      Aggregates.mode(Tables.events(s, d), Seq("event_type"), "user_id")),
+
+    // W2/O2: argmax per group as a single-pass aggregate (no window sort).
+    "w2_rank_argmax" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(min_by(
+            struct(col("o_orderkey").as("best_order"), col("o_totalprice").as("best_price")),
+            struct(-col("o_totalprice"), col("o_orderkey"))).as("s"))
+        .select(col("o_custkey"), col("s.best_order"), col("s.best_price"))),
+
+    // W1: row_number over an explicit total order.
+    "w1_row_number" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          row_number().over(Window.orderBy("o_orderkey")).as("rn"))),
+
+    // W4: lag + rolling mean frame per key (the pm2.5 lag features).
+    "w4_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_value"),
+        avg("value").over(w.rowsBetween(-1, 0)).as("rolling_2"))
+    }),
+
+    // F1-F3: datetime feature extraction with PG-convention dow.
+    "f1_datetime_features" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        month(col("ts")).as("mon"),
+        Fns.pgDow(col("ts")).as("dow"),
+        Fns.isoDow(col("ts")).as("idow"),
+        Fns.dayName(col("ts")).as("dname"),
+        Fns.isWeekend(col("ts")).as("is_weekend"))),
+
+    // F15/F14: CASE bucket grid + IN-list membership.
+    "f15_case_isin" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 50000.0, 0L)
+          .when(col("o_totalprice") < 150000.0, 1L)
+          .when(col("o_totalprice") < 300000.0, 2L)
+          .otherwise(3L).as("price_bucket"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long").as("is_urgent"))),
+
+    // F4 + T3: translate — binned features to compound key (§2.9 front half).
+    "f4_key_translate" -> ((s, d) => {
+      val qtyBins  = NumericBins(Array(10.0, 25.0, 40.0))
+      val discBins = NumericBins(Array(0.03, 0.07))
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Keys.keyColumn(Seq(
+          qtyBins.toColumn(col("l_quantity")),
+          discBins.toColumn(col("l_discount")))).as("key"))
+    }),
+
+    // P1/F16: imputation via coalesce (nulls synthesized deterministically).
+    "p1_impute_coalesce" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        coalesce(when(col("value") >= 5.0, col("value")), lit(-1.0)).as("value_imputed"))),
+
+    // P2/P3: fitted-scaler + one-hot projections (literal fitted stats).
+    "p2_p3_scale_onehot" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        ((col("c_acctbal") - lit(4500.0)) / lit(3200.0)).as("acctbal_scaled"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("seg_building"),
+        (col("c_mktsegment") === "AUTOMOBILE").cast("long").as("seg_automobile"),
+        (col("c_mktsegment") === "MACHINERY").cast("long").as("seg_machinery")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45.0",
+    "a1_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+        | sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "j2_join_multiway" ->
+      """SELECT r_name, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "j1_broadcast_join" ->
+      """SELECT p_brand, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20 GROUP BY p_brand""".stripMargin,
+    "j7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)""".stripMargin,
+    "j6_cross_scalar" ->
+      """SELECT p_partkey, p_retailprice / g.avg_price AS price_ratio
+        |FROM part CROSS JOIN (
+        |  SELECT sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 / count(*) AS avg_price
+        |  FROM part) g""".stripMargin,
+    "j4_expr_key_join" ->
+      """SELECT e.event_id, coalesce(f.n, 0) AS type_hour_freq
+        |FROM events e LEFT JOIN (
+        |  SELECT event_type || '_' || hour(ts) AS combo, count(*) AS n
+        |  FROM events GROUP BY 1) f
+        |ON e.event_type || '_' || hour(e.ts) = f.combo""".stripMargin,
+    "j5_unnest_coo" ->
+      """SELECT vec_id, i - 1 AS col_id, embedding[i] AS val
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |WHERE vec_id < 50 AND embedding[i] <> 0""".stripMargin,
+    "o1_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "a11_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "o6_set_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "a2_groupby_mode" ->
+      """SELECT event_type, user_id FROM (
+        |  SELECT event_type, user_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn
+        |  FROM (SELECT event_type, user_id, count(*) AS cnt
+        |        FROM events GROUP BY event_type, user_id)
+        |) WHERE rn = 1""".stripMargin,
+    "w2_rank_argmax" ->
+      """SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "w1_row_number" ->
+      "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders",
+    "w4_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rolling_2
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "f1_datetime_features" ->
+      """SELECT event_id, hour(ts) AS h, month(ts) AS mon,
+        |  dayofweek(ts) AS dow, isodow(ts) AS idow, dayname(ts) AS dname,
+        |  CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend
+        |FROM events""".stripMargin,
+    "f15_case_isin" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000.0 THEN 0
+        |       WHEN o_totalprice < 150000.0 THEN 1
+        |       WHEN o_totalprice < 300000.0 THEN 2
+        |       ELSE 3 END AS price_bucket,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS is_urgent
+        |FROM orders""".stripMargin,
+    "f4_key_translate" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (CASE WHEN l_quantity < 10.0 THEN 0 WHEN l_quantity < 25.0 THEN 1
+        |        WHEN l_quantity < 40.0 THEN 2 ELSE 3 END)
+        |  || '.' ||
+        |  (CASE WHEN l_discount < 0.03 THEN 0 WHEN l_discount < 0.07 THEN 1
+        |        ELSE 2 END) AS key
+        |FROM lineitem""".stripMargin,
+    "p1_impute_coalesce" ->
+      """SELECT event_id,
+        |  coalesce(CASE WHEN value >= 5.0 THEN value END, -1.0) AS value_imputed
+        |FROM events""".stripMargin,
+    "p2_p3_scale_onehot" ->
+      """SELECT c_custkey,
+        |  (c_acctbal - 4500.0) / 3200.0 AS acctbal_scaled,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_building,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_automobile,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_machinery
+        |FROM customer""".stripMargin
+  )
+}
