@@ -95,7 +95,16 @@ object KvIndexBuilder {
     val keyed = encoded.select(
       Keys.keyColumn(keyCols.map(col)).as("key"),
       col(predCol).cast("double").as("pred"))
+    buildFromKeyed(keyed, keyCols.length, task, balanceRatio)
+  }
 
+  /** Build from an already-keyed DataFrame with columns (key, pred). */
+  def buildFromKeyed(
+      keyed: DataFrame,
+      keyLen: Int,
+      task: Task,
+      balanceRatio: Option[Double] = None
+  ): KvModel = {
     val kvRaw = task match {
       case Task.MultiClass =>
         Aggregates.mode(keyed, Seq("key"), "pred").withColumnRenamed("pred", "value")
@@ -109,7 +118,7 @@ object KvIndexBuilder {
     val kvCached = kv.cache()
     kvCached.count() // materialize once; every probe broadcasts from here
 
-    val prefixes = (keyCols.length - 1 to 1 by -1).map { l =>
+    val prefixes = (keyLen - 1 to 1 by -1).map { l =>
       val pfx = kvCached.select(Keys.prefix(col("key"), l).as("prefix"), col("value"))
       val tbl = task match {
         case Task.MultiClass =>
@@ -127,6 +136,6 @@ object KvIndexBuilder {
       case _ =>
         kvCached.agg(avg("value")).head().getDouble(0)
     }
-    KvModel(task, keyCols.length, kvCached, prefixes, globalValue)
+    KvModel(task, keyLen, kvCached, prefixes, globalValue)
   }
 }

@@ -48,11 +48,11 @@ final case class LinearModel(coefs: Array[Double], intercept: Double) {
     * broadcast — the probe side streams, one shuffle for the groupBy.
     */
   def cooGemm(coo: DataFrame, spark: SparkSession): DataFrame = {
-    val c = asRelation(spark)
+    val c = asRelation(spark).withColumnRenamed("val", "w") // avoid clash with COO's `val`
     coo.filter(col("val") =!= 0.0)
       .join(broadcast(c), Seq("col_id"))
       .groupBy("row_id")
-      .agg((sum(col("val") * col(c.columns(1))) + first(col("intercept"))).as("z"))
+      .agg((sum(col("val") * col("w")) + first(col("intercept"))).as("z"))
   }
 }
 

@@ -1,0 +1,360 @@
+package graft.queries
+
+import graft.Tables
+import graft.core._
+import graft.functions.Fns
+import graft.metrics.Metrics
+import graft.models.{LinearModel, MlpModel}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The InferDB capability surface itself (SURVEY §2.8–§2.10, §3):
+  * translate → KV probe → field-wise prefix fallback, IV aggregates,
+  * model scoring (fused linear / MLP and the reference-shaped COO GEMM
+  * joins), effectiveness metrics, populate-paths, filling degree.
+  *
+  * The probe queries exercise the REAL library path
+  * (KvIndexBuilder/KvModel) against a DuckDB oracle that recomputes the
+  * same index in SQL from shared constants (SqlGen) — fixed splits make
+  * the train-time dataflow SQL-expressible, so the whole composite
+  * operator is hash-checked, not just rows-counted.
+  *
+  * Scale: the kv/prefix/coef/weight sides are all bounded by key-space
+  * or model size, never by data — every join here is a broadcast; the
+  * only shuffles are the index-build groupBys (partial-agg'd, keyed on
+  * the compound key).
+  */
+object InferDbQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared constants (single source of truth for Spark + SQL) ----
+  // key field order: (discount, tax, quantity) — unseen qty bin keeps a
+  // live L=2 prefix; unseen discount bin cascades all the way to the
+  // global fallback (both paths exercised at sf0.01).
+  private val discSplits = Seq(0.03, 0.07)
+  private val taxSplits  = Seq(0.04)
+  private val qtySplits  = Seq(10.0, 25.0, 40.0)
+  private val keyFields: Seq[(String, Seq[Double])] =
+    Seq("l_discount" -> discSplits, "l_tax" -> taxSplits, "l_quantity" -> qtySplits)
+
+  /** Train predicate: drops qty bin 3 and disc bin 2 from the index. */
+  private val trainPredSql = "l_quantity < 40.0 AND l_discount < 0.07"
+  private def trainPred    = col("l_quantity") < 40.0 && col("l_discount") < 0.07
+
+  private val targetSql = "(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)"
+  private def targetCol = when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+
+  private def keyCol: Column = Keys.keyColumn(keyFields.map { case (c, s) =>
+    NumericBins(s.toArray).toColumn(col(c))
+  })
+
+  // linear model constants (features: qty, extprice/1000, disc, tax)
+  private val linCoefs     = Array(0.031, -0.0045, 1.7, -0.9)
+  private val linIntercept = -0.62
+  private val linTermsSql  = Seq("l_quantity", "l_extendedprice / 1000.0", "l_discount", "l_tax")
+  private def linTermsCol  = Seq(col("l_quantity"), col("l_extendedprice") / 1000.0,
+                                 col("l_discount"), col("l_tax"))
+
+  // tiny MLP 4 -> 3 -> 1, fixed weights
+  private val mlp = MlpModel(
+    w0 = Array(
+      Array(0.04, -0.02, 0.01),
+      Array(-0.003, 0.002, 0.0015),
+      Array(1.1, -0.7, 0.4),
+      Array(-0.5, 0.9, 0.0)),
+    b0 = Array(0.1, -0.05, 0.02),
+    w1 = Array(Array(0.8), Array(-0.6), Array(0.9)),
+    b1 = Array(-0.15))
+
+  // KMeans: 4 fixed centroids over embedding dims 0/1
+  private val centroids = Seq((0, -0.5, -0.5), (1, -0.5, 0.5), (2, 0.5, -0.5), (3, 0.5, 0.5))
+
+  // -------------------------- queries --------------------------------
+
+  val defs: Map[String, Q] = Map(
+    // §2.9 — the InferDB operator: translate + exact probe + field-wise
+    // prefix fallback + global fallback, via the real KvModel.
+    "x29_inferdb_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val train = li.filter(trainPred)
+        .select(keyCol.as("key"), targetCol.as("pred"))
+      val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 3, Task.Classification)
+      model.probe(li, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // A9 — the precomputed prefix-aggregate tables themselves.
+    "a9_prefix_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val kv = li.filter(trainPred)
+        .groupBy(keyCol.as("key"))
+        .agg(avg(targetCol).as("value"))
+      kv.groupBy(Keys.prefix(col("key"), 2).as("prefix"))
+        .agg(round(avg("value"), 6).as("value"))
+    }),
+
+    // A3 — classification Information Value of the key grouping, plus
+    // per-feature single IVs (the greedy selector's scoring job).
+    "a3_iv_classification" -> ((s, d) => {
+      val li  = Tables.lineitem(s, d).select(
+        NumericBins(qtySplits.toArray).toColumn(col("l_quantity")).as("b_qty"),
+        NumericBins(discSplits.toArray).toColumn(col("l_discount")).as("b_disc"),
+        targetCol.as("y")).cache()
+      val ivQty  = IV.classification(li, Seq(col("b_qty")), col("y"))
+      val ivDisc = IV.classification(li, Seq(col("b_disc")), col("y"))
+      val ivJoint = IV.classification(li, Seq(col("b_qty"), col("b_disc")), col("y"))
+      li.unpersist()
+      import s.implicits._
+      Seq(("b_qty", ivQty), ("b_disc", ivDisc), ("joint", ivJoint))
+        .toDF("feature", "iv")
+        .select(col("feature"), round(col("iv"), 6).as("iv"))
+    }),
+
+    // A4 — regression IV variant.
+    "a4_iv_regression" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        NumericBins(qtySplits.toArray).toColumn(col("l_quantity")).as("b_qty"),
+        col("l_extendedprice").as("y"))
+      val iv = IV.regression(li, Seq(col("b_qty")), col("y"))
+      import s.implicits._
+      Seq(("b_qty", iv)).toDF("feature", "iv")
+        .select(col("feature"), round(col("iv"), 6).as("iv"))
+    }),
+
+    // Linear model scoring, fused expression (F8/F9, J3 collapsed).
+    "m_linear_score" -> ((s, d) => {
+      val m = LinearModel(linCoefs, linIntercept)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(m.predictProba(linTermsCol), 6).as("proba"))
+    }),
+
+    // F8 — crazy_exp quirk surface (x<0 -> 0 clamp, overflow clamp).
+    "f8_crazy_exp" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Fns.crazyExp(col("l_quantity") / 10.0 - 2.0), 6).as("cexp"))),
+
+    // MLP scoring, fused (no COO, no shuffle) — weights shared with SQL.
+    "m_mlp_score" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(mlp.predictProba(Seq(
+          col("l_quantity"), col("l_extendedprice") / 1000.0,
+          col("l_discount"), col("l_tax"))), 6).as("proba"))),
+
+    // J3 — the reference-shaped COO GEMM join over unnested vectors.
+    "j3_coo_gemm" -> ((s, d) => {
+      val gemmCoefs = (1 to 64).map(i => ((i % 7) - 3) * 0.1)
+      val m = LinearModel(gemmCoefs.toArray, 0.25)
+      val coo = Tables.embeddings(s, d)
+        .select(col("vec_id").as("row_id"), posexplode(col("embedding")).as(Seq("col_id", "val")))
+      m.cooGemm(coo, s)
+        .select(col("row_id").as("vec_id"), round(col("z"), 4).as("z"))
+    }),
+
+    // W3/T7 — nearest-centroid assignment (KMeans predict) as a
+    // broadcast-free min_by over literal centroids.
+    "w3_kmeans_assign" -> ((s, d) => {
+      val x = col("embedding").getItem(0).cast("double")
+      val y = col("embedding").getItem(1).cast("double")
+      val assigned = centroids.map { case (id, cx, cy) =>
+        struct(((x - cx) * (x - cx) + (y - cy) * (y - cy)).as("dist"), lit(id).as("cid"))
+      }
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        array_min(array(assigned: _*)).getField("cid").as("cluster"))
+    }),
+
+    // A7 — confusion-matrix aggregate over the linear scorer.
+    "a7_confusion" -> ((s, d) => {
+      val m = LinearModel(linCoefs, linIntercept)
+      val scored = Tables.lineitem(s, d).select(
+        m.predictProba(linTermsCol).as("proba"), targetCol.as("target"))
+      Metrics.binaryReport(scored, col("proba"), col("target"))
+        .select(col("tp"), col("tn"), col("fp"), col("fn"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
+    // A8 — RMSLE aggregate.
+    "a8_rmsle" -> ((s, d) => {
+      val pred = col("l_quantity") * 25.0 + 100.0
+      Metrics.rmsle(Tables.lineitem(s, d), pred, col("l_extendedprice"))
+        .select(round(col("rmsle"), 6).as("rmsle"))
+    }),
+
+    // O5 — populate-paths: full bin-combination space EXCEPT observed.
+    "o5_populate_paths" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val spark = s
+      import spark.implicits._
+      val ranges = keyFields.map { case (_, splits) => 0 to splits.length }
+      val all = ranges(0).flatMap(a => ranges(1).flatMap(b => ranges(2).map(c => s"$a.$b.$c")))
+        .toDF("key")
+      val observed = li.filter(trainPred).select(keyCol.as("key")).distinct()
+      all.except(observed)
+    }),
+
+    // T6 — filling degree: distinct observed paths / full key space.
+    "t6_filling_degree" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val total = keyFields.map(_._2.length + 1).product
+      li.filter(trainPred).agg(
+        countDistinct(keyCol).as("distinct_paths"),
+        lit(total.toLong).as("total_paths"),
+        round(countDistinct(keyCol).cast("double") / total, 6).as("filling_degree"))
+    }),
+
+    // F7 — spherical geo distance (serve-side SQL formula).
+    "f7_geo_distance" -> ((s, d) => {
+      val lat = col("c_acctbal") / 200.0
+      val lon = (col("c_custkey") % 360) - 180.0
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        round(Fns.sphericalDistanceKm(lat, lon, lit(40.7), lit(-74.0)), 4).as("dist_km"))
+    })
+  )
+
+  // ----------------------- oracle SQL --------------------------------
+
+  private val keySql = SqlGen.keyExpr(keyFields)
+  private val prefix2Sql = "substr(key, 1, length(key) - position('.' IN reverse(key)))"
+
+  private def ivSql(binExpr: String): String =
+    s"""(SELECT sum(((ln(n - s + 0.5) - ln(tot_n - tot_s)) - (ln(s + 0.5) - ln(tot_s)))
+       |            * ((n - s) / (tot_n - tot_s) - s / tot_s))
+       | FROM (SELECT $binExpr AS b, count(*)::DOUBLE AS n, sum($targetSql) AS s
+       |       FROM lineitem GROUP BY 1) bins
+       | CROSS JOIN (SELECT count(*)::DOUBLE AS tot_n, sum($targetSql) AS tot_s
+       |             FROM lineitem) t)""".stripMargin
+
+  private val linearSql = SqlGen.linear(linTermsSql, linCoefs.toIndexedSeq, linIntercept)
+
+  private val mlpSql: String = {
+    val ins = Seq("l_quantity", "l_extendedprice / 1000.0", "l_discount", "l_tax")
+    val hidden = (0 until 3).map { j =>
+      SqlGen.relu(SqlGen.linear(ins, mlp.w0.map(_(j)).toIndexedSeq, mlp.b0(j)))
+    }
+    SqlGen.sigmoidRef(SqlGen.linear(hidden, mlp.w1.map(_(0)).toIndexedSeq, mlp.b1(0)))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "x29_inferdb_probe" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber,
+         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+         |FROM probe p
+         |LEFT JOIN kv ON p.key = kv.key
+         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |CROSS JOIN g""".stripMargin,
+    "a9_prefix_agg" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1)
+         |SELECT $prefix2Sql AS prefix, round(avg(value), 6) AS value FROM kv GROUP BY 1""".stripMargin,
+    "a3_iv_classification" ->
+      s"""SELECT 'b_qty' AS feature, round(${ivSql(SqlGen.binCase("l_quantity", qtySplits))}, 6) AS iv
+         |UNION ALL
+         |SELECT 'b_disc', round(${ivSql(SqlGen.binCase("l_discount", discSplits))}, 6)
+         |UNION ALL
+         |SELECT 'joint', round(${ivSql(SqlGen.binCase("l_quantity", qtySplits) + " || '.' || " + SqlGen.binCase("l_discount", discSplits))}, 6)""".stripMargin,
+    "a4_iv_regression" ->
+      s"""SELECT 'b_qty' AS feature, round((
+         |  SELECT sum(abs(m - gm) * n / gn)
+         |  FROM (SELECT ${SqlGen.binCase("l_quantity", qtySplits)} AS b,
+         |               count(*)::DOUBLE AS n, avg(l_extendedprice) AS m
+         |        FROM lineitem GROUP BY 1) bins
+         |  CROSS JOIN (SELECT avg(l_extendedprice) AS gm, count(*)::DOUBLE AS gn
+         |              FROM lineitem) t), 6) AS iv""".stripMargin,
+    "m_linear_score" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  round(${SqlGen.sigmoidRef(linearSql)}, 6) AS proba
+         |FROM lineitem""".stripMargin,
+    "f8_crazy_exp" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  round(${SqlGen.crazyExp("l_quantity / 10.0 - 2.0")}, 6) AS cexp
+         |FROM lineitem""".stripMargin,
+    "m_mlp_score" ->
+      s"""SELECT l_orderkey, l_linenumber, round($mlpSql, 6) AS proba
+         |FROM lineitem""".stripMargin,
+    "j3_coo_gemm" -> {
+      val coefVals = (1 to 64).map(i => s"(${i - 1}, ${((i % 7) - 3) * 0.1})").mkString(", ")
+      s"""WITH coef(col_id, w) AS (VALUES $coefVals),
+         |coo AS (
+         |  SELECT vec_id AS row_id, i - 1 AS col_id, embedding[i]::DOUBLE AS val
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  WHERE embedding[i] <> 0)
+         |SELECT row_id AS vec_id, round(sum(val * w) + 0.25, 4) AS z
+         |FROM coo JOIN coef USING (col_id)
+         |GROUP BY row_id""".stripMargin
+    },
+    "w3_kmeans_assign" -> {
+      val cents = centroids.map { case (id, cx, cy) => s"($id, $cx, $cy)" }.mkString(", ")
+      s"""WITH c(cid, cx, cy) AS (VALUES $cents),
+         |d AS (SELECT vec_id, cid,
+         |        (embedding[1]::DOUBLE - cx) * (embedding[1]::DOUBLE - cx)
+         |      + (embedding[2]::DOUBLE - cy) * (embedding[2]::DOUBLE - cy) AS dist
+         |      FROM embeddings CROSS JOIN c)
+         |SELECT vec_id, cid AS cluster FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM d) WHERE rn = 1""".stripMargin
+    },
+    "a7_confusion" ->
+      s"""WITH scored AS (
+         |  SELECT round(${SqlGen.sigmoidRef(linearSql)}) AS p, $targetSql AS t
+         |  FROM lineitem)
+         |SELECT
+         |  sum(CASE WHEN p = 1 AND t = 1 THEN 1 ELSE 0 END) AS tp,
+         |  sum(CASE WHEN p = 0 AND t = 0 THEN 1 ELSE 0 END) AS tn,
+         |  sum(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END) AS fp,
+         |  sum(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END) AS fn,
+         |  round((tp + tn)::DOUBLE / (tp + tn + fp + fn), 6) AS accuracy,
+         |  round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END, 6) AS recall,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
+         |           + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) = 0 THEN 0.0
+         |        ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
+         |                 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)
+         |           / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
+         |            + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)) END, 6) AS f1
+         |FROM scored""".stripMargin,
+    "a8_rmsle" ->
+      """SELECT round(sqrt(sum(pow(ln(l_quantity * 25.0 + 100.0 + 1) - ln(l_extendedprice + 1), 2))
+        |  / count(*)), 6) AS rmsle
+        |FROM lineitem""".stripMargin,
+    "o5_populate_paths" ->
+      s"""WITH all_keys AS (
+         |  SELECT a.i || '.' || b.i || '.' || c.i AS key
+         |  FROM generate_series(0, ${discSplits.length}) a(i),
+         |       generate_series(0, ${taxSplits.length}) b(i),
+         |       generate_series(0, ${qtySplits.length}) c(i)),
+         |observed AS (
+         |  SELECT DISTINCT $keySql AS key FROM lineitem WHERE $trainPredSql)
+         |SELECT key FROM all_keys EXCEPT SELECT key FROM observed""".stripMargin,
+    "t6_filling_degree" -> {
+      val total = keyFields.map(_._2.length + 1).product
+      s"""SELECT count(DISTINCT $keySql) AS distinct_paths,
+         |  $total::BIGINT AS total_paths,
+         |  round(count(DISTINCT $keySql)::DOUBLE / $total, 6) AS filling_degree
+         |FROM lineitem WHERE $trainPredSql""".stripMargin
+    },
+    "f7_geo_distance" ->
+      """SELECT c_custkey,
+        |  round(acos(least(1.0, greatest(-1.0,
+        |    sin(radians(c_acctbal / 200.0)) * sin(radians(40.7))
+        |    + cos(radians(c_acctbal / 200.0)) * cos(radians(40.7))
+        |      * cos(radians(-74.0 - ((c_custkey % 360) - 180.0)))))) * 6371.0, 4) AS dist_km
+        |FROM customer""".stripMargin
+  )
+}
