@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Fns, TextHash}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` and
+  * `embeddings` (builder-prompt first-class set): exact / MinHash-LSH /
+  * SimHash / n-gram-Jaccard dedup, fingerprinting, language ID, quality
+  * scoring, token counting, brute-force + LSH-bucketed similarity
+  * search, and the multimodal-column plumbing stub.
+  *
+  * Design for 100 TB:
+  *  - per-document work (tokenize, shingle, hash, signatures) is a
+  *    single fused projection of codegen'd higher-order functions — no
+  *    UDFs, no shuffle, embarrassingly parallel over any partitioning;
+  *  - per-doc DISTINCT uses `array_distinct` inside the row (no
+  *    shuffle) before exploding;
+  *  - MinHash-LSH turns all-pairs O(n²) dedup into an equi-join on
+  *    (band, signature) — the only shuffles are the signature groupBy
+  *    and the bucket join, both keyed and partial-agg'd; brute-force
+  *    cosine is kept only as the small-side baseline and the LSH bucket
+  *    variant is the scale path.
+  *
+  * All hashing is integer-only polynomial hashing (TextHash) so the
+  * DuckDB oracle reproduces signatures bit-exactly.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+  import TextHash._
+
+  // per-doc distinct shingles, exploded: (doc_id, shingle)
+  private def shingleDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
+
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val h = charHash(col("shingle")).as("h")
+    val aggs = (0 until NumPerms).map(k => min(perm(col("h"), k)).as(s"m$k"))
+    shingleDf(s, d).select(col("doc_id"), h)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // SRP-LSH hyperplanes: deterministic integer pattern, shared with SQL.
+  private def hyperplane(k: Int): Array[Double] =
+    Array.tabulate(64)(i => (((i * 7 + k * 13) % 11) - 5).toDouble)
+
+  private def srpBucket(emb: Column): Column =
+    (0 until 8).map { k =>
+      val dot = aggregate(
+        zip_with(emb, typedLit(hyperplane(k)), (x, r) => x.cast("double") * r),
+        lit(0.0), (a, v) => a + v)
+      when(dot >= 0.0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val enStop = Seq("the", "a", "of", "and", "to")
+  private val deStop = Seq("der", "die", "das", "und", "ein")
+  private val esStop = Seq("el", "la", "de", "los", "y")
+  private val frStop = Seq("le", "les", "des", "et", "un")
+  private val zhStop = Seq("的", "了", "是", "我", "不")
+
+  private def stopCount(w: Column, stop: Seq[String]): Column =
+    size(filter(w, t => t.isin(stop: _*)))
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on full content, canonical = min id.
+    "t_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")),
+
+    // Rolling-hash document fingerprint (one fused projection).
+    "t_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), charHash(col("text")).as("fp"))),
+
+    // MinHash signatures — the full shingle→hash→16-perm-min pipeline.
+    "t_minhash_sig" -> ((s, d) =>
+      minhashSig(s, d).select(
+        col("doc_id"),
+        concat_ws("-", (0 until NumPerms).map(k => col(s"m$k")): _*).as("sig"))),
+
+    // MinHash + LSH near-dup candidate pairs: band the signature, join
+    // on (band, band-sig) — O(n) shuffle instead of O(n²) pairs.
+    "t_dedup_minhash" -> ((s, d) => {
+      val sig = minhashSig(s, d)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
+        }: _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bsig"))
+      val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }),
+
+    // SimHash (16-bit) fingerprint over per-doc distinct tokens.
+    "t_dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .select(col("doc_id"), charHash(col("tok")).as("h"))
+      val bitSums = (0 until 16).map(j =>
+        sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    }),
+
+    // Exact n-gram Jaccard for adjacent-id pairs sharing ≥1 shingle.
+    "t_ngram_jaccard" -> ((s, d) => {
+      val sh = shingleDf(s, d).cache()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val inter = a.join(b, a("shingle") === b("shingle") && col("doc_b") === col("doc_a") + 1)
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    }),
+
+    // Language ID: stopword-hit scoring, argmax with alphabetical ties.
+    "t_lang_id" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val sDe = stopCount(w, deStop); val sEn = stopCount(w, enStop)
+      val sEs = stopCount(w, esStop); val sFr = stopCount(w, frStop)
+      val sZh = stopCount(w, zhStop)
+      val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr && sDe >= sZh, "de")
+        .when(sEn >= sEs && sEn >= sFr && sEn >= sZh, "en")
+        .when(sEs >= sFr && sEs >= sZh, "es")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh")
+      Tables.documents(s, d).select(
+        col("doc_id"), sEn.as("s_en"), sDe.as("s_de"), pred.as("pred_lang"),
+        (pred === col("lang")).cast("long").as("is_match"))
+    }),
+
+    // Quality scoring: distinctness, length saturation, stopword ratio.
+    "t_quality_score" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val nTok  = size(w).cast("double")
+      val nUniq = size(array_distinct(w)).cast("double")
+      val nStop = stopCount(w, enStop).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        (nUniq / nTok).as("distinct_ratio"),
+        (nStop / nTok).as("stopword_ratio"),
+        (lit(0.4) * (nUniq / nTok)
+          + lit(0.3) * least(nTok / 100.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - nStop / nTok)).as("quality"))
+    }),
+
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    "t_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars_computed"))),
+
+    // Brute-force cosine top-5 — the ANN baseline (small query side).
+    "t_embed_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val pairs = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          Fns.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      val wnd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      pairs.withColumn("rn", row_number().over(wnd)).filter(col("rn") <= 5)
+    }),
+
+    // SRP-LSH bucketing — the 100 TB similarity-search path: random-
+    // hyperplane signs partition vectors into 256 buckets.
+    "t_ann_lsh_bucket" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), srpBucket(col("embedding")).as("bucket"))),
+
+    // Within-bucket top-1 neighbor: equi-join on bucket replaces the
+    // all-pairs cross join; argmax via single-pass min_by (no sort).
+    "t_ann_bucket_top1" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val b = e.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          Fns.cosineSim(col("q_emb"), col("n_emb")).as("cos"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
+        .select(col("q_id"), col("x.n_id"), col("x.cos"))
+    }),
+
+    // Multimodal-column plumbing STUB: the decode itself is a
+    // deterministic fake (no image/audio libs in this container); the
+    // Spark-side schema/partitioning/batching is real — see
+    // graft.multimodal for the mapPartitions pipeline.
+    "t_multimodal_stub" -> ((s, d) => {
+      val fp = charHash(col("text"))
+      val byteLen = length(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        byteLen.as("byte_len"),
+        (fp % 640).as("fake_width"),
+        (floor(fp / 640.0).cast("long") % 480).as("fake_height"),
+        floor(byteLen / 100.0).cast("long").as("fake_frames"))
+    })
+  )
+
+  // ------------------------- oracle SQL ------------------------------
+
+  private val P = TextHash.P
+
+  private def chSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split($e, '')]), (h, x) -> (h * 31 + x) % $P)"
+
+  /** (doc_id, shingle) distinct word-3-gram CTE body. */
+  private val shingleCte =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |       FROM words, generate_series(1, 128) t(i) WHERE i <= len(w) - 2)""".stripMargin
+
+  private val minhashCte = {
+    val mins = (0 until NumPerms)
+      .map(k => s"min((h * ${permA(k)} + ${permB(k)}) % $P) AS m$k").mkString(", ")
+    s"""$shingleCte,
+       |hh AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
+       |m AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN list_zip($a, $b)]), (acc, v) -> acc + v)"
+
+  private def planeSql(k: Int): String =
+    hyperplane(k).map(_.toString).mkString("[", ", ", "]")
+
+  private val bucketSql: String =
+    (0 until 8).map { k =>
+      s"(CASE WHEN ${dotSql("embedding", planeSql(k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def stopSql(stop: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${stop.map(x => s"'$x'").mkString(", ")})))"
+
+  val oracle: Map[String, String] = Map(
+    "t_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "t_fingerprint" ->
+      s"SELECT doc_id, ${chSql("text")} AS fp FROM documents",
+    "t_minhash_sig" ->
+      s"""WITH $minhashCte
+         |SELECT doc_id, ${(0 until NumPerms).map(k => s"m$k").mkString(" || '-' || ")} AS sig
+         |FROM m""".stripMargin,
+    "t_dedup_minhash" -> {
+      val bandSelects = (0 until NumBands).map { b =>
+        val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
+        s"SELECT doc_id, $b AS band, $sig AS bsig FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH $minhashCte,
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "t_dedup_simhash" -> {
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |hh AS (SELECT doc_id, ${chSql("tok")} AS h FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id)
+         |SELECT doc_id, $fp AS simhash FROM bits""".stripMargin
+    },
+    "t_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND b.doc_id = a.doc_id + 1
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni,
+         |       inter::DOUBLE / (ca.n + cb.n - inter) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = doc_a
+         |JOIN cnt cb ON cb.doc_id = doc_b""".stripMargin,
+    "t_lang_id" -> {
+      val (sDe, sEn, sEs, sFr, sZh) =
+        (stopSql(deStop), stopSql(enStop), stopSql(esStop), stopSql(frStop), stopSql(zhStop))
+      s"""SELECT doc_id, $sEn AS s_en, $sDe AS s_de,
+         |  CASE WHEN $sDe >= $sEn AND $sDe >= $sEs AND $sDe >= $sFr AND $sDe >= $sZh THEN 'de'
+         |       WHEN $sEn >= $sEs AND $sEn >= $sFr AND $sEn >= $sZh THEN 'en'
+         |       WHEN $sEs >= $sFr AND $sEs >= $sZh THEN 'es'
+         |       WHEN $sFr >= $sZh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  CASE WHEN (CASE WHEN $sDe >= $sEn AND $sDe >= $sEs AND $sDe >= $sFr AND $sDe >= $sZh THEN 'de'
+         |       WHEN $sEn >= $sEs AND $sEn >= $sFr AND $sEn >= $sZh THEN 'en'
+         |       WHEN $sEs >= $sFr AND $sEs >= $sZh THEN 'es'
+         |       WHEN $sFr >= $sZh THEN 'fr'
+         |       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS is_match
+         |FROM documents""".stripMargin
+    },
+    "t_quality_score" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) AS distinct_ratio,
+         |  ${stopSql(enStop)}::DOUBLE / len(string_split(text, ' ')) AS stopword_ratio,
+         |  0.4 * (len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')))
+         |  + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - ${stopSql(enStop)}::DOUBLE / len(string_split(text, ' '))) AS quality
+         |FROM documents""".stripMargin,
+    "t_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        |  length(text) AS n_chars_computed
+        |FROM documents""".stripMargin,
+    "t_embed_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |        ${dotSql("q.embedding", "e.embedding")} / (sqrt(q.nsq) * sqrt(e.nsq)) AS cos
+         |      FROM e q JOIN e ON q.vec_id < 100 AND e.vec_id <> q.vec_id)
+         |SELECT q_id, n_id, cos, rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM p)
+         |WHERE rn <= 5""".stripMargin,
+    "t_ann_lsh_bucket" ->
+      s"SELECT vec_id, $bucketSql AS bucket FROM embeddings",
+    "t_ann_bucket_top1" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket,
+         |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |        ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT q_id, n_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM p)
+         |WHERE rn = 1""".stripMargin,
+    "t_multimodal_stub" ->
+      s"""SELECT doc_id,
+         |  length(text) AS byte_len,
+         |  ${chSql("text")} % 640 AS fake_width,
+         |  CAST(floor(${chSql("text")} / 640.0) AS BIGINT) % 480 AS fake_height,
+         |  CAST(floor(length(text) / 100.0) AS BIGINT) AS fake_frames
+         |FROM documents""".stripMargin
+  )
+}
