@@ -1,0 +1,119 @@
+package graft
+
+import graft.core._
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The user-facing InferDB-equivalent lifecycle (ref: §3.1 of SURVEY —
+  * src/transpiler.py:2999-3215): train a model, discretize features
+  * supervised by its predictions, greedily select a compact ordered key,
+  * materialize predictions into the KV index, serve with relational
+  * operators only.
+  *
+  * The fitted artifact is a handful of broadcast-sized DataFrames plus
+  * generated column expressions — `transform` adds a prediction column
+  * to ANY DataFrame (batch or streaming) without shuffling the probe
+  * side, which is what makes the design hold at 100 TB: inference cost
+  * is one fused projection + broadcast hash joins.
+  */
+object InferDbPipeline {
+
+  final case class Config(
+      features: Seq[String],
+      categorical: Set[String] = Set.empty,
+      target: String = "target",
+      task: Task = Task.Classification,
+      maxBins: Int = 8,
+      tolerance: Double = 1.002,
+      maxFeatures: Int = Int.MaxValue,
+      balanceRatio: Option[Double] = None)
+
+  final case class Fitted(
+      config: Config,
+      bins: Map[String, BinSpec],
+      selected: Seq[String],
+      iv: Double,
+      kv: KvModel) {
+
+    /** Key expression over raw input columns (translate, §2.9). */
+    def keyColumn: Column =
+      Keys.keyColumn(selected.map(f => bins(f).toColumn(col(f))))
+
+    /** Add `predName` to `df` by translate + probe + fallback. */
+    def transform(df: DataFrame, predName: String = "prediction"): DataFrame =
+      kv.probe(df, keyColumn, predName)
+
+    /** Rows in the kv relation (the "index size" driver). */
+    def indexEntries: Long = kv.kv.count()
+  }
+
+  /** Fit the index from a training DataFrame that already carries the
+    * model's predictions in `predCol` (transpiler.py:573 semantics:
+    * the index memorizes the MODEL, not the labels).
+    */
+  def fit(train: DataFrame, config: Config, predCol: String): Fitted = {
+    val cached = train.cache()
+    val bins: Map[String, BinSpec] = config.features.map { f =>
+      val spec: BinSpec =
+        if (config.categorical(f))
+          Binning.fitCategorical(cached, f, config.target, config.maxBins)
+        else
+          Binning.fitNumeric(cached, f, config.target, config.maxBins)
+      f -> spec
+    }.toMap
+
+    val encodedCols = config.features.map(f => bins(f).toColumn(col(f)).as(s"__b_$f"))
+    val encoded = cached
+      .select((encodedCols :+ col(config.target).as("__y")) :+ col(predCol).as("__pred"): _*)
+      .cache()
+    encoded.count()
+
+    val sel = GreedySelector.select(
+      encoded,
+      config.features.map(f => s"__b_$f"),
+      config.features.map(f => s"__b_$f" -> bins(f).numBins).toMap,
+      "__y",
+      config.task,
+      config.tolerance,
+      config.maxFeatures)
+    val selectedRaw = sel.features.map(_.stripPrefix("__b_"))
+
+    val kv = KvIndexBuilder.build(
+      encoded, sel.features, "__pred", config.task, config.balanceRatio)
+    encoded.unpersist(); cached.unpersist()
+    Fitted(config, bins, selectedRaw, sel.iv, kv)
+  }
+
+  /** Train an MLlib model on `train`, predict on train, and fit the
+    * index from those predictions — the full §3.1 lifecycle in one
+    * call. Returns the fitted index plus the train predictions frame
+    * (features + target + model prediction) for parity evaluation.
+    */
+  def fitWithModel(train: DataFrame, config: Config): (Fitted, DataFrame) = {
+    val assembler = new VectorAssembler()
+      .setInputCols(config.features.toArray).setOutputCol("__fv")
+    val assembled = assembler.transform(train).cache()
+
+    val predicted = config.task match {
+      case Task.Regression =>
+        val lr = new LinearRegression()
+          .setFeaturesCol("__fv").setLabelCol(config.target)
+          .setPredictionCol("__model_pred")
+        lr.fit(assembled).transform(assembled)
+      case _ =>
+        val lr = new LogisticRegression()
+          .setFeaturesCol("__fv").setLabelCol(config.target)
+          .setPredictionCol("__model_pred")
+          .setProbabilityCol("__model_proba")
+          .setRawPredictionCol("__model_raw")
+        lr.fit(assembled).transform(assembled)
+    }
+    val withPred = predicted.drop("__fv").cache()
+    val fitted = fit(withPred, config, "__model_pred")
+    assembled.unpersist()
+    (fitted, withPred)
+  }
+}

@@ -14,14 +14,14 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.defs("a1_groupby_agg")(spark, "/root/testdata/sf0.001")
+    InferDbQueries.defs("x29_inferdb_probe")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ InferDbQueries.defs ++ TextQueries.defs
+    RelationalQueries.defs ++ InferDbQueries.defs ++ TextQueries.defs ++ LearnedQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ InferDbQueries.oracle ++ TextQueries.oracle
+    RelationalQueries.oracle ++ InferDbQueries.oracle ++ TextQueries.oracle ++ LearnedQueries.oracle
 }

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-at-a-time per
+  * partition (the Scala analogue of `mapInPandas`).
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB —
+  * this container has no image/audio codecs — but everything Spark
+  * cares about is real: schema handling, per-partition batching,
+  * partition-count preservation, and the frame-sampling arithmetic.
+  * Swapping `StubDecoder` for a real JNI/ffmpeg decoder changes no
+  * plan shape.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB decoder: derives fake dimensions + an 8-dim "feature" from
+    * the bytes deterministically. A real implementation would hand the
+    * byte buffer to a codec here; the signature (bytes => decoded
+    * struct) is the real contract.
+    */
+  object StubDecoder {
+    def decode(id: Long, mediaType: String, payload: Array[Byte]): Row = {
+      var h = 0L
+      var i = 0
+      while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+      val width  = (h % 640).toInt
+      val height = ((h / 640) % 480).toInt
+      val frames = payload.length / 100 + 1
+      val feature = Array.tabulate(8)(k => (((h >> k) & 0xff).toFloat) / 255.0f)
+      Row(id, mediaType, payload.length, width, height, frames, feature)
+    }
+  }
+
+  /** Batch decode: one pass per partition, no shuffle, preserves
+    * partitioning — the plan is Scan -> MapPartitions, parallel over
+    * however many partitions the source has.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map(r => StubDecoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    }(enc)
+  }
+
+  /** Frame sampling: every `stride`-th frame index up to n_frames —
+    * pure column expressions (sequence + filter), no decode needed.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int = 10): DataFrame =
+    decoded.select(col("media_id"),
+      filter(
+        sequence(lit(0), col("n_frames") - 1),
+        i => i % stride === 0).as("frame_ids"))
+
+  /** "Resize": rescale the stub feature vector — stands in for a real
+    * thumbnail op; demonstrates typed array-column transforms.
+    */
+  def resizeFeature(decoded: DataFrame, scale: Double): DataFrame =
+    decoded.withColumn("feature",
+      transform(col("feature"), x => (x * scale).cast("float")))
+
+  /** Build a media frame from the documents table (text bytes as fake
+    * payloads) — the demo/test source.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+}

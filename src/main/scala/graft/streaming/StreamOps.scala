@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY §7.3: the reference is strictly
+  * batch; this is the designed extension — the KvModel probe is
+  * stateless broadcast joins + a projection, so
+  * `fitted.transform(readStreamDf)` works unchanged; what needs
+  * streaming-specific code is only stateful aggregation, provided here).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregate over an event stream:
+    * (window_start, event_type) -> count + value sum. Works identically
+    * on batch DataFrames (window() is not streaming-specific).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours",
+      exactSums: Boolean = false): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // exactSums: 3-decimal values summed as integer thousandths so the
+    // result is bit-identical regardless of partial-aggregation order
+    // (used by the oracle-checked batch query).
+    val sumCol =
+      if (exactSums) (sum(round(col("value") * 1000).cast("long")) / 1000.0).as("sum_value")
+      else sum("value").as("sum_value")
+    wm.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sumCol)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(count: Long, sum: Double, lastTs: Long)
+  final case class Session(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Session aggregation with a gap timeout via mapGroupsWithState —
+    * the custom-state escape hatch (emits closed sessions).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val init = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val fin = sorted.foldLeft(init) { (st, e) =>
+            val t = e.ts.getTime
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs)
+              SessionState(1L, e.value, t) // gap: start a new session
+            else SessionState(st.count + 1, st.sum + e.value, t)
+          }
+          state.update(fin)
+          Session(uid, fin.count, fin.sum)
+      }
+  }
+
+  /** Convenience writer for tests/demos: complete-mode in-memory sink. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

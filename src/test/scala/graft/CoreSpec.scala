@@ -1,0 +1,105 @@
+package graft
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Binning / key / IV / selector unit tests (SURVEY §5 "ours": binning
+  * edge cases, mode tie-break, prefix-fallback semantics).
+  */
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("NumericBins: first-greater-split semantics, overflow + NULL bin") {
+    val bins = NumericBins(Array(10.0, 20.0))
+    val df = Seq[Option[Double]](Some(5), Some(10), Some(15), Some(20), Some(99), None)
+      .toDF("v").select(bins.toColumn(col("v")).as("b"))
+    // v<10 -> 0; 10<=v<20 -> 1; v>=20 -> overflow 2; NULL -> 2 (encoder.py:113-128)
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 1L, 2L, 2L, 2L))
+    assert(bins.numBins == 3)
+  }
+
+  test("NumericBins: empty splits put everything in bin 0") {
+    val df = Seq(1.0, 99.0).toDF("v")
+      .select(NumericBins(Array.empty).toColumn(col("v")).as("b"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 0L))
+  }
+
+  test("CategoricalBins: fitted mapping, unseen and NULL -> overflow bin") {
+    val bins = CategoricalBins(Map("a" -> 0, "b" -> 1))
+    val df = Seq(Some("a"), Some("b"), Some("zz"), None)
+      .toDF("v").select(bins.toColumn(col("v")).as("b"))
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 2L))
+  }
+
+  test("fitNumeric produces sorted splits bounded by maxBins") {
+    val df = (1 to 1000).map(i => (i.toDouble, if (i > 500) 1.0 else 0.0)).toDF("f", "y")
+    val bins = Binning.fitNumeric(df, "f", "y", maxBins = 4)
+    assert(bins.splits.sameElements(bins.splits.sorted))
+    assert(bins.numBins <= 4 + 1) // merge loop targets maxBins bins
+    // the supervised merge must keep a split near the label flip at 500
+    assert(bins.splits.exists(s => math.abs(s - 500) < 80), bins.splits.mkString(","))
+  }
+
+  test("Keys: compound key and field-wise prefix") {
+    val df = Seq((2L, 0L, 11L)).toDF("a", "b", "c")
+      .select(Keys.keyColumn(Seq(col("a"), col("b"), col("c"))).as("k"))
+    assert(df.as[String].head() == "2.0.11")
+    val p = df.select(Keys.prefix(col("k"), 2).as("p")).as[String].head()
+    assert(p == "2.0") // field-wise, NOT char-wise (SURVEY §2.9 divergence)
+  }
+
+  test("Aggregates.mode: highest count wins, ties break to lowest value") {
+    val df = Seq(("g", 3L), ("g", 3L), ("g", 1L), ("g", 1L), ("g", 9L)).toDF("k", "v")
+    val m = Aggregates.mode(df, Seq("k"), "v").as[(String, Long)].head()
+    assert(m == ("g", 1L)) // 3 and 1 both count 2 -> lowest value 1
+  }
+
+  test("Aggregates.mode works for string values") {
+    val df = Seq(("g", "b"), ("g", "a"), ("g", "b"), ("g", "a")).toDF("k", "v")
+    assert(Aggregates.mode(df, Seq("k"), "v").as[(String, String)].head() == ("g", "a"))
+  }
+
+  test("KvModel probe: exact hit, field-wise prefix fallback, global fallback") {
+    val train = Seq(("0.0", 1.0), ("0.1", 0.0), ("1.0", 1.0))
+      .toDF("key", "pred")
+    val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 2, Task.Classification)
+    val probe = Seq(("r1", "0.0"), ("r2", "0.7"), ("r3", "9.9")).toDF("id", "k")
+    val out = model.probe(probe, col("k"), "p")
+      .select("id", "p").as[(String, Double)].collect().toMap
+    assert(out("r1") == 1.0)          // exact
+    assert(out("r2") == 0.5)          // prefix "0" -> avg(1.0, 0.0) over kv leaves
+    assert(out("r3") == 2.0 / 3)      // global avg over kv values
+  }
+
+  test("multi-class KV uses per-key mode with pinned tie-break") {
+    val train = Seq(("a.b", 2.0), ("a.b", 2.0), ("a.b", 5.0), ("z.z", 1.0))
+      .toDF("key", "pred")
+    val model = KvIndexBuilder.buildFromKeyed(train, 2, Task.MultiClass)
+    val kv = model.kv.as[(String, Double)].collect().toMap
+    assert(kv("a.b") == 2.0)
+  }
+
+  test("IV: informative grouping scores higher than uninformative") {
+    val df = (1 to 400).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (y, y, (i % 3).toDouble) // f_good == y, f_noise independent
+    }.toDF("y", "f_good", "f_noise")
+    val good  = IV.classification(df, Seq(col("f_good")), col("y"))
+    val noise = IV.classification(df, Seq(col("f_noise")), col("y"))
+    assert(good > noise)
+    assert(good > 1.0)
+  }
+
+  test("GreedySelector keeps the informative feature and orders by bin count") {
+    val df = (1 to 600).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (y, y, (i % 5).toDouble)
+    }.toDF("y", "b_sig", "b_noise")
+    val r = GreedySelector.select(df, Seq("b_sig", "b_noise"),
+      Map("b_sig" -> 2, "b_noise" -> 5), "y", Task.Classification)
+    assert(r.features.contains("b_sig"))
+    assert(r.features.head == "b_sig") // bin-count asc puts 2-bin feature first
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.Task
+import graft.metrics.Metrics
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lifecycle, streaming, and multimodal plumbing tests. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("InferDbPipeline: index reproduces the model (parity within eps)") {
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 4000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      val noise = rnd.nextGaussian() * 0.5
+      val y = if (a + 0.5 * b + noise > 7.5) 1.0 else 0.0
+      (a, b, rnd.nextDouble(), y)
+    }.toDF("f_a", "f_b", "f_noise", "y")
+
+    val cfg = InferDbPipeline.Config(
+      features = Seq("f_a", "f_b", "f_noise"), target = "y",
+      task = Task.Classification, maxBins = 8)
+    val (fitted, withPred) = InferDbPipeline.fitWithModel(df, cfg)
+    val scored = fitted.transform(withPred, "index_pred")
+    val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(modelF1 > 0.85, s"model F1 $modelF1")
+    assert(math.abs(modelF1 - indexF1) < 0.08, s"model $modelF1 vs index $indexF1")
+    // the noise feature must not survive greedy selection
+    assert(!fitted.selected.contains("f_noise"), fitted.selected.mkString(","))
+  }
+
+  test("fitted.transform works unchanged on a streaming DataFrame") {
+    val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
+      .toDF("f", "y")
+    val cfg = InferDbPipeline.Config(Seq("f"), target = "y",
+      task = Task.Classification, maxBins = 4)
+    val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Double]
+    mem.addData(1.0, 7.0)
+    val q = fitted.transform(mem.toDF().withColumnRenamed("value", "f"), "p")
+      .writeStream.format("memory").queryName("probe_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("probe_stream").select("f", "p")
+      .as[(Double, Double)].collect().toMap
+    assert(out.size == 2)
+    assert(out(1.0) < 0.5 && out(7.0) > 0.5)
+  }
+
+  test("windowedCounts on a watermarked stream matches batch semantics") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(0, 10), "click", 1.5), (ts(0, 40), "click", 2.5), (ts(1, 5), "view", 1.0))
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.toMemorySink(StreamOps.windowedCounts(events), "win_stream")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_stream")
+      .select(col("window_start").cast("string"), col("event_type"), col("cnt"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 4.0),
+      ("2024-01-01 01:00:00", "view", 1L, 1.0)))
+  }
+
+  test("sessionize splits on gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      StreamOps.Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      StreamOps.Event(1L, ts("2024-01-01 00:10:00"), 2.0),
+      StreamOps.Event(1L, ts("2024-01-01 02:00:00"), 5.0) // > 30 min gap
+    ).toDS()
+    val out = StreamOps.sessionize(events).collect()
+    assert(out.length == 1)
+    assert(out.head == StreamOps.Session(1L, 1L, 5.0)) // last (open) session
+  }
+
+  test("multimodal decode pipeline: schema, determinism, frame sampling") {
+    val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "x" * 250))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema == Multimodal.mediaSchema)
+    val dec = Multimodal.decode(media)
+    assert(dec.schema == Multimodal.decodedSchema)
+    val rows = dec.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getInt(2) == 11)                 // byte_len
+    assert(rows(0L).getString(1) == "image")
+    assert(rows(2L).getInt(5) == 3)                  // 250/100+1 frames
+    // deterministic: re-decoding yields identical rows
+    assert(Multimodal.decode(media).collect().toSeq == dec.collect().toSeq)
+    val frames = Multimodal.sampleFrames(dec, stride = 2)
+      .filter(col("media_id") === 2L).select("frame_ids")
+      .as[Seq[Long]].head()
+    assert(frames == Seq(0L, 2L))
+  }
+}
