@@ -1,18 +1,90 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.{Keys, KvIndexBuilder, NumericBins, Task}
+import graft.functions.Fns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * timings plus the reference's stage decomposition
+  * (featurize / translate / score / end_to_end — BASELINE.md report
+  * shape, src/transpiler.py:1434-1441) over lineitem at the target SF.
+  *
+  * Stage queries mirror the reference's query-integration benchmark
+  * (SURVEY §3.3 note): featurize = expression-only feature projection;
+  * translate = key construction; score = KV probe (broadcast joins +
+  * coalesce); end_to_end = featurize+translate+probe+selection folded
+  * into ONE fused plan — the capability PG needs three materialized
+  * views for.
+  */
 object Bench {
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  /** min of `iters` timed runs (reference protocol: repeated runs). */
+  private def bestOf(iters: Int)(f: => Long): Double =
+    (1 to iters).map(_ => time(f)._1).min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench", defaultCpus = "32")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    import spark.implicits._
+
+    // ---- stage decomposition on lineitem ----
+    val li = Tables.lineitem(spark, sfDir)
+    val rows = li.count() // warm file listing/footer caches
+
+    val qtyBins  = NumericBins(Array(10.0, 25.0, 40.0))
+    val discBins = NumericBins(Array(0.03, 0.07))
+    val taxBins  = NumericBins(Array(0.04))
+    def keyCol = Keys.keyColumn(Seq(
+      discBins.toColumn(col("l_discount")),
+      taxBins.toColumn(col("l_tax")),
+      qtyBins.toColumn(col("l_quantity"))))
+    def featurized(df: DataFrame): DataFrame = df.select(
+      col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"),
+      col("l_extendedprice"),
+      hour(col("l_shipdate")).as("ship_hour"),
+      month(col("l_shipdate")).as("ship_month"),
+      Fns.isWeekend(col("l_shipdate")).as("ship_weekend"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
+
+    val train = li.select(keyCol.as("key"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pred"))
+    val kv = KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification)
+
+    val featurize = bestOf(2)(featurized(li).count())
+    val translate = bestOf(2)(li.select(col("l_orderkey"), keyCol.as("key")).count())
+    val score     = bestOf(2)(kv.probe(li, keyCol, "prediction").count())
+    // query-integration shape: featurize + translate + probe + predicate
+    // + aggregate, one fused plan end to end.
+    val endToEnd  = bestOf(2) {
+      kv.probe(featurized(li), keyCol, "prediction")
+        .filter(col("prediction") > 0.3)
+        .groupBy("ship_month")
+        .agg(count(lit(1)).as("cnt"), sum("charge").as("rev"))
+        .count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- every declared query, one timed pass ----
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try time(fn(spark, sfDir).count())._1 catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+
+    val stages = Seq(
+      "stage_featurize" -> featurize,
+      "stage_translate" -> translate,
+      "stage_score" -> score,
+      "stage_end_to_end" -> endToEnd)
+    val qs = (stages ++ queryTimes)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
+    println(
+      f"""{"metric":"inferdb_serve_end_to_end","value":$endToEnd%.4f,"unit":"sec","rows":$rows,"total_query_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.IV
+import graft.models.{LinearModel, MultiClassLinearModel}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 operator coverage: multi-class IV (A5),
+  * multi-aggregate featurizer fits (A10), categorical array-position
+  * translate (F12), IQR outlier imputation (T9 serve side), multi-class
+  * linear argmax (W2 model variant), and the MLlib featurizer fits
+  * (T7 KMeans / T8 PCA — train-time, rows-only).
+  */
+object ExtraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // 3-class linear model with fixed coefficients (shared with SQL).
+  private val mcClasses = Array(0L, 1L, 2L)
+  private val mcModels = Array(
+    LinearModel(Array(0.02, -0.5), -0.3),
+    LinearModel(Array(-0.01, 1.2), 0.1),
+    LinearModel(Array(0.005, 0.4), -0.2))
+  private val mcTermsSql = Seq("l_quantity", "l_discount")
+
+  // T9: fixed IQR bounds + replacement regression (fitted literals).
+  private val (qLo, qHi) = (5.0, 45.0) // quantity [q25-3IQR, q75+3IQR]-style bounds
+  private val t9 = LinearModel(Array(0.0002), 10.0) // predict qty from extendedprice
+
+  val defs: Map[String, Q] = Map(
+    // A5 — multi-class IV via per-class one-vs-rest sum.
+    "a5_iv_multiclass" -> ((s, d) => {
+      val li = Tables.events(s, d).select(
+        (col("user_id") % 4).as("b"),
+        (when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "view", 1L)
+          .otherwise(2L)).as("y")).cache()
+      val iv = IV.multiclass(li, Seq(col("b")), col("y"))
+      li.unpersist()
+      import s.implicits._
+      Seq(("user_mod4", math.rint(iv * 1e6) / 1e6)).toDF("feature", "iv")
+    }),
+
+    // A10 — featurizer-fit multi-aggregate dictionary per group.
+    "a10_multi_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          (sum(round(col("value") * 1000).cast("long")) / 1000.0).as("sum_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          countDistinct("user_id").as("n_users"))),
+
+    // F12 — categorical -> embedding index via array position.
+    "f12_array_position" -> ((s, d) => {
+      val cats = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        (array_position(lit(cats), col("o_orderpriority")) - 1).as("priority_idx"))
+    }),
+
+    // T9 — IQR outlier imputation: outliers replaced by a fitted
+    // per-feature regression on the remaining features.
+    "t9_outlier_impute" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") < qLo || col("l_quantity") > qHi,
+          t9.linearExpr(Seq(col("l_extendedprice"))))
+          .otherwise(col("l_quantity")).as("qty_imputed"))),
+
+    // W2 model variant — multi-class linear scores + first-max argmax.
+    "m_multiclass_linear" -> ((s, d) => {
+      val m = MultiClassLinearModel(mcClasses, mcModels)
+      val terms = Seq(col("l_quantity"), col("l_discount"))
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        m.predictExpr(terms).as("pred_class"))
+    }),
+
+    // T7 — KMeans featurizer fit (MLlib, fixed seed; rows-only) +
+    // serve-side nearest-centroid assignment counts.
+    "x_kmeans_fit" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").getItem(0).cast("double").as("x"),
+        col("embedding").getItem(1).cast("double").as("y"))
+      val fv = new VectorAssembler().setInputCols(Array("x", "y")).setOutputCol("fv")
+        .transform(e)
+      val km = new KMeans().setK(4).setSeed(42).setFeaturesCol("fv")
+        .setPredictionCol("cluster")
+      km.fit(fv).transform(fv)
+        .groupBy("cluster").agg(count(lit(1)).as("n"))
+    }),
+
+    // T8 — PCA featurizer fit (MLlib; rows-only): project embeddings
+    // to 2 components, report component-space extents.
+    "x_pca_project" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").getItem(0).cast("double").as("x0"),
+        col("embedding").getItem(1).cast("double").as("x1"),
+        col("embedding").getItem(2).cast("double").as("x2"),
+        col("embedding").getItem(3).cast("double").as("x3"))
+      val fv = new VectorAssembler()
+        .setInputCols(Array("x0", "x1", "x2", "x3")).setOutputCol("fv").transform(e)
+      val pca = new PCA().setInputCol("fv").setOutputCol("pc").setK(2).fit(fv)
+      pca.transform(fv).select(
+        col("vec_id"),
+        element_at(vector_to_array(col("pc")), 1).as("pc1"),
+        element_at(vector_to_array(col("pc")), 2).as("pc2"))
+    })
+  )
+
+  private def mcScoreSql(m: LinearModel): String =
+    SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
+
+  val oracle: Map[String, String] = Map(
+    "a5_iv_multiclass" -> {
+      def yc(c: Int) = c match {
+        case 0 => "(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END)"
+        case 1 => "(CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END)"
+        case _ => "(CASE WHEN event_type NOT IN ('click', 'view') THEN 1.0 ELSE 0.0 END)"
+      }
+      def ivc(c: Int) =
+        s"""(SELECT sum(((ln(n - s + 0.5) - ln(tot_n - tot_s)) - (ln(s + 0.5) - ln(tot_s)))
+           |            * ((n - s) / (tot_n - tot_s) - s / tot_s))
+           | FROM (SELECT user_id % 4 AS b, count(*)::DOUBLE AS n, sum(${yc(c)}) AS s
+           |       FROM events GROUP BY 1) bins
+           | CROSS JOIN (SELECT count(*)::DOUBLE AS tot_n, sum(${yc(c)}) AS tot_s
+           |             FROM events) t)""".stripMargin
+      s"""SELECT 'user_mod4' AS feature,
+         |  round(${ivc(0)} + ${ivc(1)} + ${ivc(2)}, 6) AS iv""".stripMargin
+    },
+    "a10_multi_agg" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+    "f12_array_position" ->
+      """SELECT o_orderkey,
+        |  list_position(['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'],
+        |                o_orderpriority) - 1 AS priority_idx
+        |FROM orders""".stripMargin,
+    "t9_outlier_impute" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_quantity < $qLo OR l_quantity > $qHi
+         |       THEN (l_extendedprice) * ${t9.coefs(0)} + ${t9.intercept}
+         |       ELSE l_quantity END AS qty_imputed
+         |FROM lineitem""".stripMargin,
+    "m_multiclass_linear" -> {
+      val Seq(s0, s1, s2) = mcModels.toSeq.map(mcScoreSql)
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN $s0 >= $s1 AND $s0 >= $s2 THEN 0
+         |       WHEN $s1 >= $s2 THEN 1
+         |       ELSE 2 END AS pred_class
+         |FROM lineitem""".stripMargin
+    }
+  )
+}
