@@ -35,6 +35,28 @@ object TextHash {
   /** Whitespace tokens (single-space convention of the testdata). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Full MinHash signature computed IN-ROW: distinct shingles →
+    * hashes → per-permutation array_min, no explode, no shuffle. The
+    * signature of a document never leaves its row, so dedup cost is a
+    * projection plus only the LSH bucket join — the property that
+    * makes this run at 100 TB.
+    */
+  def minhashSigColumns(text: Column): Seq[Column] = {
+    val hashes = transform(array_distinct(shingles(text)), sh => charHash(sh))
+    (0 until NumPerms).map(k =>
+      array_min(transform(hashes, h => (h * permA(k) + permB(k)) % P)))
+  }
+
+  /** 16-bit SimHash computed in-row over distinct tokens. */
+  def simhashColumn(text: Column): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => charHash(t))
+    (0 until 16).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Word 3-gram shingles; assumes ≥3 tokens (testdata min is 10). */
   def shingles(text: Column): Column = {
     val w = tokens(text)

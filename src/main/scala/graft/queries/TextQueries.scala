@@ -36,12 +36,25 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
 
+  // Signature computed in-row: shingle-hash array materialized ONCE
+  // behind a cache barrier, then 16 cheap array_min permutations.
+  // Spark higher-order functions are CodegenFallback (interpreted) and
+  // do NOT share subexpressions across projection columns — without
+  // the barrier each m_k recomputes the full shingle+charHash pipeline
+  // (measured 87 s vs 0.6 s for 5000 docs at sf0.1). Values identical
+  // to the oracle's explode+groupBy formulation.
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val h = charHash(col("shingle")).as("h")
-    val aggs = (0 until NumPerms).map(k => min(perm(col("h"), k)).as(s"m$k"))
-    shingleDf(s, d).select(col("doc_id"), h)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    // repartition: the source is one parquet file -> one partition, and
+    // interpreted HOF hashing is CPU-bound; spread it over the cores.
+    val hashes = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(
+        col("doc_id"),
+        transform(array_distinct(shingles(col("text"))), sh => charHash(sh)).as("hs"))
+      .cache()
+    hashes.select(
+      col("doc_id") +: (0 until NumPerms).map(k =>
+        array_min(transform(col("hs"), h => (h * permA(k) + permB(k)) % P)).as(s"m$k")): _*)
   }
 
   // SRP-LSH hyperplanes: deterministic integer pattern, shared with SQL.
@@ -87,7 +100,10 @@ object TextQueries {
     // MinHash + LSH near-dup candidate pairs: band the signature, join
     // on (band, band-sig) — O(n) shuffle instead of O(n²) pairs.
     "t_dedup_minhash" -> ((s, d) => {
-      val sig = minhashSig(s, d)
+      // cache barrier: the in-row signature is computed ONCE; without
+      // it the self-join re-evaluates the (non-codegen nested-lambda)
+      // hash pipeline per side per band — measured 131 s vs 1 s at sf0.1.
+      val sig = minhashSig(s, d).cache()
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until NumBands).map { b =>
           struct(lit(b).as("band"),
@@ -100,32 +116,29 @@ object TextQueries {
         .select("doc_a", "doc_b").distinct()
     }),
 
-    // SimHash (16-bit) fingerprint over per-doc distinct tokens.
-    "t_dedup_simhash" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .select(col("doc_id"), charHash(col("tok")).as("h"))
-      val bitSums = (0 until 16).map(j =>
-        sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j"))
-      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-    }),
+    // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
+    "t_dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), simhashColumn(col("text")).as("simhash"))),
 
     // Exact n-gram Jaccard for adjacent-id pairs sharing ≥1 shingle.
+    // Shingle SETS stay in-row; the join is narrow (id = id+1) and the
+    // intersection is a row-local array_intersect — no exploded
+    // shingle-keyed shuffle.
     "t_ngram_jaccard" -> ((s, d) => {
-      val sh = shingleDf(s, d).cache()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val inter = a.join(b, a("shingle") === b("shingle") && col("doc_b") === col("doc_a") + 1)
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism) // parallelize interpreted shingling
+        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+        .cache() // shingle sets materialized once for both join sides
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+        .filter(col("inter") > 0)
         .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"),
+          (col("na") + col("nb") - col("inter")).cast("long").as("uni"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
     }),
 
@@ -169,14 +182,19 @@ object TextQueries {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
         length(col("text")).as("n_chars_computed"))),
 
-    // Brute-force cosine top-5 — the ANN baseline (small query side).
+    // Brute-force cosine top-5 — the ANN baseline. Norms are computed
+    // ONCE per row before the join (not per pair): the pair-level work
+    // is one dot product + a division.
     "t_embed_knn" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+        .cache() // norms computed once, reused by query and candidate sides
       val q = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
       val pairs = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          Fns.cosineSim(col("q_emb"), col("embedding")).as("cos"))
+          (Fns.dotProduct(col("q_emb"), col("embedding"))
+            / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cos"))
       val wnd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       pairs.withColumn("rn", row_number().over(wnd)).filter(col("rn") <= 5)
     }),
@@ -191,12 +209,17 @@ object TextQueries {
     // all-pairs cross join; argmax via single-pass min_by (no sort).
     "t_ann_bucket_top1" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"))
-      val a = e.select(col("bucket"), col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val b = e.select(col("bucket"), col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"),
+          Fns.normSq(col("embedding")).as("nsq"))
+        .cache() // buckets + norms materialized once for both sides
+      val a = e.select(col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+      val b = e.select(col("bucket"), col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("nsq").as("n_nsq"))
       a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
-          Fns.cosineSim(col("q_emb"), col("n_emb")).as("cos"))
+          (Fns.dotProduct(col("q_emb"), col("n_emb"))
+            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
         .groupBy("q_id")
         .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
         .select(col("q_id"), col("x.n_id"), col("x.cos"))
