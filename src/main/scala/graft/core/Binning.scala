@@ -32,6 +32,12 @@ final case class NumericBins(splits: Array[Double]) extends BinSpec {
   override def numBins: Int = splits.length + 1
   override def toColumn(c: Column): Column =
     if (splits.isEmpty) lit(0L)
+    else if (splits.length > NumericBins.CaseChainMax)
+      // wide split arrays: O(log n) codegen'd binary search with
+      // constant generated-code size (graft.plans.BinIndex) instead of
+      // an O(n) when-chain that bloats codegen at MNIST scale
+      // (SURVEY §7.4 risk #8). Identical semantics incl. NULL/NaN.
+      graft.plans.BinIndex.column(c.cast("double"), splits)
     else {
       val chain = splits.zipWithIndex.tail.foldLeft(
         when(c < splits.head, 0L)
@@ -40,6 +46,11 @@ final case class NumericBins(splits: Array[Double]) extends BinSpec {
       // matching encoder.py's TypeError path.
       chain.otherwise(splits.length.toLong)
     }
+}
+
+object NumericBins {
+  /** Above this many splits the when-chain gives way to BinIndex. */
+  val CaseChainMax = 12
 }
 
 final case class CategoricalBins(mapping: Map[String, Int]) extends BinSpec {

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType}
+
+/** Codegen'd supervised-bin lookup: `bin(v)` = index of the first split
+  * strictly greater than `v`; `v` beyond the last split, NULL, or NaN
+  * falls into the overflow bin `splits.length` — exactly the
+  * `NumericBins` CASE-chain semantics (ref: src/encoder.py:113-128,
+  * generated chains src/transpiler.py:1122-1166).
+  *
+  * This is the one custom Catalyst piece SURVEY §4/§7.3 justifies: a
+  * deep `when` chain is O(#splits) comparisons per row and blows up
+  * generated-code size at MNIST scale (784 features × dozens of bins),
+  * while this expression is one O(log n) `Arrays.binarySearch` against
+  * a shared double[] — constant code size regardless of split count,
+  * and it stays inside whole-stage codegen.
+  */
+case class BinIndex(child: Expression, splits: Array[Double])
+    extends UnaryExpression {
+  require(splits.sameElements(splits.sorted), "splits must be sorted")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() =
+    if (child.dataType == DoubleType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bin_index requires DOUBLE input, got ${child.dataType.sql}")
+
+  @transient private lazy val len = splits.length
+
+  // NULL input maps to the overflow bin, so eval is overridden (the
+  // default nullSafeEval path would return null).
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) len.toLong
+    else BinIndex.lookup(splits, v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arr = ctx.addReferenceObj("splits", splits, "double[]")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value};
+        if (${childGen.isNull}) {
+          ${ev.value} = ${len}L;
+        } else {
+          ${ev.value} = graft.plans.BinIndex.lookup($arr, ${childGen.value});
+        }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BinIndex =
+    copy(child = newChild)
+
+  override def prettyName: String = "bin_index"
+}
+
+object BinIndex {
+  /** Index of the first split strictly greater than v (overflow = len).
+    * Exact hits advance past the split (CASE `v < s` semantics); NaN
+    * sorts above every double, landing in the overflow bin.
+    */
+  def lookup(splits: Array[Double], v: Double): Long = {
+    val idx = java.util.Arrays.binarySearch(splits, v)
+    if (idx >= 0) {
+      // duplicate-free sorted splits: first strictly-greater is idx+1
+      (idx + 1).toLong
+    } else {
+      (-(idx + 1)).toLong
+    }
+  }
+
+  /** Column wrapper used by NumericBins for wide split arrays. */
+  def column(c: Column, splits: Array[Double]): Column =
+    GraftColumnBridge.column(BinIndex(GraftColumnBridge.expression(c), splits))
+}
+
+/** SparkSessionExtensions hook: registers `bin_index(expr, s1, s2, …)`
+  * for SQL use. Install with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.binIndexFn)
+}
+
+object GraftExtensions {
+  private[plans] val binIndexFn
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("bin_index"),
+    new ExpressionInfo(classOf[BinIndex].getName, "bin_index"),
+    (children: Seq[Expression]) => {
+      val splits = children.tail.map(_.eval(InternalRow.empty) match {
+        case d: Double => d
+        case other => other.toString.toDouble
+      }).toArray
+      BinIndex(children.head, splits)
+    })
+
+  /** Register `bin_index` on an already-built session (getOrCreate
+    * ignores withExtensions when a session exists). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(binIndexFn._1, binIndexFn._2, binIndexFn._3)
+}

@@ -30,7 +30,18 @@ object ExtraQueries {
   private val (qLo, qHi) = (5.0, 45.0) // quantity [q25-3IQR, q75+3IQR]-style bounds
   private val t9 = LinearModel(Array(0.0002), 10.0) // predict qty from extendedprice
 
+  // 20 splits -> NumericBins routes through the codegen'd BinIndex
+  // binary-search expression (constant code size; SURVEY §7.4 risk #8).
+  private val wideSplits: Seq[Double] = (1 to 20).map(_ * 4500.0)
+
   val defs: Map[String, Q] = Map(
+    // T3 wide-binning via the custom BinIndex Catalyst expression.
+    "t3_wide_bins" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.core.NumericBins(wideSplits.toArray)
+          .toColumn(col("l_extendedprice")).as("price_bin"))),
+
     // A5 — multi-class IV via per-class one-vs-rest sum.
     "a5_iv_multiclass" -> ((s, d) => {
       val li = Tables.events(s, d).select(
@@ -119,6 +130,10 @@ object ExtraQueries {
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
   val oracle: Map[String, String] = Map(
+    "t3_wide_bins" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${SqlGen.binCase("l_extendedprice", wideSplits)} AS price_bin
+         |FROM lineitem""".stripMargin,
     "a5_iv_multiclass" -> {
       def yc(c: Int) = c match {
         case 0 => "(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END)"
