@@ -84,10 +84,13 @@ object Binning {
       feature: String,
       target: String,
       maxBins: Int = 8,
-      preBins: Int = 32
+      preBins: Int = 32,
+      relativeError: Double = 1e-4
   ): NumericBins = {
+    // relativeError > 0: Greenwald-Khanna sketch with bounded memory —
+    // exact quantiles (0.0) would buffer entire partitions at 100 TB.
     val probs = (1 until preBins).map(_.toDouble / preBins).toArray
-    val qs    = df.stat.approxQuantile(feature, probs, 0.0)
+    val qs    = df.stat.approxQuantile(feature, probs, relativeError)
     val candidates = qs.distinct.sorted
     if (candidates.isEmpty) return NumericBins(Array.empty)
 

@@ -39,7 +39,15 @@ object GreedySelector {
       case Task.MultiClass     => IV.multiclass(encoded, cols.map(col), col(target))
     }
 
-    val single = candidates.map(f => f -> ivOf(Seq(f)))
+    // single-feature ranking: ONE batched job for binary/regression
+    // (IV.singleFeatureIvs); multi-class keeps per-feature jobs (the
+    // one-vs-rest decomposition doesn't batch the same way).
+    val single: Seq[(String, Double)] = task match {
+      case Task.MultiClass => candidates.map(f => f -> ivOf(Seq(f)))
+      case _ =>
+        val m = IV.singleFeatureIvs(encoded, candidates, target, task)
+        candidates.map(f => f -> m(f))
+    }
     // stable sort: descending IV, ties keep candidate order
     val ranked = single.sortBy { case (_, iv) => -iv }.map(_._1)
 
