@@ -60,6 +60,14 @@ object LearnedQueries {
         .toDF("selected_features", "index_entries", "model_f1", "index_f1")
     }),
 
+    // The reference's one-row report (size + metrics + stage latencies;
+    // rows-only: latencies are wall-clock).
+    "x_report" -> ((s, d) => {
+      val df = trainFrame(s, d)
+      val (fitted, _) = InferDbPipeline.fitWithModel(df, e2eConfig)
+      graft.report.Report.classificationReport(s, fitted, df, "target")
+    }),
+
     // Multimodal decode through the mapPartitions batch pipeline; the
     // stub decoder's arithmetic is SQL-expressible, so even this path
     // gets a full oracle.
