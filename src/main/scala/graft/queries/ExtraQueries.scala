@@ -92,6 +92,20 @@ object ExtraQueries {
         m.predictExpr(terms).as("pred_class"))
     }),
 
+    // A7 macro variant — macro-averaged multi-class report over the
+    // multi-class linear scorer vs a 3-class derived target.
+    "m_macro_report" -> ((s, d) => {
+      val m = MultiClassLinearModel(mcClasses, mcModels)
+      val scored = Tables.lineitem(s, d).select(
+        m.predictExpr(Seq(col("l_quantity"), col("l_discount"))).as("p"),
+        when(col("l_returnflag") === "R", 0L)
+          .when(col("l_returnflag") === "A", 1L).otherwise(2L).as("t"))
+      graft.metrics.Metrics.macroReport(scored, col("p"), col("t"))
+        .select(round(col("macro_precision"), 6).as("macro_precision"),
+          round(col("macro_recall"), 6).as("macro_recall"),
+          round(col("macro_f1"), 6).as("macro_f1"))
+    }),
+
     // T7 — KMeans featurizer fit (MLlib, fixed seed; rows-only) +
     // serve-side nearest-centroid assignment counts.
     "x_kmeans_fit" -> ((s, d) => {
@@ -167,6 +181,32 @@ object ExtraQueries {
          |       THEN (l_extendedprice) * ${t9.coefs(0)} + ${t9.intercept}
          |       ELSE l_quantity END AS qty_imputed
          |FROM lineitem""".stripMargin,
+    "m_macro_report" -> {
+      val Seq(s0, s1, s2) = mcModels.toSeq.map(mcScoreSql)
+      val predC = s"""(CASE WHEN $s0 >= $s1 AND $s0 >= $s2 THEN 0
+                    |       WHEN $s1 >= $s2 THEN 1 ELSE 2 END)""".stripMargin
+      val trueC = "(CASE WHEN l_returnflag = 'R' THEN 0 WHEN l_returnflag = 'A' THEN 1 ELSE 2 END)"
+      s"""WITH scored AS (SELECT $predC AS p, $trueC AS t FROM lineitem),
+         |labels AS (SELECT DISTINCT p AS label FROM scored
+         |           UNION SELECT DISTINCT t FROM scored),
+         |stats AS (SELECT label,
+         |    (SELECT count(*) FROM scored WHERE p = label AND t = label) AS tp,
+         |    (SELECT count(*) FROM scored WHERE p = label) AS predcnt,
+         |    (SELECT count(*) FROM scored WHERE t = label) AS truecnt
+         |  FROM labels),
+         |pr AS (SELECT label,
+         |    CASE WHEN predcnt = 0 THEN 0.0 ELSE tp::DOUBLE / predcnt END AS precision,
+         |    CASE WHEN truecnt = 0 THEN 0.0 ELSE tp::DOUBLE / truecnt END AS recall
+         |  FROM stats),
+         |f AS (SELECT label, precision, recall,
+         |    CASE WHEN precision + recall = 0 THEN 0.0
+         |         ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+         |  FROM pr)
+         |SELECT round(avg(precision), 6) AS macro_precision,
+         |       round(avg(recall), 6) AS macro_recall,
+         |       round(avg(f1), 6) AS macro_f1
+         |FROM f""".stripMargin
+    },
     "m_multiclass_linear" -> {
       val Seq(s0, s1, s2) = mcModels.toSeq.map(mcScoreSql)
       s"""SELECT l_orderkey, l_linenumber,

@@ -60,6 +60,21 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedup for ingestion pipelines: exact-dup drop on a
+    * fingerprint column within the watermark horizon —
+    * `dropDuplicates` keeps state only for keys younger than the
+    * watermark, so state is bounded (the 100 TB requirement). Works on
+    * batch frames too (plain dropDuplicates).
+    */
+  def dedupStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    wm.dropDuplicates(keyCols :+ tsCol)
+  }
+
   /** Convenience writer for tests/demos: complete-mode in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -86,6 +86,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.head == StreamOps.Session(1L, 1L, 5.0)) // last (open) session
   }
 
+  test("salted skew join matches plain join results") {
+    import graft.core.SkewJoin
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val small = Seq(("hot", 100L), ("k5", 5L)).toDF("k", "w")
+    val plain = big.join(small, "k").select("k", "v", "w")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedJoin(big, small, "k", discriminator = "v")
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(salted.count(_.head == "hot") == 200)
+  }
+
+  test("streaming dedup drops exact dups within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    mem.addData((ts(1), 7L), (ts(1), 7L), (ts(2), 7L), (ts(3), 9L))
+    val df = mem.toDF().toDF("ts", "fp")
+    val q = StreamOps.dedupStream(df, Seq("fp"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // (ts1,7) duplicated -> one survives; (ts2,7) different ts -> kept
+    assert(spark.table("dedup_stream").count() == 3)
+  }
+
   test("multimodal decode pipeline: schema, determinism, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "x" * 250))
       .toDF("doc_id", "text")
