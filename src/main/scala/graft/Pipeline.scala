@@ -93,8 +93,13 @@ object InferDbPipeline {
     * (features + target + model prediction) for parity evaluation.
     */
   def fitWithModel(train: DataFrame, config: Config): (Fitted, DataFrame) = {
+    // the MLlib model trains on the numeric features; categorical
+    // candidates still participate in binning/selection for the index
+    // key (the reference one-hots them into the model — omitted here,
+    // the index side is what we memorize).
+    val numeric = config.features.filterNot(config.categorical)
     val assembler = new VectorAssembler()
-      .setInputCols(config.features.toArray).setOutputCol("__fv")
+      .setInputCols(numeric.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(train).cache()
 
     val predicted = config.task match {

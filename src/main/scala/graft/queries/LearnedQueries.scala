@@ -22,12 +22,16 @@ object LearnedQueries {
       col("l_orderkey"), col("l_linenumber"),
       col("l_quantity"), (col("l_extendedprice") / 1000.0).as("price_k"),
       col("l_discount"), col("l_tax"),
+      // a categorical candidate (T2 path) — uninformative for this
+      // target, so greedy selection must also REJECT it correctly.
+      col("l_returnflag"),
       // learnable target (price is qty-driven in TPC-H-ish data):
       // the model earns a real F1 and the index must reproduce it.
       (col("l_extendedprice") > 30000.0).cast("double").as("target"))
 
   private def e2eConfig = InferDbPipeline.Config(
-    features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
+    features = Seq("l_quantity", "price_k", "l_discount", "l_tax", "l_returnflag"),
+    categorical = Set("l_returnflag"),
     target = "target",
     task = Task.Classification,
     maxBins = 6)

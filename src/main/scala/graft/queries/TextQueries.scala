@@ -225,6 +225,24 @@ object TextQueries {
         .select(col("q_id"), col("x.n_id"), col("x.cos"))
     }),
 
+    // Embedding-cosine near-dup pairs: all pairs above a similarity
+    // threshold (threshold chosen for non-empty output on the random
+    // testdata; real corpora use ~0.95). Brute force here as the
+    // oracle-checkable baseline; the LSH-bucketed variant above is the
+    // scale path for high thresholds.
+    "t_dedup_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+        .cache()
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (Fns.dotProduct(col("emb_a"), col("emb_b"))
+            / (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("cos"))
+        .filter(col("cos") >= 0.45)
+    }),
+
     // Multimodal-column plumbing STUB: the decode itself is a
     // deterministic fake (no image/audio libs in this container); the
     // Spark-side schema/partitioning/batching is real — see
@@ -368,6 +386,13 @@ object TextQueries {
          |SELECT q_id, n_id, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM p)
          |WHERE rn = 1""".stripMargin,
+    "t_dedup_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.45""".stripMargin,
     "t_multimodal_stub" ->
       s"""SELECT doc_id,
          |  length(text) AS byte_len,
