@@ -234,7 +234,10 @@ object TextQueries {
       val e = Tables.embeddings(s, d).select(
         col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
         .cache()
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+      // query side capped: brute force is the BASELINE; unbounded
+      // all-pairs at scale goes through the LSH-bucket path instead.
+      val a = e.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -391,7 +394,7 @@ object TextQueries {
          |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |FROM e a JOIN e b ON a.vec_id < 500 AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.45""".stripMargin,
     "t_multimodal_stub" ->
       s"""SELECT doc_id,
