@@ -106,6 +106,19 @@ object ExtraQueries {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    // Beyond parity: rollup aggregation (reporting cubes at scale).
+    "a12_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))),
+
+    // Beyond parity: HLL approximate distinct (the 100 TB cardinality
+    // tool; rows-only — sketch internals differ across engines).
+    "a12_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        approx_count_distinct("l_orderkey").as("approx_orders"))),
+
     // T7 — KMeans featurizer fit (MLlib, fixed seed; rows-only) +
     // serve-side nearest-centroid assignment counts.
     "x_kmeans_fit" -> ((s, d) => {
@@ -144,6 +157,9 @@ object ExtraQueries {
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
   val oracle: Map[String, String] = Map(
+    "a12_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "t3_wide_bins" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${SqlGen.binCase("l_extendedprice", wideSplits)} AS price_bin
