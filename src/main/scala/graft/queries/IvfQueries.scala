@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Fns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * centroid-partitioned scale path: vectors are assigned to their
+  * nearest coarse centroid; a query searches only its `nprobe` nearest
+  * cells, cutting pair work by ~nprobe/k. The coarse quantizer here is
+  * a FIXED deterministic grid (a fitted KMeans would drop in
+  * identically — see `x_kmeans_fit`) so the whole path is
+  * oracle-checkable bit-for-bit, unlike sketch-based ANN.
+  *
+  * Scale shape: assignment is a per-row projection; the search is an
+  * equi-join on cell id (shuffle keyed by cell, NOT all-pairs) + a
+  * single-pass min_by per query.
+  */
+object IvfQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 16      // coarse cells
+  private val NProbe = 4  // cells searched per query
+  private val Dim = 64
+
+  /** centroid k, component i — deterministic in [-6/13, 6/13]-ish. */
+  private def cent(k: Int, i: Int): Double = (((i * 5 + k * 11) % 13) - 6) / 6.0
+
+  /** Squared L2 distance from the embedding to centroid k (fold). */
+  private def distSq(emb: Column, k: Int): Column = {
+    val c = typedLit(Array.tabulate(Dim)(i => cent(k, i)))
+    aggregate(
+      zip_with(emb, c, (x, ci) => (x.cast("double") - ci) * (x.cast("double") - ci)),
+      lit(0.0), (a, v) => a + v)
+  }
+
+  /** (row…, cell, dist) exploded over all K centroids. */
+  private def withCells(df: DataFrame, embCol: String): DataFrame =
+    df.select(col("*"), explode(array((0 until K).map { k =>
+      struct(lit(k).as("cell"), distSq(col(embCol), k).as("dist"))
+    }: _*)).as("c")).select(col("*"), col("c.cell"), col("c.dist")).drop("c")
+
+  val defs: Map[String, Q] = Map(
+    // Cell assignment (the "fit"/partitioning half): argmin centroid.
+    "t_ann_ivf_assign" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val assigned = e.select(col("vec_id"),
+        array_min(array((0 until K).map { k =>
+          struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
+        }: _*)).getField("cell").as("cell"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+    }),
+
+    // The IVF search: queries (vec_id < 100) probe their 4 nearest
+    // cells; candidates come from a cell-keyed equi-join; top-1 via
+    // single-pass min_by. Exact same cosine arithmetic as t_embed_knn.
+    "t_ann_ivf_top1" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+        .cache()
+      // inverted file: every vector in its single nearest cell
+      val inv = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nsq").as("n_nsq"),
+        array_min(array((0 until K).map { k =>
+          struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
+        }: _*)).getField("cell").as("cell"))
+      // queries: nprobe nearest cells each
+      val qCells = withCells(e.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq")),
+        "q_emb")
+      val probe = qCells
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rnk") <= NProbe)
+        .select("q_id", "q_emb", "q_nsq", "cell")
+      probe.join(inv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (Fns.dotProduct(col("q_emb"), col("n_emb"))
+            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
+        .select(col("q_id"), col("x.n_id"), col("x.cos"))
+    })
+  )
+
+  // ---- oracle ----
+  private def centSql(k: Int): String =
+    (0 until Dim).map(i => cent(k, i).toString).mkString("[", ", ", "]")
+
+  private def distSqSql(emb: String, k: Int): String =
+    s"list_reduce(list_prepend(0.0, [(z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]) FOR z IN list_zip($emb, ${centSql(k)})]), (a, v) -> a + v)"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN list_zip($a, $b)]), (acc, v) -> acc + v)"
+
+  private def cellsUnion(src: String, idCol: String): String =
+    (0 until K).map(k => s"SELECT $idCol, $k AS cell, ${distSqSql("embedding", k)} AS dist FROM $src")
+      .mkString(" UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "t_ann_ivf_assign" ->
+      s"""WITH cells AS (${cellsUnion("embeddings", "vec_id")}),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cells) WHERE rn = 1)
+         |SELECT cell, count(*) AS n FROM assigned GROUP BY cell""".stripMargin,
+    "t_ann_ivf_top1" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |cells AS (${cellsUnion("e", "vec_id")}),
+         |inv AS (
+         |  SELECT vec_id AS n_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cells) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS q_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cells WHERE vec_id < 100) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, i.n_id,
+         |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+         |  FROM probe p
+         |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+         |  JOIN e q ON q.vec_id = p.q_id
+         |  JOIN e n ON n.vec_id = i.n_id)
+         |SELECT q_id, n_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+         |  FROM cand) WHERE rn = 1""".stripMargin
+  )
+}

@@ -75,6 +75,28 @@ object StreamOps {
     wm.dropDuplicates(keyCols :+ tsCol)
   }
 
+  /** Stream-stream inner join: left events joined to right events of
+    * the same user within `windowSec` AFTER the left event. Both sides
+    * watermarked so join state is bounded — the canonical
+    * click-to-purchase attribution shape.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String = "user_id",
+      windowSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col(key), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col(key).as("__rk"), col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("__rk")
+  }
+
   /** Convenience writer for tests/demos: complete-mode in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

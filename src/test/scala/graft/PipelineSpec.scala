@@ -112,6 +112,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 3)
   }
 
+  test("IVF top-1 recall vs brute force is sane and never beats it") {
+    import graft.queries.{IvfQueries, TextQueries}
+    val d = "/root/testdata/sf0.001"
+    val ivf = IvfQueries.defs("t_ann_ivf_top1")(spark, d)
+      .select("q_id", "n_id", "cos").as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val bf = TextQueries.defs("t_embed_knn")(spark, d)
+      .filter(col("rn") === 1).select("q_id", "n_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val common = ivf.keySet intersect bf.keySet
+    assert(common.size == 100)
+    val recall = common.count(q => ivf(q)._2 == bf(q)._2).toDouble / common.size
+    assert(recall >= 0.35, s"recall@1 $recall") // measured ~0.51 at nprobe 4/16
+    common.foreach(q => assert(ivf(q)._3 <= bf(q)._3 + 1e-12)) // ANN can't beat exact
+  }
+
+  test("stream-stream join attributes right events within the window") {
+    implicit val sq = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val buys   = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    clicks.addData((ts(0), 1L, 1.0), (ts(0), 2L, 2.0))
+    buys.addData((ts(30), 1L, 10.0), (ts(50), 2L, 20.0)) // 50min > 30min window
+    val j = StreamOps.streamStreamJoin(
+      clicks.toDF().toDF("ts", "user_id", "value"),
+      buys.toDF().toDF("ts", "user_id", "value"),
+      windowSec = 1800)
+    val q = j.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").select("user_id", "l_value", "r_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(rows == Set((1L, 1.0, 10.0))) // user 2's buy fell outside the window
+  }
+
   test("multimodal decode pipeline: schema, determinism, frame sampling") {
     val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "x" * 250))
       .toDF("doc_id", "text")
