@@ -209,6 +209,37 @@ object InferDbQueries {
         round(countDistinct(keyCol).cast("double") / total, 6).as("filling_degree"))
     }),
 
+    // §3.3/§3.4 — the query-integration shape: featurize (datetime +
+    // geo + grid bucket) + outlier imputation + route-frequency lookup
+    // join + model score + selection predicate + aggregation, ALL in
+    // one fused plan (the reference materializes three views for
+    // this; Catalyst fuses it into scan -> project -> broadcast joins
+    // -> partial/final agg).
+    "x33_query_integration" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val lat = (col("user_id") % 180) - 90.0
+      val lon = (col("user_id") % 360) - 180.0
+      val dist = Fns.sphericalDistanceKm(lat, lon, lit(40.7), lit(-74.0))
+      val vImp = when(col("value") > 40.0, lit(10.0) + col("user_id") % 5)
+        .otherwise(col("value"))
+      val grid = (floor((lat + 90.0) / 45.0) * 10 + floor((lon + 180.0) / 90.0)).cast("long")
+      val freq = e.groupBy(col("event_type").as("ft"), Fns.pgDow(col("ts")).as("fd"))
+        .agg(count(lit(1)).as("route_n"))
+      val z = vImp * 0.05 + dist / 10000.0 + hour(col("ts")) * 0.01 - 1.2
+      val scored = e
+        .join(broadcast(freq),
+          col("event_type") === col("ft") && Fns.pgDow(col("ts")) === col("fd"), "left")
+        .select(col("ts"), col("value"), col("event_type"),
+          Fns.pgDow(col("ts")).as("dow"), grid.as("grid"),
+          coalesce(col("route_n"), lit(0L)).as("route_n"),
+          Fns.sigmoidRef(z).as("score"))
+      scored.filter(col("score") > 0.5)
+        .groupBy("dow", "grid")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("value") * 1000).cast("long")) / 1000.0).as("sum_value"),
+          max("route_n").as("max_route_n"))
+    }),
+
     // F7 — spherical geo distance (serve-side SQL formula).
     "f7_geo_distance" -> ((s, d) => {
       val lat = col("c_acctbal") / 200.0
@@ -348,6 +379,31 @@ object InferDbQueries {
          |  $total::BIGINT AS total_paths,
          |  round(count(DISTINCT $keySql)::DOUBLE / $total, 6) AS filling_degree
          |FROM lineitem WHERE $trainPredSql""".stripMargin
+    },
+    "x33_query_integration" -> {
+      val lat = "((user_id % 180) - 90.0)"
+      val lon = "((user_id % 360) - 180.0)"
+      val dist = s"""(acos(least(1.0, greatest(-1.0,
+                   |  sin(radians($lat)) * sin(radians(40.7))
+                   |  + cos(radians($lat)) * cos(radians(40.7))
+                   |    * cos(radians(-74.0 - $lon))))) * 6371.0)""".stripMargin
+      val vImp = "(CASE WHEN value > 40.0 THEN 10.0 + user_id % 5 ELSE value END)"
+      val grid = s"(CAST(floor(($lat + 90.0) / 45.0) * 10 + floor(($lon + 180.0) / 90.0) AS BIGINT))"
+      val z = s"($vImp * 0.05 + $dist / 10000.0 + hour(ts) * 0.01 - 1.2)"
+      s"""WITH freq AS (
+         |  SELECT event_type AS ft, dayofweek(ts) AS fd, count(*) AS route_n
+         |  FROM events GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT dayofweek(e.ts) AS dow, $grid AS grid, e.value,
+         |    coalesce(f.route_n, 0) AS route_n,
+         |    ${SqlGen.sigmoidRef(z)} AS score
+         |  FROM events e LEFT JOIN freq f
+         |    ON e.event_type = f.ft AND dayofweek(e.ts) = f.fd)
+         |SELECT dow, grid, count(*) AS cnt,
+         |  sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value,
+         |  max(route_n) AS max_route_n
+         |FROM scored WHERE score > 0.5
+         |GROUP BY dow, grid""".stripMargin
     },
     "f7_geo_distance" ->
       """SELECT c_custkey,
