@@ -209,6 +209,26 @@ object InferDbQueries {
         round(countDistinct(keyCol).cast("double") / total, 6).as("filling_degree"))
     }),
 
+    // Generalization-on-dirty-data microbench (SURVEY §5): NULLs are
+    // synthesized on the probe side; translate routes them to the
+    // overflow bin -> unseen keys -> the fallback cascade answers them
+    // (the reference's dirty-csv experiment, generalization.py).
+    "x_dirty_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val train = li.filter(trainPred)
+        .select(keyCol.as("key"), targetCol.as("pred"))
+      val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 3, Task.Classification)
+      // dirty probe frame: ~10% of quantities and discounts nulled
+      val dirty = li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 10 === 0, lit(null)).otherwise(col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_discount")).as("l_discount"),
+        col("l_tax"))
+      model.probe(dirty, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // §3.3/§3.4 — the query-integration shape: featurize (datetime +
     // geo + grid bucket) + outlier imputation + route-frequency lookup
     // join + model score + selection predicate + aggregation, ALL in
@@ -379,6 +399,30 @@ object InferDbQueries {
          |  $total::BIGINT AS total_paths,
          |  round(count(DISTINCT $keySql)::DOUBLE / $total, 6) AS filling_degree
          |FROM lineitem WHERE $trainPredSql""".stripMargin
+    },
+    "x_dirty_probe" -> {
+      val dirtyQty  = "(CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_quantity END)"
+      val dirtyDisc = "(CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_discount END)"
+      // NULL-aware bin: comparisons with NULL are false -> overflow bin,
+      // mirrored explicitly for DuckDB (CASE on NULL falls to ELSE too).
+      val dKey = Seq(
+        SqlGen.binCase(dirtyDisc, discSplits),
+        SqlGen.binCase("l_tax", taxSplits),
+        SqlGen.binCase(dirtyQty, qtySplits)).mkString(" || '.' || ")
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT l_orderkey, l_linenumber, $dKey AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber,
+         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+         |FROM probe p
+         |LEFT JOIN kv ON p.key = kv.key
+         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |CROSS JOIN g""".stripMargin
     },
     "x33_query_integration" -> {
       val lat = "((user_id % 180) - 90.0)"
