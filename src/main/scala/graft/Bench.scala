@@ -75,11 +75,23 @@ object Bench {
       name -> t
     }
 
+    // selectivity ladder (reference protocol: predicate on the
+    // prediction at several cut-offs; BASELINE.md "Selectivity ladder")
+    val ladder = Seq(0.1, 0.3, 0.5).map { sel =>
+      s"stage_e2e_sel_$sel" -> bestOf(2) {
+        kv.probe(featurized(li), keyCol, "prediction")
+          .filter(col("prediction") > sel)
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("cnt"))
+          .count()
+      }
+    }
+
     val stages = Seq(
       "stage_featurize" -> featurize,
       "stage_translate" -> translate,
       "stage_score" -> score,
-      "stage_end_to_end" -> endToEnd)
+      "stage_end_to_end" -> endToEnd) ++ ladder
     val qs = (stages ++ queryTimes)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum

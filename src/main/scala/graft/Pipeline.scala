@@ -29,7 +29,8 @@ object InferDbPipeline {
       maxBins: Int = 8,
       tolerance: Double = 1.002,
       maxFeatures: Int = Int.MaxValue,
-      balanceRatio: Option[Double] = None)
+      balanceRatio: Option[Double] = None,
+      model: String = "lr") // "lr" | "gbt" — the index memorizes ANY model
 
   final case class Fitted(
       config: Config,
@@ -102,19 +103,31 @@ object InferDbPipeline {
       .setInputCols(numeric.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(train).cache()
 
-    val predicted = config.task match {
-      case Task.Regression =>
-        val lr = new LinearRegression()
+    val predicted = (config.task, config.model) match {
+      case (Task.Regression, "gbt") =>
+        new org.apache.spark.ml.regression.GBTRegressor()
+          .setFeaturesCol("__fv").setLabelCol(config.target)
+          .setPredictionCol("__model_pred").setSeed(42)
+          .fit(assembled).transform(assembled)
+      case (Task.Regression, _) =>
+        new LinearRegression()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred")
-        lr.fit(assembled).transform(assembled)
+          .fit(assembled).transform(assembled)
+      case (_, "gbt") =>
+        new org.apache.spark.ml.classification.GBTClassifier()
+          .setFeaturesCol("__fv").setLabelCol(config.target)
+          .setPredictionCol("__model_pred").setSeed(42)
+          .setProbabilityCol("__model_proba")
+          .setRawPredictionCol("__model_raw")
+          .fit(assembled).transform(assembled)
       case _ =>
-        val lr = new LogisticRegression()
+        new LogisticRegression()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred")
           .setProbabilityCol("__model_proba")
           .setRawPredictionCol("__model_raw")
-        lr.fit(assembled).transform(assembled)
+          .fit(assembled).transform(assembled)
     }
     val withPred = predicted.drop("__fv").cache()
     val fitted = fit(withPred, config, "__model_pred")

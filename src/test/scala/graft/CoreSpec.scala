@@ -92,6 +92,20 @@ class CoreSpec extends AnyFunSuite {
     assert(good > 1.0)
   }
 
+  test("batched singleFeatureIvs equals per-feature IV jobs") {
+    val df = (1 to 500).map { i =>
+      ((i % 4).toDouble, (i % 7).toDouble, if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("b_a", "b_b", "y").cache()
+    val batched = IV.singleFeatureIvs(df, Seq("b_a", "b_b"), "y", Task.Classification)
+    val perA = IV.classification(df, Seq(col("b_a")), col("y"))
+    val perB = IV.classification(df, Seq(col("b_b")), col("y"))
+    assert(math.abs(batched("b_a") - perA) < 1e-9)
+    assert(math.abs(batched("b_b") - perB) < 1e-9)
+    val reg = IV.singleFeatureIvs(df, Seq("b_a"), "y", Task.Regression)
+    val perReg = IV.regression(df, Seq(col("b_a")), col("y"))
+    assert(math.abs(reg("b_a") - perReg) < 1e-9)
+  }
+
   test("GreedySelector keeps the informative feature and orders by bin count") {
     val df = (1 to 600).map { i =>
       val y = if (i % 2 == 0) 1.0 else 0.0

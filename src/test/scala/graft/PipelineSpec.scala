@@ -38,6 +38,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!fitted.selected.contains("f_noise"), fitted.selected.mkString(","))
   }
 
+  test("GBT-backed index reproduces the GBT model (model-agnostic)") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val y = if (a * a + rnd.nextGaussian() > 30) 1.0 else 0.0 // nonlinear
+      (a, y)
+    }.toDF("f", "y")
+    val cfg = InferDbPipeline.Config(Seq("f"), target = "y",
+      task = Task.Classification, maxBins = 8, model = "gbt")
+    val (fitted, withPred) = InferDbPipeline.fitWithModel(df, cfg)
+    val scored = fitted.transform(withPred, "index_pred")
+    val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(modelF1 > 0.8, s"gbt F1 $modelF1")
+    assert(math.abs(modelF1 - indexF1) < 0.1, s"model $modelF1 vs index $indexF1")
+  }
+
   test("fitted.transform works unchanged on a streaming DataFrame") {
     val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
       .toDF("f", "y")
