@@ -82,6 +82,67 @@ object LearnedQueries {
       graft.report.Report.classificationReport(s, f, trainFrame(s, d), "target")
     }),
 
+    // Regression lifecycle e2e (T11 log-target + A1 mean index + A8
+    // RMSLE): LinearRegression on log(price), index memorizes its
+    // predictions, report model-vs-index RMSLE in the price domain.
+    "x_learned_regression" -> ((s, d) => {
+      val df = Tables.lineitem(s, d).select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        log(col("l_extendedprice") + 1.0).as("target"),
+        col("l_extendedprice"))
+      val cfg = InferDbPipeline.Config(
+        features = Seq("l_quantity", "l_discount", "l_tax"),
+        target = "target", task = Task.Regression, maxBins = 8)
+      val (f, withPred) = InferDbPipeline.fitWithModel(df, cfg)
+      val scored = f.transform(withPred, "index_pred")
+        .withColumn("model_price", exp(col("__model_pred")) - 1.0)
+        .withColumn("index_price", exp(col("index_pred")) - 1.0)
+      val mR = Metrics.rmsle(scored, col("model_price"), col("l_extendedprice"))
+        .head().getDouble(0)
+      val iR = Metrics.rmsle(scored, col("index_price"), col("l_extendedprice"))
+        .head().getDouble(0)
+      import s.implicits._
+      Seq((f.selected.mkString(","), f.indexEntries,
+        math.rint(mR * 1e4) / 1e4, math.rint(iR * 1e4) / 1e4))
+        .toDF("selected_features", "index_entries", "model_rmsle", "index_rmsle")
+    }),
+
+    // Multi-class lifecycle e2e (A2 mode aggregation in the index).
+    "x_learned_multiclass" -> ((s, d) => {
+      val df = Tables.orders(s, d).select(
+        col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod"),
+        when(col("o_orderstatus") === "F", 0.0)
+          .when(col("o_orderstatus") === "O", 1.0).otherwise(2.0).as("target"))
+      val cfg = InferDbPipeline.Config(
+        features = Seq("o_totalprice", "cust_mod"),
+        target = "target", task = Task.MultiClass, maxBins = 6)
+      val (f, withPred) = InferDbPipeline.fitWithModel(df, cfg)
+      val scored = f.transform(withPred, "index_pred")
+      val agree = scored.agg(
+        avg((col("index_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
+      import s.implicits._
+      Seq((f.selected.mkString(","), f.indexEntries, math.rint(agree * 1e4) / 1e4))
+        .toDF("selected_features", "index_entries", "model_index_agreement")
+    }),
+
+    // Index-size sensitivity (the reference's sizes microbench): the
+    // distinct-key count under coarser/finer binnings, one pass.
+    "x_sizes_sensitivity" -> ((s, d) => {
+      val k2 = graft.core.Keys.keyColumn(Seq(
+        graft.core.NumericBins(Array(25.0)).toColumn(col("l_quantity")),
+        graft.core.NumericBins(Array(0.05)).toColumn(col("l_discount"))))
+      val k4 = graft.core.Keys.keyColumn(Seq(
+        graft.core.NumericBins(Array(13.0, 25.0, 38.0)).toColumn(col("l_quantity")),
+        graft.core.NumericBins(Array(0.025, 0.05, 0.075)).toColumn(col("l_discount"))))
+      val k8 = graft.core.Keys.keyColumn(Seq(
+        graft.core.NumericBins((1 to 7).map(_ * 6.25).toArray).toColumn(col("l_quantity")),
+        graft.core.NumericBins((1 to 7).map(_ * 0.0125).toArray).toColumn(col("l_discount"))))
+      Tables.lineitem(s, d).agg(
+        countDistinct(k2).as("keys_2bins"),
+        countDistinct(k4).as("keys_4bins"),
+        countDistinct(k8).as("keys_8bins"))
+    }),
+
     // Multimodal decode through the mapPartitions batch pipeline; the
     // stub decoder's arithmetic is SQL-expressible, so even this path
     // gets a full oracle.
@@ -101,6 +162,16 @@ object LearnedQueries {
     s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split(text, '')]), (h, x) -> (h * 31 + x) % $P)"
 
   val oracle: Map[String, String] = Map(
+    "x_sizes_sensitivity" -> {
+      def bc(c: String, sp: Seq[Double]) = SqlGen.binCase(c, sp)
+      val k2 = s"${bc("l_quantity", Seq(25.0))} || '.' || ${bc("l_discount", Seq(0.05))}"
+      val k4 = s"${bc("l_quantity", Seq(13.0, 25.0, 38.0))} || '.' || ${bc("l_discount", Seq(0.025, 0.05, 0.075))}"
+      val k8 = s"${bc("l_quantity", (1 to 7).map(_ * 6.25))} || '.' || ${bc("l_discount", (1 to 7).map(_ * 0.0125))}"
+      s"""SELECT count(DISTINCT $k2) AS keys_2bins,
+         |  count(DISTINCT $k4) AS keys_4bins,
+         |  count(DISTINCT $k8) AS keys_8bins
+         |FROM lineitem""".stripMargin
+    },
     "x_multimodal_decode" ->
       s"""SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
