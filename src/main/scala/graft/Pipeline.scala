@@ -57,13 +57,16 @@ object InferDbPipeline {
     */
   def fit(train: DataFrame, config: Config, predCol: String): Fitted = {
     val cached = train.cache()
+    // all numeric features fitted in TWO jobs (batched quantiles +
+    // batched per-prebin stats); categoricals are one groupBy each.
+    val numericFeats = config.features.filterNot(config.categorical)
+    val numericBins: Map[String, BinSpec] =
+      if (numericFeats.isEmpty) Map.empty
+      else Binning.fitNumericBatch(cached, numericFeats, config.target, config.maxBins)
     val bins: Map[String, BinSpec] = config.features.map { f =>
-      val spec: BinSpec =
-        if (config.categorical(f))
-          Binning.fitCategorical(cached, f, config.target, config.maxBins)
-        else
-          Binning.fitNumeric(cached, f, config.target, config.maxBins)
-      f -> spec
+      f -> (if (config.categorical(f))
+        Binning.fitCategorical(cached, f, config.target, config.maxBins)
+      else numericBins(f))
     }.toMap
 
     val encodedCols = config.features.map(f => bins(f).toColumn(col(f)).as(s"__b_$f"))

@@ -17,14 +17,16 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see [[graft.Sessions]]) so it arrives as epoch-nanos LongType and
-    * is converted here. The testdata has no sub-microsecond components
-    * (verified), so the µs truncation is lossless.
+    * is converted here. INTEGER division (`div`) — `/ 1000` would be
+    * double true-division, and at epoch-nanos magnitude (1.7e18) the
+    * double ulp is 256 ns, silently shifting ~13% of values by 1 µs.
+    * Floor-to-µs matches how µs-resolution engines read the same file.
     */
   private def fixNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -70,14 +70,9 @@ final case class CategoricalBins(mapping: Map[String, Int]) extends BinSpec {
 }
 
 object Binning {
-  /** Deterministic supervised binning for a numeric feature.
-    *
-    * 1. Exact quantile pre-bins (approxQuantile with relativeError=0).
-    * 2. Per-prebin (count, avg(target)) aggregate — one Spark job.
-    * 3. Greedy driver loop merging the adjacent pair with the most
-    *    similar target mean (weighted) until `maxBins` remain.
-    *
-    * Deterministic: exact quantiles + ties broken by lowest index.
+  /** Supervised binning for a single numeric feature (delegates to the
+    * batched fit): quantile pre-bins -> per-prebin (count, avg(target))
+    * -> greedy adjacent-merge until `maxBins` remain.
     */
   def fitNumeric(
       df: DataFrame,
@@ -86,23 +81,55 @@ object Binning {
       maxBins: Int = 8,
       preBins: Int = 32,
       relativeError: Double = 1e-4
-  ): NumericBins = {
+  ): NumericBins =
+    fitNumericBatch(df, Seq(feature), target, maxBins, preBins, relativeError)(feature)
+
+  /** Fit ALL numeric features in TWO jobs regardless of feature count:
+    * one multi-column approxQuantile pass and one posexplode'd
+    * per-(feature, prebin) aggregate, then a cheap driver merge loop
+    * per feature — O(1) jobs instead of O(#features)×2, the difference
+    * between seconds and hours at MNIST width on 100 TB.
+    */
+  def fitNumericBatch(
+      df: DataFrame,
+      features: Seq[String],
+      target: String,
+      maxBins: Int = 8,
+      preBins: Int = 32,
+      relativeError: Double = 1e-4
+  ): Map[String, NumericBins] = {
     // relativeError > 0: Greenwald-Khanna sketch with bounded memory —
     // exact quantiles (0.0) would buffer entire partitions at 100 TB.
     val probs = (1 until preBins).map(_.toDouble / preBins).toArray
-    val qs    = df.stat.approxQuantile(feature, probs, relativeError)
-    val candidates = qs.distinct.sorted
-    if (candidates.isEmpty) return NumericBins(Array.empty)
+    val allQs = df.stat.approxQuantile(features.toArray, probs, relativeError)
+    val candidates: Seq[Array[Double]] = allQs.map(_.distinct.sorted).toSeq
 
-    val spec  = NumericBins(candidates)
-    val aggs  = df
-      .select(spec.toColumn(col(feature)).as("b"), col(target).cast("double").as("y"))
-      .groupBy("b")
+    // one pass for every feature's per-prebin (count, mean(target))
+    val binCols = features.zip(candidates).map { case (f, c) =>
+      NumericBins(c).toColumn(col(f))
+    }
+    val stats = df
+      .select(posexplode(array(binCols: _*)).as(Seq("fi", "b")),
+        col(target).cast("double").as("y"))
+      .groupBy("fi", "b")
       .agg(count(lit(1)).as("n"), avg("y").as("m"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .sortBy(_._1)
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
 
+    features.zipWithIndex.map { case (f, fi) =>
+      f -> mergeBins(candidates(fi), stats.getOrElse(fi, Seq.empty), maxBins)
+    }.toMap
+  }
+
+  /** Greedy adjacent-merge of prebins down to maxBins (driver-side;
+    * deterministic — ties break to the lowest index).
+    */
+  private def mergeBins(
+      candidates: Array[Double],
+      aggs: Seq[(Long, Long, Double)],
+      maxBins: Int): NumericBins = {
+    if (candidates.isEmpty) return NumericBins(Array.empty)
     // stats per current bin: (count, mean); bins delimited by `splits`
     var bins: Vector[(Long, Double)] = {
       val byId = aggs.map(t => t._1 -> (t._2, t._3)).toMap

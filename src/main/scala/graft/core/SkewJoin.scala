@@ -22,6 +22,11 @@ object SkewJoin {
       saltFactor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would duplicate unmatched small-side rows once
+    // per salt replica — only probe-side-preserving joins are salt-safe.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType")
     val salted = big.withColumn("__salt", pmod(hash(col(discriminator)), lit(saltFactor)))
     val replicated = small
       .withColumn("__salt", explode(lit((0 until saltFactor).toArray)))

@@ -35,18 +35,6 @@ object TextHash {
   /** Whitespace tokens (single-space convention of the testdata). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Full MinHash signature computed IN-ROW: distinct shingles →
-    * hashes → per-permutation array_min, no explode, no shuffle. The
-    * signature of a document never leaves its row, so dedup cost is a
-    * projection plus only the LSH bucket join — the property that
-    * makes this run at 100 TB.
-    */
-  def minhashSigColumns(text: Column): Seq[Column] = {
-    val hashes = transform(array_distinct(shingles(text)), sh => charHash(sh))
-    (0 until NumPerms).map(k =>
-      array_min(transform(hashes, h => (h * permA(k) + permB(k)) % P)))
-  }
-
   /** 16-bit SimHash computed in-row over distinct tokens. */
   def simhashColumn(text: Column): Column = {
     val hashes = transform(array_distinct(tokens(text)), t => charHash(t))
@@ -57,12 +45,16 @@ object TextHash {
     }.reduce(_ + _)
   }
 
-  /** Word 3-gram shingles; assumes ≥3 tokens (testdata min is 10). */
+  /** Word 3-gram shingles; documents with fewer than 3 tokens yield an
+    * EMPTY array (a bare sequence(0, size-3) would descend through
+    * negative indices and crash element_at at runtime).
+    */
   def shingles(text: Column): Column = {
     val w = tokens(text)
-    transform(
-      sequence(lit(0), size(w) - 3),
-      i => concat_ws(" ",
-        element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+    when(size(w) < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
   }
 }

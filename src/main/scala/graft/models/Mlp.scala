@@ -72,13 +72,15 @@ final case class MlpModel(
     * val): two broadcast joins + two aggregations. Parity path only.
     */
   def gemmJoin(coo: DataFrame, spark: SparkSession): DataFrame = {
-    val w = weightsRelation(spark).cache()
+    // weight column renamed: both COO and the weight relation carry
+    // `val`, which would be AMBIGUOUS_REFERENCE after the join.
+    val w = weightsRelation(spark).withColumnRenamed("val", "wval").cache()
     val l0 = coo.filter(col("val") =!= 0.0)
       .join(broadcast(w.filter(col("id") === 0)), col("col_id") === col("row"))
       .groupBy(col("row_id"), col("col").as("h"))
-      .agg(Fns.relu(sum(col("val") * w("val")) + first(col("bias"))).as("hval"))
+      .agg(Fns.relu(sum(col("val") * col("wval")) + first(col("bias"))).as("hval"))
     l0.join(broadcast(w.filter(col("id") === 1)), col("h") === col("row"))
       .groupBy(col("row_id"), col("col").as("out_id"))
-      .agg((sum(col("hval") * w("val")) + first(col("bias"))).as("z"))
+      .agg((sum(col("hval") * col("wval")) + first(col("bias"))).as("z"))
   }
 }

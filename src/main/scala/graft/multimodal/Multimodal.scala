@@ -37,7 +37,10 @@ object Multimodal {
     * struct) is the real contract.
     */
   object StubDecoder {
-    def decode(id: Long, mediaType: String, payload: Array[Byte]): Row = {
+    def decode(id: Long, mediaType: String, payload0: Array[Byte]): Row = {
+      // payload is declared nullable; a NULL decodes to the empty media
+      // (a real codec would surface a decode error column instead).
+      val payload = if (payload0 == null) Array.empty[Byte] else payload0
       var h = 0L
       var i = 0
       while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
@@ -77,7 +80,9 @@ object Multimodal {
       transform(col("feature"), x => (x * scale).cast("float")))
 
   /** Build a media frame from the documents table (text bytes as fake
-    * payloads) — the demo/test source.
+    * payloads) — the demo/test source. NOTE the x_multimodal_decode
+    * oracle folds per-CHARACTER code points; byte-fold == char-fold
+    * only for ASCII payloads (true for the testdata corpus).
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(

@@ -72,7 +72,11 @@ object BinIndex {
     * Exact hits advance past the split (CASE `v < s` semantics); NaN
     * sorts above every double, landing in the overflow bin.
     */
-  def lookup(splits: Array[Double], v: Double): Long = {
+  def lookup(splits: Array[Double], v0: Double): Long = {
+    // canonicalize -0.0: binarySearch's total order has -0.0 < 0.0 but
+    // the CASE chain's `v < s` IEEE compare does not — without this a
+    // -0.0 input would bin differently above vs below CaseChainMax.
+    val v = if (v0 == 0.0d) 0.0d else v0
     val idx = java.util.Arrays.binarySearch(splits, v)
     if (idx >= 0) {
       // duplicate-free sorted splits: first strictly-greater is idx+1

@@ -269,11 +269,16 @@ object TextQueries {
   private def chSql(e: String): String =
     s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split($e, '')]), (h, x) -> (h * 31 + x) % $P)"
 
-  /** (doc_id, shingle) distinct word-3-gram CTE body. */
+  /** (doc_id, shingle) distinct word-3-gram CTE body. DuckDB can't
+    * lateral-join generate_series on a column arg, so the series bound
+    * is a fixed cap: 1024 tokens (testdata max is 100; documents above
+    * the cap would silently shingle-truncate ONLY on the oracle side —
+    * keep the cap well above real doc lengths).
+    */
   private val shingleCte =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-       |       FROM words, generate_series(1, 128) t(i) WHERE i <= len(w) - 2)""".stripMargin
+       |       FROM words, generate_series(1, 1024) t(i) WHERE i <= len(w) - 2)""".stripMargin
 
   private val minhashCte = {
     val mins = (0 until NumPerms)
