@@ -182,6 +182,14 @@ object RelationalQueries {
         col("event_id"),
         coalesce(when(col("value") >= 5.0, col("value")), lit(-1.0)).as("value_imputed"))),
 
+    // F18 (beyond parity): JSON field extraction from the events
+    // props payload — a semi-structured column every real event
+    // pipeline has.
+    "f18_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))),
+
     // P2/P3: fitted-scaler + one-hot projections (literal fitted stats).
     "p2_p3_scale_onehot" -> ((s, d) =>
       Tables.customer(s, d).select(
@@ -287,6 +295,10 @@ object RelationalQueries {
     "p1_impute_coalesce" ->
       """SELECT event_id,
         |  coalesce(CASE WHEN value >= 5.0 THEN value END, -1.0) AS value_imputed
+        |FROM events""".stripMargin,
+    "f18_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events""".stripMargin,
     "p2_p3_scale_onehot" ->
       """SELECT c_custkey,
