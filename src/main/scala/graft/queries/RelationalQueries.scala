@@ -144,6 +144,29 @@ object RelationalQueries {
         avg("value").over(w.rowsBetween(-1, 0)).as("rolling_2"))
     }),
 
+    // J9 (beyond the reference, builder-prompt "as-of join"): for each
+    // error event, the most recent PRIOR click value of the same user —
+    // composed from built-in window ops (last_value ignoreNulls over an
+    // unbounded-preceding frame), no custom operator needed.
+    "j9_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("last_click_value",
+          last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select("event_id", "user_id", "last_click_value")
+    }),
+
+    // W5 (beyond parity): exact interpolated percentiles per group.
+    "w5_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))),
+
     // F1-F3: datetime feature extraction with PG-convention dow.
     "f1_datetime_features" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -271,6 +294,20 @@ object RelationalQueries {
         |        ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS rolling_2
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "j9_asof_join" ->
+      """SELECT event_id, user_id, last_click_value FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+        |  FROM events)
+        |WHERE event_type = 'error'""".stripMargin,
+    "w5_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "f1_datetime_features" ->
       """SELECT event_id, hour(ts) AS h, month(ts) AS mon,
         |  dayofweek(ts) AS dow, isodow(ts) AS idow, dayname(ts) AS dname,
