@@ -60,14 +60,14 @@ object Bench {
     val translate = bestOf(2)(li.select(col("l_orderkey"), keyCol.as("key")).count())
     val score     = bestOf(2)(kv.probe(li, keyCol, "prediction").count())
     // query-integration shape: featurize + translate + probe + predicate
-    // + aggregate, one fused plan end to end.
-    val endToEnd  = bestOf(2) {
+    // + aggregate, one fused plan end to end (also the ladder body).
+    def e2e(sel: Double): Long =
       kv.probe(featurized(li), keyCol, "prediction")
-        .filter(col("prediction") > 0.3)
+        .filter(col("prediction") > sel)
         .groupBy("ship_month")
         .agg(count(lit(1)).as("cnt"), sum("charge").as("rev"))
         .count()
-    }
+    val endToEnd = bestOf(2)(e2e(0.3))
 
     // ---- every declared query, one timed pass ----
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -77,14 +77,8 @@ object Bench {
 
     // selectivity ladder (reference protocol: predicate on the
     // prediction at several cut-offs; BASELINE.md "Selectivity ladder")
-    val ladder = Seq(0.1, 0.3, 0.5).map { sel =>
-      s"stage_e2e_sel_$sel" -> bestOf(2) {
-        kv.probe(featurized(li), keyCol, "prediction")
-          .filter(col("prediction") > sel)
-          .groupBy("ship_month")
-          .agg(count(lit(1)).as("cnt"))
-          .count()
-      }
+    val ladder = Seq(0.1, 0.5).map { sel =>
+      s"stage_e2e_sel_$sel" -> bestOf(2)(e2e(sel))
     }
 
     val stages = Seq(

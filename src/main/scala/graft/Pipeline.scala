@@ -101,7 +101,14 @@ object InferDbPipeline {
     // candidates still participate in binning/selection for the index
     // key (the reference one-hots them into the model — omitted here,
     // the index side is what we memorize).
+    require(Set("lr", "gbt").contains(config.model),
+      s"unknown model '${config.model}' — supported: lr, gbt")
+    require(!(config.task == Task.MultiClass && config.model == "gbt"),
+      "GBTClassifier is binary-only; use model=\"lr\" (multinomial) for MultiClass")
     val numeric = config.features.filterNot(config.categorical)
+    require(numeric.nonEmpty,
+      "fitWithModel needs at least one numeric feature for the MLlib model; " +
+        "for all-categorical features, train externally and use fit(train, config, predCol)")
     val assembler = new VectorAssembler()
       .setInputCols(numeric.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(train).cache()

@@ -26,7 +26,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // `div` truncates toward zero; floor-correct for pre-epoch values
+      df.withColumn("ts", timestamp_micros(
+        expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     else df
   }
 

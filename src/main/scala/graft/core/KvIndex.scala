@@ -48,6 +48,12 @@ final case class KvModel(
     prefixes: Seq[(Int, DataFrame)],    // len -> (prefix string, value double), len = keyLen-1 .. 1
     globalValue: Double                 // trie-root fallback
 ) {
+  /** The index entries as a typed Dataset (SURVEY §1.2 fixed shape). */
+  def entries: org.apache.spark.sql.Dataset[Types.KVEntry] = {
+    import kv.sparkSession.implicits._
+    kv.select(col("key"), col("value")).as[Types.KVEntry]
+  }
+
   /** Append `predName` to `input` by probing the index with `key`.
     * Exact hit wins; else the longest non-empty prefix aggregate; else
     * the global aggregate (trie-root DFS, inference_trie.py:91-98).

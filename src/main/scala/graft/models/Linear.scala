@@ -35,13 +35,19 @@ final case class LinearModel(coefs: Array[Double], intercept: Double) {
   def predictProba(features: Seq[Column]): Column =
     Fns.sigmoidRef(linearExpr(features))
 
+  /** Coefficients as a typed Dataset of [[graft.core.Types.Coef]]. */
+  def coefEntries(spark: SparkSession): org.apache.spark.sql.Dataset[graft.core.Types.Coef] = {
+    import spark.implicits._
+    coefs.zipWithIndex.map { case (w, i) =>
+      graft.core.Types.Coef(0L, i, w, intercept)
+    }.toSeq.toDS()
+  }
+
   /** Coefficients as a relation (col_id, val, intercept) — the
     * model-as-relation form (transpiler.py:1537-1562). */
-  def asRelation(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    coefs.zipWithIndex.map { case (w, i) => (i, w, intercept) }
-      .toSeq.toDF("col_id", "val", "intercept")
-  }
+  def asRelation(spark: SparkSession): DataFrame =
+    coefEntries(spark).toDF()
+      .select(col("colId").as("col_id"), col("value").as("val"), col("intercept"))
 
   /** The reference's relational GEMM: input must be COO
     * (row_id, col_id, val). Output (row_id, z). The coefficient side is

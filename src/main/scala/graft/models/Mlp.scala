@@ -57,16 +57,22 @@ final case class MlpModel(
     (array_position(scores, array_max(scores)) - 1).cast("long")
   }
 
-  /** Weights as the reference's relation shape (id, row, col, val, bias)
-    * — id 0 = layer 0, id 1 = layer 1 (transpiler.py:1702-1729). */
-  def weightsRelation(spark: SparkSession): DataFrame = {
+  /** Weights as a typed Dataset of [[graft.core.Types.NNWeight]]. */
+  def weightEntries(spark: SparkSession): org.apache.spark.sql.Dataset[graft.core.Types.NNWeight] = {
     import spark.implicits._
     val l0 = for { i <- w0.indices; j <- 0 until hDim }
-      yield (0, i, j, w0(i)(j), b0(j))
+      yield graft.core.Types.NNWeight(0, i, j, w0(i)(j), b0(j))
     val l1 = for { j <- w1.indices; k <- 0 until outDim }
-      yield (1, j, k, w1(j)(k), b1(k))
-    (l0 ++ l1).toDF("id", "row", "col", "val", "bias")
+      yield graft.core.Types.NNWeight(1, j, k, w1(j)(k), b1(k))
+    (l0 ++ l1).toDS()
   }
+
+  /** Weights as the reference's relation shape (id, row, col, val, bias)
+    * — id 0 = layer 0, id 1 = layer 1 (transpiler.py:1702-1729). */
+  def weightsRelation(spark: SparkSession): DataFrame =
+    weightEntries(spark).toDF()
+      .select(col("layer").as("id"), col("row"), col("col"),
+        col("value").as("val"), col("bias"))
 
   /** Reference-shaped GEMM-join plan over COO input (row_id, col_id,
     * val): two broadcast joins + two aggregations. Parity path only.

@@ -51,6 +51,10 @@ object TextQueries {
       .select(
         col("doc_id"),
         transform(array_distinct(shingles(col("text"))), sh => charHash(sh)).as("hs"))
+      // docs with <3 tokens have no shingles: drop them, matching the
+      // oracle's shingle CTE (which emits no rows for them) — otherwise
+      // they'd all share the empty signature and pair as false dups.
+      .filter(size(col("hs")) > 0)
       .cache()
     hashes.select(
       col("doc_id") +: (0 until NumPerms).map(k =>

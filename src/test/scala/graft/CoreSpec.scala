@@ -81,6 +81,21 @@ class CoreSpec extends AnyFunSuite {
     assert(kv("a.b") == 2.0)
   }
 
+  test("typed Dataset accessors: KVEntry / Coef / NNWeight") {
+    val train = Seq(("0.0", 1.0), ("0.1", 0.0)).toDF("key", "pred")
+    val model = KvIndexBuilder.buildFromKeyed(train, 2, Task.Classification)
+    val e: Types.KVEntry = model.entries.orderBy("key").head()
+    assert(e == Types.KVEntry("0.0", 1.0))
+    val lm = graft.models.LinearModel(Array(0.5, -1.0), 0.1)
+    val cs = lm.coefEntries(spark).collect().sortBy(_.colId)
+    assert(cs.toSeq == Seq(Types.Coef(0L, 0, 0.5, 0.1), Types.Coef(0L, 1, -1.0, 0.1)))
+    val mlp = graft.models.MlpModel(
+      Array(Array(1.0)), Array(0.5), Array(Array(2.0)), Array(-0.5))
+    val ws = mlp.weightEntries(spark).collect().sortBy(w => (w.layer, w.row, w.col))
+    assert(ws.toSeq == Seq(
+      Types.NNWeight(0, 0, 0, 1.0, 0.5), Types.NNWeight(1, 0, 0, 2.0, -0.5)))
+  }
+
   test("IV: informative grouping scores higher than uninformative") {
     val df = (1 to 400).map { i =>
       val y = if (i % 2 == 0) 1.0 else 0.0
