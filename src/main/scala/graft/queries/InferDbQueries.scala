@@ -236,21 +236,23 @@ object InferDbQueries {
     // this; Catalyst fuses it into scan -> project -> broadcast joins
     // -> partial/final agg).
     "x33_query_integration" -> ((s, d) => {
+      import graft.featurize._
       val e = Tables.events(s, d)
       val lat = (col("user_id") % 180) - 90.0
       val lon = (col("user_id") % 360) - 180.0
-      val dist = Fns.sphericalDistanceKm(lat, lon, lit(40.7), lit(-74.0))
-      val vImp = when(col("value") > 40.0, lit(10.0) + col("user_id") % 5)
-        .otherwise(col("value"))
-      val grid = (floor((lat + 90.0) / 45.0) * 10 + floor((lon + 180.0) / 90.0)).cast("long")
+      // composed featurizers (graft.featurize): geo + datetime + T9
+      // imputation, all one fused projection
+      val fz = GeoFeaturizer(lat, lon, 40.7, -74.0)
+        .andThen(DateTimeFeaturizer(col("ts")))
+        .andThen(OutlierImputer(col("value"), 0.0, 40.0, lit(10.0) + col("user_id") % 5))
+      val featurized = fz(e)
       val freq = e.groupBy(col("event_type").as("ft"), Fns.pgDow(col("ts")).as("fd"))
         .agg(count(lit(1)).as("route_n"))
-      val z = vImp * 0.05 + dist / 10000.0 + hour(col("ts")) * 0.01 - 1.2
-      val scored = e
+      val z = col("f_imputed") * 0.05 + col("f_dist_km") / 10000.0 + col("f_hour") * 0.01 - 1.2
+      val scored = featurized
         .join(broadcast(freq),
-          col("event_type") === col("ft") && Fns.pgDow(col("ts")) === col("fd"), "left")
-        .select(col("ts"), col("value"), col("event_type"),
-          Fns.pgDow(col("ts")).as("dow"), grid.as("grid"),
+          col("event_type") === col("ft") && col("f_dow") === col("fd"), "left")
+        .select(col("value"), col("f_dow").as("dow"), col("f_grid").as("grid"),
           coalesce(col("route_n"), lit(0L)).as("route_n"),
           Fns.sigmoidRef(z).as("score"))
       scored.filter(col("score") > 0.5)
