@@ -7,7 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local("graft-verify")
-    new java.io.File(outDir).mkdirs()
+    // clear stale outputs: a failed build followed by a re-run must
+    // never let the oracle check silently validate old results.
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      outRoot.listFiles().foreach(rm)
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

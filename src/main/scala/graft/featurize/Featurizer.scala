@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Composable featurizers (SURVEY §7.1 `featurize/` module) — the
   * Spark shape of the reference's NYC/Hits featurizer classes
-  * (src/featurizers/*): a featurizer is a list of named column
+  * (src/featurizers): a featurizer is a list of named column
   * expressions (+ optional broadcast lookup joins), so composing
   * featurizers is list concatenation and the whole thing stays inside
   * one fused projection.
