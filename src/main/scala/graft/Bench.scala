@@ -28,6 +28,13 @@ object Bench {
   private def bestOf(iters: Int)(f: => Long): Double =
     (1 to iters).map(_ => time(f)._1).min
 
+  /** Evaluate EVERY column (checksum via hash) — `.count()` on a
+    * projection lets ColumnPruning delete the projected expressions,
+    * so a count-timed stage would measure only the scan. */
+  private def evalAll(df: DataFrame): Long =
+    df.select(hash(df.columns.map(col): _*).as("__h"))
+      .agg(coalesce(sum(col("__h")), lit(0L))).head().getLong(0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench", defaultCpus = "32")
@@ -56,17 +63,16 @@ object Bench {
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pred"))
     val kv = KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification)
 
-    val featurize = bestOf(2)(featurized(li).count())
-    val translate = bestOf(2)(li.select(col("l_orderkey"), keyCol.as("key")).count())
-    val score     = bestOf(2)(kv.probe(li, keyCol, "prediction").count())
+    val featurize = bestOf(2)(evalAll(featurized(li)))
+    val translate = bestOf(2)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
+    val score     = bestOf(2)(evalAll(kv.probe(li, keyCol, "prediction")))
     // query-integration shape: featurize + translate + probe + predicate
     // + aggregate, one fused plan end to end (also the ladder body).
     def e2e(sel: Double): Long =
-      kv.probe(featurized(li), keyCol, "prediction")
+      evalAll(kv.probe(featurized(li), keyCol, "prediction")
         .filter(col("prediction") > sel)
         .groupBy("ship_month")
-        .agg(count(lit(1)).as("cnt"), sum("charge").as("rev"))
-        .count()
+        .agg(count(lit(1)).as("cnt"), sum("charge").as("rev")))
     val endToEnd = bestOf(2)(e2e(0.3))
 
     // ---- every declared query, one timed pass ----

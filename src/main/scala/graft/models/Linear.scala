@@ -52,13 +52,23 @@ final case class LinearModel(coefs: Array[Double], intercept: Double) {
   /** The reference's relational GEMM: input must be COO
     * (row_id, col_id, val). Output (row_id, z). The coefficient side is
     * broadcast — the probe side streams, one shuffle for the groupBy.
+    *
+    * The per-row reduction is a SORTED sequential fold, not `sum`: a
+    * shuffle-order double sum is nondeterministic at the ulp, which
+    * breaks cross-engine parity. The collected list is bounded by the
+    * model width (one entry per nonzero feature), so this stays cheap
+    * at any row count.
     */
   def cooGemm(coo: DataFrame, spark: SparkSession): DataFrame = {
     val c = asRelation(spark).withColumnRenamed("val", "w") // avoid clash with COO's `val`
     coo.filter(col("val") =!= 0.0)
       .join(broadcast(c), Seq("col_id"))
       .groupBy("row_id")
-      .agg((sum(col("val") * col("w")) + first(col("intercept"))).as("z"))
+      .agg((aggregate(
+          sort_array(collect_list(struct(col("col_id"), (col("val") * col("w")).as("prod")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("prod"))
+        + first(col("intercept"))).as("z"))
   }
 }
 

@@ -151,7 +151,7 @@ object InferDbQueries {
       val coo = Tables.embeddings(s, d)
         .select(col("vec_id").as("row_id"), posexplode(col("embedding")).as(Seq("col_id", "val")))
       m.cooGemm(coo, s)
-        .select(col("row_id").as("vec_id"), round(col("z"), 4).as("z"))
+        .select(col("row_id").as("vec_id"), col("z"))
     }),
 
     // W3/T7 — nearest-centroid assignment (KMeans predict) as a
@@ -172,12 +172,11 @@ object InferDbQueries {
       val m = LinearModel(linCoefs, linIntercept)
       val scored = Tables.lineitem(s, d).select(
         m.predictProba(linTermsCol).as("proba"), targetCol.as("target"))
+      // Ratios of integer counts are pure scalar FP division — bit-identical
+      // across engines, so no rounding (round() itself diverges at halves).
       Metrics.binaryReport(scored, col("proba"), col("target"))
         .select(col("tp"), col("tn"), col("fp"), col("fn"),
-          round(col("accuracy"), 6).as("accuracy"),
-          round(col("precision"), 6).as("precision"),
-          round(col("recall"), 6).as("recall"),
-          round(col("f1"), 6).as("f1"))
+          col("accuracy"), col("precision"), col("recall"), col("f1"))
     }),
 
     // A8 — RMSLE aggregate.
@@ -348,7 +347,9 @@ object InferDbQueries {
          |  SELECT vec_id AS row_id, i - 1 AS col_id, embedding[i]::DOUBLE AS val
          |  FROM embeddings, generate_series(1, 64) t(i)
          |  WHERE embedding[i] <> 0)
-         |SELECT row_id AS vec_id, round(sum(val * w) + 0.25, 4) AS z
+         |SELECT row_id AS vec_id,
+         |  list_reduce(list_prepend(0.0, list(val * w ORDER BY col_id)), (a, b) -> a + b)
+         |    + 0.25 AS z
          |FROM coo JOIN coef USING (col_id)
          |GROUP BY row_id""".stripMargin
     },
@@ -372,15 +373,15 @@ object InferDbQueries {
          |  sum(CASE WHEN p = 0 AND t = 0 THEN 1 ELSE 0 END) AS tn,
          |  sum(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END) AS fp,
          |  sum(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END) AS fn,
-         |  round((tp + tn)::DOUBLE / (tp + tn + fp + fn), 6) AS accuracy,
-         |  round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END, 6) AS precision,
-         |  round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END, 6) AS recall,
-         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
+         |  (tp + tn)::DOUBLE / (tp + tn + fp + fn) AS accuracy,
+         |  (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END) AS precision,
+         |  (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) AS recall,
+         |  (CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
          |           + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) = 0 THEN 0.0
          |        ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
          |                 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)
          |           / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
-         |            + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)) END, 6) AS f1
+         |            + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)) END) AS f1
          |FROM scored""".stripMargin,
     "a8_rmsle" ->
       """SELECT round(sqrt(sum(pow(ln(l_quantity * 25.0 + 100.0 + 1) - ln(l_extendedprice + 1), 2))
@@ -433,7 +434,9 @@ object InferDbQueries {
                    |  sin(radians($lat)) * sin(radians(40.7))
                    |  + cos(radians($lat)) * cos(radians(40.7))
                    |    * cos(radians(-74.0 - $lon))))) * 6371.0)""".stripMargin
-      val vImp = "(CASE WHEN value > 40.0 THEN 10.0 + user_id % 5 ELSE value END)"
+      // mirror BOTH imputer bounds (value < 0 too) — testdata happens to
+      // have no negative values, but the oracle must match the operator
+      val vImp = "(CASE WHEN value < 0.0 OR value > 40.0 THEN 10.0 + user_id % 5 ELSE value END)"
       val grid = s"(CAST(floor(($lat + 90.0) / 45.0) * 10 + floor(($lon + 180.0) / 90.0) AS BIGINT))"
       val z = s"($vImp * 0.05 + $dist / 10000.0 + hour(ts) * 0.01 - 1.2)"
       s"""WITH freq AS (

@@ -10,30 +10,49 @@ import org.apache.spark.sql.functions._
   * columns): one-row DataFrame with solution name, index size,
   * effectiveness metrics, and per-stage latencies, where end-to-end is
   * the SUM of stage latencies exactly like the reference's report.
+  *
+  * Timing protocol matches the reference's repeated-measurement loop
+  * (transpiler.py:1424-1446, `iterations=5`): each stage is run
+  * `iterations` times and the MEDIAN is reported, plus the max-min
+  * spread so flaky rows are visible.
   */
 object Report {
 
-  /** Time `df.count()` and return (seconds, rows). */
-  private def timed(df: DataFrame): (Double, Long) = {
-    val t0 = System.nanoTime()
-    val n = df.count()
-    ((System.nanoTime() - t0) / 1e9, n)
+  /** Run `iterations` timed evaluations of EVERY column of `df` and
+    * return (median seconds, max-min spread, rows). Evaluation is a
+    * hash-checksum aggregate, not `count()` — a count lets Catalyst's
+    * ColumnPruning delete the projected expressions, so the stage
+    * would time only the scan.
+    */
+  private def timedEval(df: DataFrame, iterations: Int): (Double, Double, Long) = {
+    val runs = (1 to iterations).map { _ =>
+      val t0 = System.nanoTime()
+      val r = df.select(hash(df.columns.map(col): _*).as("__h"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("__h")), lit(0L)).as("chk"))
+        .head()
+      ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+    }
+    val times = runs.map(_._1).sorted
+    (times(times.length / 2), times.last - times.head, runs.head._2)
   }
 
   /** Classification report for a fitted index over a test frame:
     * (solution, size_entries, accuracy, precision, recall, f1,
-    * translate_s, score_s, end_to_end_s, batch_size) — the reference's
-    * PG report row shape with the same stage decomposition.
+    * translate_s, score_s, end_to_end_s, spread_s, n_iterations,
+    * batch_size) — the reference's PG report row shape with the same
+    * stage decomposition and repeated-measurement protocol.
     */
   def classificationReport(
       spark: SparkSession,
       fitted: Fitted,
       test: DataFrame,
       target: String,
-      solution: String = "graft-kv-index"): DataFrame = {
-    val (translateS, batch) = timed(test.select(fitted.keyColumn.as("key")))
+      solution: String = "graft-kv-index",
+      iterations: Int = 5): DataFrame = {
+    val (translateS, translateSpread, batch) =
+      timedEval(test.select(fitted.keyColumn.as("key")), iterations)
     val scored = fitted.transform(test, "__p")
-    val (scoreS, _) = timed(scored)
+    val (scoreS, scoreSpread, _) = timedEval(scored, iterations)
     val m = Metrics.binaryReport(scored, col("__p"), col(target)).head()
     import spark.implicits._
     Seq((
@@ -41,9 +60,11 @@ object Report {
       fitted.indexEntries,
       m.getAs[Double]("accuracy"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), m.getAs[Double]("f1"),
-      translateS, scoreS, translateS + scoreS, batch
+      translateS, scoreS, translateS + scoreS,
+      translateSpread + scoreSpread, iterations, batch
     )).toDF("solution", "size_entries", "accuracy", "precision", "recall",
-      "f1", "translate_s", "score_s", "end_to_end_s", "batch_size")
+      "f1", "translate_s", "score_s", "end_to_end_s", "spread_s",
+      "n_iterations", "batch_size")
   }
 
   /** Regression variant: RMSLE in place of the confusion metrics. */
@@ -52,15 +73,17 @@ object Report {
       fitted: Fitted,
       test: DataFrame,
       target: String,
-      solution: String = "graft-kv-index"): DataFrame = {
-    val (translateS, batch) = timed(test.select(fitted.keyColumn.as("key")))
+      solution: String = "graft-kv-index",
+      iterations: Int = 5): DataFrame = {
+    val (translateS, translateSpread, batch) =
+      timedEval(test.select(fitted.keyColumn.as("key")), iterations)
     val scored = fitted.transform(test, "__p")
-    val (scoreS, _) = timed(scored)
+    val (scoreS, scoreSpread, _) = timedEval(scored, iterations)
     val rmsle = Metrics.rmsle(scored, col("__p"), col(target)).head().getDouble(0)
     import spark.implicits._
     Seq((solution, fitted.indexEntries, rmsle, translateS, scoreS,
-      translateS + scoreS, batch))
+      translateS + scoreS, translateSpread + scoreSpread, iterations, batch))
       .toDF("solution", "size_entries", "rmsle", "translate_s", "score_s",
-        "end_to_end_s", "batch_size")
+        "end_to_end_s", "spread_s", "n_iterations", "batch_size")
   }
 }

@@ -52,10 +52,12 @@ def main(sf_dir, out_dir):
         oracle = json.load(f)
 
     n_pass = n_fail = n_noracle = 0
+    seen = set()
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         if not os.path.isdir(d):
             continue
         name = os.path.basename(d)
+        seen.add(name)
         files = glob.glob(os.path.join(d, "*.parquet"))
         tbl = pq.read_table(files[0]) if len(files) == 1 else pq.read_table(d)
         s_cols = list(tbl.column_names)
@@ -91,6 +93,17 @@ def main(sf_dir, out_dir):
                     if a != b:
                         print(f"      spark:  {a}\n      duckdb: {b}")
                         break
+    # A query that crashed Spark-side leaves no output directory — that is
+    # a FAIL, not a skip. Declared set = queries.json manifest if present,
+    # else at minimum every oracle key.
+    declared = set(oracle)
+    mpath = os.path.join(out_dir, "queries.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            declared |= set(json.load(f))
+    for name in sorted(declared - seen):
+        print(f"  [FAIL]   {name}: declared but no output directory (query crashed?)")
+        n_fail += 1
     print(f"PASS={n_pass} FAIL={n_fail} ROWS_ONLY={n_noracle}")
     return 1 if n_fail else 0
 
