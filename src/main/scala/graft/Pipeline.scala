@@ -30,7 +30,8 @@ object InferDbPipeline {
       tolerance: Double = 1.002,
       maxFeatures: Int = Int.MaxValue,
       balanceRatio: Option[Double] = None,
-      model: String = "lr") // "lr" | "gbt" — the index memorizes ANY model
+      model: String = "lr", // "lr" | "gbt" | "mlp" — the index memorizes ANY model
+      mlpHidden: Int = 8)   // hidden-layer width when model = "mlp"
 
   final case class Fitted(
       config: Config,
@@ -91,20 +92,36 @@ object InferDbPipeline {
     Fitted(config, bins, selectedRaw, sel.iv, kv)
   }
 
+  /** The full trained lifecycle: fitted index, the train frame with
+    * model predictions, and the raw MLlib model (for weight
+    * extraction, e.g. [[graft.models.MlpModel.fromMlpClassifier]]). */
+  final case class Trained(
+      fitted: Fitted,
+      withPred: DataFrame,
+      mlModel: org.apache.spark.ml.Model[_])
+
   /** Train an MLlib model on `train`, predict on train, and fit the
     * index from those predictions — the full §3.1 lifecycle in one
     * call. Returns the fitted index plus the train predictions frame
     * (features + target + model prediction) for parity evaluation.
     */
   def fitWithModel(train: DataFrame, config: Config): (Fitted, DataFrame) = {
+    val t = fitLifecycle(train, config)
+    (t.fitted, t.withPred)
+  }
+
+  /** Like [[fitWithModel]] but also returns the trained MLlib model. */
+  def fitLifecycle(train: DataFrame, config: Config): Trained = {
     // the MLlib model trains on the numeric features; categorical
     // candidates still participate in binning/selection for the index
     // key (the reference one-hots them into the model — omitted here,
     // the index side is what we memorize).
-    require(Set("lr", "gbt").contains(config.model),
-      s"unknown model '${config.model}' — supported: lr, gbt")
+    require(Set("lr", "gbt", "mlp").contains(config.model),
+      s"unknown model '${config.model}' — supported: lr, gbt, mlp")
     require(!(config.task == Task.MultiClass && config.model == "gbt"),
       "GBTClassifier is binary-only; use model=\"lr\" (multinomial) for MultiClass")
+    require(!(config.task == Task.Regression && config.model == "mlp"),
+      "MultilayerPerceptronClassifier is classification-only; use lr or gbt for Regression")
     val numeric = config.features.filterNot(config.categorical)
     require(numeric.nonEmpty,
       "fitWithModel needs at least one numeric feature for the MLlib model; " +
@@ -113,35 +130,47 @@ object InferDbPipeline {
       .setInputCols(numeric.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(train).cache()
 
-    val predicted = (config.task, config.model) match {
+    val model: org.apache.spark.ml.Model[_] = (config.task, config.model) match {
       case (Task.Regression, "gbt") =>
         new org.apache.spark.ml.regression.GBTRegressor()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred").setSeed(42)
-          .fit(assembled).transform(assembled)
+          .fit(assembled)
       case (Task.Regression, _) =>
         new LinearRegression()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred")
-          .fit(assembled).transform(assembled)
+          .fit(assembled)
       case (_, "gbt") =>
         new org.apache.spark.ml.classification.GBTClassifier()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred").setSeed(42)
           .setProbabilityCol("__model_proba")
           .setRawPredictionCol("__model_raw")
-          .fit(assembled).transform(assembled)
+          .fit(assembled)
+      case (_, "mlp") =>
+        // labels are 0..k-1 doubles by construction, so max+1 = #classes
+        val k = assembled.agg(max(col(config.target))).head().getDouble(0).toInt + 1
+        new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+          .setFeaturesCol("__fv").setLabelCol(config.target)
+          .setPredictionCol("__model_pred")
+          .setProbabilityCol("__model_proba")
+          .setRawPredictionCol("__model_raw")
+          .setLayers(Array(numeric.length, config.mlpHidden, k))
+          .setSeed(42).setMaxIter(60)
+          .fit(assembled)
       case _ =>
         new LogisticRegression()
           .setFeaturesCol("__fv").setLabelCol(config.target)
           .setPredictionCol("__model_pred")
           .setProbabilityCol("__model_proba")
           .setRawPredictionCol("__model_raw")
-          .fit(assembled).transform(assembled)
+          .fit(assembled)
     }
+    val predicted = model.asInstanceOf[org.apache.spark.ml.Transformer].transform(assembled)
     val withPred = predicted.drop("__fv").cache()
     val fitted = fit(withPred, config, "__model_pred")
     assembled.unpersist()
-    (fitted, withPred)
+    Trained(fitted, withPred, model)
   }
 }

@@ -44,20 +44,18 @@ object Fns {
     acos(least(lit(1.0), greatest(lit(-1.0), arg))) * lit(r)
   }
 
-  /** Array dot product via zip_with + aggregate (codegen'd higher-order
-    * functions — no shuffle, no UDF). Ref: sql_scripts/dot_product.sql.
-    * Works for ArrayType(FloatType) or DoubleType; accumulates in double.
+  /** Array dot product — a codegen'd Catalyst expression (the earlier
+    * zip_with+aggregate HOFs were CodegenFallback and the entire cost
+    * of the similarity bench tail). Sequential double accumulation,
+    * identical values. Ref: sql_scripts/dot_product.sql. Works for
+    * ArrayType(FloatType) or DoubleType.
     */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v
-    )
+    graft.plans.TextVectorExprs.dot(a, b)
 
   /** Sum of squares (squared L2 norm). */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    graft.plans.TextVectorExprs.dot(a, a)
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 

@@ -19,8 +19,11 @@ final case class MlpModel(
     w0: Array[Array[Double]], // [in][hidden]
     b0: Array[Double],        // [hidden]
     w1: Array[Array[Double]], // [hidden][out]
-    b1: Array[Double]         // [out]
+    b1: Array[Double],        // [out]
+    hiddenActivation: String = "relu" // "relu" (reference) | "sigmoid" (MLlib MLP)
 ) {
+  require(Set("relu", "sigmoid").contains(hiddenActivation),
+    s"unknown hidden activation '$hiddenActivation'")
   private def inDim = w0.length
   private def hDim  = b0.length
   private def outDim = b1.length
@@ -31,7 +34,7 @@ final case class MlpModel(
       val z = features.zipWithIndex.collect {
         case (f, i) if w0(i)(j) != 0.0 => f.cast("double") * lit(w0(i)(j))
       }.reduceOption(_ + _).getOrElse(lit(0.0)) + lit(b0(j))
-      Fns.relu(z)
+      if (hiddenActivation == "sigmoid") Fns.sigmoid(z) else Fns.relu(z)
     }
   }
 
@@ -88,5 +91,34 @@ final case class MlpModel(
     l0.join(broadcast(w.filter(col("id") === 1)), col("h") === col("row"))
       .groupBy(col("row_id"), col("col").as("out_id"))
       .agg((sum(col("hval") * col("wval")) + first(col("bias"))).as("z"))
+  }
+}
+
+object MlpModel {
+  /** Extract a TRAINED MLlib MLP's weights into the fused scorer
+    * (transpiler.py:1696-1835 transpiles trained MLPs the same way).
+    *
+    * MLlib's FeedForwardTopology stores each affine layer as a
+    * column-major (out × in) matrix followed by its bias vector, with
+    * SIGMOID hidden activation and softmax on top — so the extracted
+    * model uses `hiddenActivation = "sigmoid"`, and [[MlpModel
+    * .predictClass]]'s argmax over the raw output units equals the
+    * MLlib prediction (softmax is monotone).
+    */
+  def fromMlpClassifier(
+      m: org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel): MlpModel = {
+    val layers = m.getLayers
+    require(layers.length == 3,
+      s"fused extraction supports exactly one hidden layer; got layers=${layers.mkString(",")}")
+    val nIn = layers(0); val nHid = layers(1); val nOut = layers(2)
+    val v = m.weights.toArray
+    require(v.length == nHid * nIn + nHid + nOut * nHid + nOut,
+      s"weight vector length ${v.length} does not match layers ${layers.mkString(",")}")
+    val w0 = Array.tabulate(nIn, nHid)((i, j) => v(j + i * nHid))
+    val b0 = Array.tabulate(nHid)(j => v(nHid * nIn + j))
+    val off = nHid * nIn + nHid
+    val w1 = Array.tabulate(nHid, nOut)((j, k) => v(off + k + j * nOut))
+    val b1 = Array.tabulate(nOut)(k => v(off + nOut * nHid + k))
+    MlpModel(w0, b0, w1, b1, hiddenActivation = "sigmoid")
   }
 }

@@ -1,0 +1,273 @@
+package graft.plans
+
+import graft.functions.TextHash
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd replacements for the interpreted higher-order-function hot
+  * loops (VERDICT r1 "what's wrong" #3): Spark's `transform`/`aggregate`
+  * lambdas are CodegenFallback and row-at-a-time — they were the entire
+  * cost of the dedup/similarity bench tail. Each expression here stays
+  * inside whole-stage codegen and calls a tight JVM kernel, exactly the
+  * `BinIndex` pattern.
+  *
+  * SEMANTIC CONTRACT: every kernel reproduces the prior Column-HOF
+  * formulation bit-exactly (sequential left fold for doubles,
+  * integer-only polynomial hashing over code points) so the DuckDB
+  * oracle SQL is UNCHANGED. Ref for the operator surface:
+  * sql_scripts/dot_product.sql; dedup operators per SURVEY §2.11.
+  */
+object VectorKernels {
+  /** Sequential dot product: boxed null when lengths mismatch or any
+    * element is null — the `zip_with`+`aggregate` null semantics. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+object TextKernels {
+  val P: Long = TextHash.P
+
+  /** (h*31 + codePoint) % P over the string's code points — DuckDB
+    * `ord` iterates code points, so this matches the oracle on any
+    * input, not just ASCII. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Hash + 31^len(codepoints) of one token — the rolling-hash pieces:
+    * H(s||t) = (H(s) * 31^len(t) + H(t)) % P. */
+  private def tokenHashPow(t: String): (Long, Long) = {
+    var h = 0L
+    var p = 1L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = (h * 31L + cp) % P
+      p = (p * 31L) % P
+      i += Character.charCount(cp)
+    }
+    (h, p)
+  }
+
+  /** Full MinHash signature (16 mins over word-3-gram shingle hashes) in
+    * one pass: per-token hashes are composed into shingle hashes with
+    * the rolling-hash identity instead of re-hashing every shingle
+    * character. Duplicate shingles cannot change a min, so no distinct
+    * set is materialized. Null for docs with < 3 tokens (no shingles),
+    * matching the oracle CTE that emits no rows for them.
+    */
+  def minhashSig(s: UTF8String): GenericArrayData = {
+    val toks = s.toString.split(" ", -1) // keep empties: Spark split() semantics
+    val n = toks.length
+    if (n < 3) return null
+    val th = new Array[Long](n)
+    val tp = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val (h, p) = tokenHashPow(toks(i))
+      th(i) = h; tp(i) = p
+      i += 1
+    }
+    val mins = Array.fill(TextHash.NumPerms)(Long.MaxValue)
+    val pa = TextHash.permA
+    val pb = TextHash.permB
+    i = 0
+    while (i <= n - 3) {
+      var h = th(i)
+      h = (h * 31L + 32L) % P // ' '
+      h = (h * tp(i + 1) + th(i + 1)) % P
+      h = (h * 31L + 32L) % P
+      h = (h * tp(i + 2) + th(i + 2)) % P
+      var k = 0
+      while (k < mins.length) {
+        val v = (h * pa(k) + pb(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 16-bit SimHash over DISTINCT tokens (distinctness matters for the
+    * ±1 bit sums, unlike minhash) — dedup is by token string, never by
+    * hash, so a hash collision cannot merge two tokens. */
+  def simhash(s: UTF8String): Long = {
+    val toks = s.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val bitSum = new Array[Int](16)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val (h, _) = tokenHashPow(t)
+        var k = 0
+        while (k < 16) {
+          bitSum(k) += (if (((h >> k) & 1L) == 1L) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 16) {
+      if (bitSum(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  /** Distinct word-3-gram shingles in first-occurrence order (the
+    * `array_distinct(shingles(...))` contract); empty for < 3 tokens. */
+  def shingleSet(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - 3) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Σ a_i·b_i accumulated in double, sequential order. Accepts
+  * array<float> or array<double> on either side. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // length mismatch / null element -> null
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dot")
+      s"""
+       |java.lang.Double $r = graft.plans.VectorKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** Integer polynomial rolling hash of a string (mod 1e9+7). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"poly_hash requires STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(s: Any): Any = TextKernels.polyHash(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
+/** 16-element MinHash signature array; null for docs with < 3 tokens. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig requires STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(s: Any): Any = TextKernels.minhashSig(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = graft.plans.TextKernels.minhashSig($c);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 16-bit SimHash fingerprint of a document. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash16 requires STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(s: Any): Any = TextKernels.simhash(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash16 = copy(child = c)
+  override def prettyName: String = "simhash16"
+}
+
+/** Distinct word-3-gram shingle set, first-occurrence order. */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_set requires STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(s: Any): Any = TextKernels.shingleSet(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.shingleSet($c)")
+  override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+  override def prettyName: String = "shingle_set"
+}
+
+/** Column-API entry points for the codegen'd text/vector kernels. */
+object TextVectorExprs {
+  private def expr(c: Column) = GraftColumnBridge.expression(c)
+  def dot(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(expr(a), expr(b)))
+  def polyHash(s: Column): Column = GraftColumnBridge.column(PolyHash(expr(s)))
+  def minhashSig(s: Column): Column = GraftColumnBridge.column(MinHashSig(expr(s)))
+  def simhash16(s: Column): Column = GraftColumnBridge.column(SimHash16(expr(s)))
+  def shingleSet(s: Column): Column = GraftColumnBridge.column(ShingleSet(expr(s)))
+}

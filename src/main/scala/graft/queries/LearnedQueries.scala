@@ -75,6 +75,35 @@ object LearnedQueries {
         .toDF("selected_features", "index_entries", "model_f1", "index_f1")
     }),
 
+    // Trainable-MLP lifecycle (transpiler.py:1696-1835 /
+    // nn_inference.sql): MLlib MultilayerPerceptronClassifier -> index
+    // memorizes its predictions; the trained weights are ALSO extracted
+    // into the fused MlpModel scorer and checked against the MLlib
+    // predictions in-query (fused_agreement). Rows-only.
+    "x_learned_mlp" -> ((s, d) => {
+      val df = trainFrame(s, d)
+      val numeric = Seq("l_quantity", "price_k", "l_discount", "l_tax")
+      val cfg = e2eConfig.copy(model = "mlp",
+        features = numeric, categorical = Set.empty)
+      val t = InferDbPipeline.fitLifecycle(df, cfg)
+      val fused = graft.models.MlpModel.fromMlpClassifier(
+        t.mlModel.asInstanceOf[org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel])
+      val scored = t.fitted.transform(t.withPred, "index_pred")
+        .withColumn("fused_pred", fused.predictClass(numeric.map(col)).cast("double"))
+      val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("target"))
+        .select("f1").head().getDouble(0)
+      val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("target"))
+        .select("f1").head().getDouble(0)
+      val fusedAgree = scored.agg(
+        avg((col("fused_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
+      import s.implicits._
+      Seq((t.fitted.selected.mkString(","), t.fitted.indexEntries,
+           math.rint(modelF1 * 1e6) / 1e6, math.rint(indexF1 * 1e6) / 1e6,
+           math.rint(fusedAgree * 1e6) / 1e6))
+        .toDF("selected_features", "index_entries", "model_f1", "index_f1",
+          "fused_agreement")
+    }),
+
     // The reference's one-row report (size + metrics + stage latencies;
     // rows-only: latencies are wall-clock).
     "x_report" -> ((s, d) => {

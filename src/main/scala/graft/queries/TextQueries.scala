@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Design for 100 TB:
   *  - per-document work (tokenize, shingle, hash, signatures) is a
-  *    single fused projection of codegen'd higher-order functions — no
-  *    UDFs, no shuffle, embarrassingly parallel over any partitioning;
+  *    single fused projection of custom codegen'd Catalyst expressions
+  *    (graft.plans.TextVectorExprs) — no UDFs, no shuffle,
+  *    embarrassingly parallel over any partitioning;
   *  - per-doc DISTINCT uses `array_distinct` inside the row (no
   *    shuffle) before exploding;
   *  - MinHash-LSH turns all-pairs O(n²) dedup into an equi-join on
@@ -34,32 +35,26 @@ object TextQueries {
   // per-doc distinct shingles, exploded: (doc_id, shingle)
   private def shingleDf(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("shingle"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
 
-  // Signature computed in-row: shingle-hash array materialized ONCE
-  // behind a cache barrier, then 16 cheap array_min permutations.
-  // Spark higher-order functions are CodegenFallback (interpreted) and
-  // do NOT share subexpressions across projection columns — without
-  // the barrier each m_k recomputes the full shingle+charHash pipeline
-  // (measured 87 s vs 0.6 s for 5000 docs at sf0.1). Values identical
-  // to the oracle's explode+groupBy formulation.
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    // repartition: the source is one parquet file -> one partition, and
-    // interpreted HOF hashing is CPU-bound; spread it over the cores.
-    val hashes = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  // Full 16-perm signature in ONE codegen'd expression
+  // (plans.MinHashSig): per-token hashes composed into shingle hashes
+  // via the rolling-hash identity, mins updated in the same pass. The
+  // earlier HOF formulation needed a cache barrier + repartition to be
+  // viable (87 s -> 0.6 s for 5000 docs); the kernel needs neither.
+  // Values identical to the oracle's explode+groupBy formulation.
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // single-file source -> spread CPU work
+      // docs with <3 tokens have no shingles (NULL sig): drop them,
+      // matching the oracle's shingle CTE (which emits no rows for
+      // them) — otherwise they'd all share the empty signature and
+      // pair as false dups.
+      .select(col("doc_id"), TextHash.minhashSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
       .select(
-        col("doc_id"),
-        transform(array_distinct(shingles(col("text"))), sh => charHash(sh)).as("hs"))
-      // docs with <3 tokens have no shingles: drop them, matching the
-      // oracle's shingle CTE (which emits no rows for them) — otherwise
-      // they'd all share the empty signature and pair as false dups.
-      .filter(size(col("hs")) > 0)
-      .cache()
-    hashes.select(
-      col("doc_id") +: (0 until NumPerms).map(k =>
-        array_min(transform(col("hs"), h => (h * permA(k) + permB(k)) % P)).as(s"m$k")): _*)
-  }
+        col("doc_id") +: (0 until NumPerms).map(k =>
+          element_at(col("sig"), k + 1).as(s"m$k")): _*)
 
   // SRP-LSH hyperplanes: deterministic integer pattern, shared with SQL.
   private def hyperplane(k: Int): Array[Double] =
@@ -67,9 +62,7 @@ object TextQueries {
 
   private def srpBucket(emb: Column): Column =
     (0 until 8).map { k =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(hyperplane(k)), (x, r) => x.cast("double") * r),
-        lit(0.0), (a, v) => a + v)
+      val dot = Fns.dotProduct(emb, typedLit(hyperplane(k)))
       when(dot >= 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -104,9 +97,8 @@ object TextQueries {
     // MinHash + LSH near-dup candidate pairs: band the signature, join
     // on (band, band-sig) — O(n) shuffle instead of O(n²) pairs.
     "t_dedup_minhash" -> ((s, d) => {
-      // cache barrier: the in-row signature is computed ONCE; without
-      // it the self-join re-evaluates the (non-codegen nested-lambda)
-      // hash pipeline per side per band — measured 131 s vs 1 s at sf0.1.
+      // cache: the signature is cheap now (codegen'd kernel) but still
+      // worth materializing once for the two band-join sides.
       val sig = minhashSig(s, d).cache()
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until NumBands).map { b =>
@@ -131,8 +123,8 @@ object TextQueries {
     // shingle-keyed shuffle.
     "t_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism) // parallelize interpreted shingling
-        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism) // single-file source -> spread work
+        .select(col("doc_id"), shingles(col("text")).as("sh")) // ShingleSet is distinct
         .cache() // shingle sets materialized once for both join sides
       val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -57,6 +57,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(modelF1 - indexF1) < 0.1, s"model $modelF1 vs index $indexF1")
   }
 
+  test("MLP-backed lifecycle: extracted fused scorer matches MLlib, index reproduces it") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      val y = if (a + 0.5 * b + rnd.nextGaussian() * 0.5 > 7.5) 1.0 else 0.0
+      (a, b, y)
+    }.toDF("f_a", "f_b", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 8, model = "mlp")
+    val t = InferDbPipeline.fitLifecycle(df, cfg)
+    val fused = graft.models.MlpModel.fromMlpClassifier(
+      t.mlModel.asInstanceOf[org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel])
+    assert(fused.hiddenActivation == "sigmoid")
+    val scored = t.fitted.transform(t.withPred, "index_pred")
+      .withColumn("fused_pred", fused.predictClass(Seq(col("f_a"), col("f_b"))).cast("double"))
+    // weight-extraction parity: the fused expression must reproduce the
+    // MLlib prediction on every row (argmax is ulp-tolerant)
+    val agree = scored.agg(
+      avg((col("fused_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
+    assert(agree >= 0.999, s"fused-vs-MLlib agreement $agree")
+    val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(modelF1 > 0.8, s"mlp F1 $modelF1")
+    assert(math.abs(modelF1 - indexF1) < 0.1, s"model $modelF1 vs index $indexF1")
+  }
+
   test("fitted.transform works unchanged on a streaming DataFrame") {
     val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
       .toDF("f", "y")
