@@ -31,7 +31,8 @@ object InferDbPipeline {
       maxFeatures: Int = Int.MaxValue,
       balanceRatio: Option[Double] = None,
       model: String = "lr", // "lr" | "gbt" | "mlp" — the index memorizes ANY model
-      mlpHidden: Int = 8)   // hidden-layer width when model = "mlp"
+      mlpHidden: Int = 8,   // hidden-layer width when model = "mlp"
+      populatePaths: Boolean = false) // score+insert unfilled key paths (transpiler.py:887)
 
   final case class Fitted(
       config: Config,
@@ -86,10 +87,87 @@ object InferDbPipeline {
       config.maxFeatures)
     val selectedRaw = sel.features.map(_.stripPrefix("__b_"))
 
-    val kv = KvIndexBuilder.build(
-      encoded, sel.features, "__pred", config.task, config.balanceRatio)
+    val keyed = encoded.select(
+      Keys.keyColumn(sel.features.map(col)).as("key"),
+      col("__pred").cast("double").as("pred"))
+    // populate_paths (transpiler.py:928-938, gated :887): re-fit the
+    // model ON THE ENCODED (bin-index) representation, predict every
+    // key path never observed in training, and insert those entries so
+    // the index can serve them exactly instead of via prefix fallback.
+    val keyedAll =
+      if (!config.populatePaths) keyed
+      else keyed.unionByName(populatedEntries(encoded, sel.features,
+        sel.features.map(f => f -> bins(f.stripPrefix("__b_")).numBins).toMap, config))
+    val kv = KvIndexBuilder.buildFromKeyed(
+      keyedAll, sel.features.length, config.task, config.balanceRatio)
     encoded.unpersist(); cached.unpersist()
     Fitted(config, bins, selectedRaw, sel.iv, kv)
+  }
+
+  /** (key, pred) rows for every key path absent from training: the
+    * configured estimator is re-fitted on the SELECTED bin indices
+    * (label = the model predictions the index memorizes), then scores
+    * the full path space minus the observed keys. The path space is
+    * bounded by the selected key space — small by construction (that is
+    * the paper's core property); guarded anyway.
+    */
+  private def populatedEntries(
+      encoded: DataFrame,
+      selFeatures: Seq[String],
+      numBins: Map[String, Int],
+      config: Config): DataFrame = {
+    val spark = encoded.sparkSession
+    val ranges = selFeatures.map(f => 0 until numBins(f))
+    val total = ranges.map(_.size.toLong).product
+    require(total <= 1000000L,
+      s"populatePaths: key space $total exceeds 1e6 — widen tolerance or disable")
+    val combos = ranges.foldLeft(Seq(Seq.empty[Int])) { (acc, r) =>
+      acc.flatMap(p => r.map(p :+ _))
+    }
+    import spark.implicits._
+    val paths = combos.map(p => (p.mkString("."), p.map(_.toDouble)))
+      .toDF("key", "__bins")
+      .select(col("key") +: selFeatures.zipWithIndex.map { case (f, i) =>
+        col("__bins").getItem(i).as(f)
+      }: _*)
+    val unfilled = paths.join(
+      encoded.select(Keys.keyColumn(selFeatures.map(col)).as("key")).distinct(),
+      Seq("key"), "left_anti")
+
+    val assembler = new VectorAssembler()
+      .setInputCols(selFeatures.toArray).setOutputCol("__efv")
+    val encTrain = assembler.transform(
+      encoded.select((selFeatures.map(f => col(f).cast("double").as(f)) :+
+        col("__pred").cast("double").as("__elabel")): _*))
+    val encModel: org.apache.spark.ml.Transformer = (config.task, config.model) match {
+      case (Task.Regression, "gbt") =>
+        new org.apache.spark.ml.regression.GBTRegressor()
+          .setFeaturesCol("__efv").setLabelCol("__elabel")
+          .setPredictionCol("__epred").setSeed(42).fit(encTrain)
+      case (Task.Regression, _) =>
+        new LinearRegression()
+          .setFeaturesCol("__efv").setLabelCol("__elabel")
+          .setPredictionCol("__epred").fit(encTrain)
+      case (_, "gbt") =>
+        new org.apache.spark.ml.classification.GBTClassifier()
+          .setFeaturesCol("__efv").setLabelCol("__elabel")
+          .setPredictionCol("__epred").setSeed(42)
+          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
+      case (_, "mlp") =>
+        val k = encTrain.agg(max(col("__elabel"))).head().getDouble(0).toInt + 1
+        new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+          .setFeaturesCol("__efv").setLabelCol("__elabel")
+          .setPredictionCol("__epred").setSeed(42).setMaxIter(60)
+          .setLayers(Array(selFeatures.length, config.mlpHidden, k))
+          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
+      case _ =>
+        new LogisticRegression()
+          .setFeaturesCol("__efv").setLabelCol("__elabel")
+          .setPredictionCol("__epred")
+          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
+    }
+    encModel.transform(assembler.transform(unfilled))
+      .select(col("key"), col("__epred").cast("double").as("pred"))
   }
 
   /** The full trained lifecycle: fitted index, the train frame with

@@ -198,6 +198,34 @@ object InferDbQueries {
       all.except(observed)
     }),
 
+    // O5b — populate-paths END-TO-END (transpiler.py:928-938): unfilled
+    // key paths are SCORED and inserted into the kv relation, then a
+    // probe over ALL rows (incl. ones whose key was never observed)
+    // resolves them as exact hits — the fallback cascade never fires.
+    // The path scorer here is a FIXED linear form over the bin indices
+    // so the whole operator is SQL-expressible and hash-checked; the
+    // trained-encoded-model variant (Config.populatePaths) is asserted
+    // in PipelineSpec.
+    "o5b_populated_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val train = li.filter(trainPred)
+        .select(keyCol.as("key"), targetCol.cast("double").as("pred"))
+      val spark = s
+      import spark.implicits._
+      val ranges = keyFields.map { case (_, splits) => 0 to splits.length }
+      val all = ranges(0).flatMap(a => ranges(1).flatMap(b => ranges(2).map(c =>
+        (a.toLong, b.toLong, c.toLong, s"$a.$b.$c"))))
+        .toDF("b0", "b1", "b2", "key")
+      val populated = all.join(train.select("key").distinct(), Seq("key"), "left_anti")
+        .select(col("key"),
+          least(lit(1.0), (col("b0") * 3 + col("b1") * 2 + col("b2")) * 0.05).as("pred"))
+      val model = KvIndexBuilder.buildFromKeyed(
+        train.unionByName(populated), keyLen = 3, Task.Classification)
+      model.probe(li, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // T6 — filling degree: distinct observed paths / full key space.
     "t6_filling_degree" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -396,6 +424,24 @@ object InferDbQueries {
          |observed AS (
          |  SELECT DISTINCT $keySql AS key FROM lineitem WHERE $trainPredSql)
          |SELECT key FROM all_keys EXCEPT SELECT key FROM observed""".stripMargin,
+    "o5b_populated_probe" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |all_keys AS (
+         |  SELECT a.i::BIGINT AS b0, b.i::BIGINT AS b1, c.i::BIGINT AS b2,
+         |         a.i || '.' || b.i || '.' || c.i AS key
+         |  FROM generate_series(0, ${discSplits.length}) a(i),
+         |       generate_series(0, ${taxSplits.length}) b(i),
+         |       generate_series(0, ${qtySplits.length}) c(i)),
+         |pop AS (
+         |  SELECT key, least(CAST(1.0 AS DOUBLE),
+         |    (b0 * 3 + b1 * 2 + b2) * CAST(0.05 AS DOUBLE)) AS value
+         |  FROM all_keys WHERE key NOT IN (SELECT key FROM kv)),
+         |kva AS (SELECT key, value FROM kv UNION ALL SELECT key, value FROM pop),
+         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber, round(kva.value, 6) AS prediction
+         |FROM probe p JOIN kva ON p.key = kva.key""".stripMargin,
     "t6_filling_degree" -> {
       val total = keyFields.map(_._2.length + 1).product
       s"""SELECT count(DISTINCT $keySql) AS distinct_paths,

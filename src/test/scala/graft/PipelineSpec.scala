@@ -86,6 +86,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(modelF1 - indexF1) < 0.1, s"model $modelF1 vs index $indexF1")
   }
 
+  test("populatePaths: every key path is materialized and served as an exact hit") {
+    val rnd = new scala.util.Random(3)
+    // both features informative (so greedy keeps both) but with
+    // carved-out corner regions -> those key cells are never observed
+    // and must come from populate
+    val df = (1 to 6000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      (a, b, if (a + b > 10) 1.0 else 0.0)
+    }.filterNot { case (a, b, _) =>
+      (a < 2 && b < 2) || (a > 8 && b > 8) || (a < 2 && b > 8)
+    }.toDF("f_a", "f_b", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 5, populatePaths = true)
+    val (fitted, withPred) = InferDbPipeline.fitWithModel(df, cfg)
+    val keyspace = fitted.selected.map(f => fitted.bins(f).numBins.toLong).product
+    val observed = withPred.select(fitted.keyColumn.as("k")).distinct().count()
+    assert(observed < keyspace, "test needs unfilled paths to be meaningful")
+    // populate_paths contract: observed ∪ scored-unfilled = the FULL space
+    assert(fitted.indexEntries == keyspace,
+      s"entries ${fitted.indexEntries} vs keyspace $keyspace")
+    // an arbitrary probe resolves as an exact kv hit (no fallback): the
+    // prediction equals the kv entry for that row's key verbatim
+    val weird = Seq((1e9, 1e9)).toDF("f_a", "f_b")
+    val p = fitted.transform(weird, "pred").select("pred").head().getDouble(0)
+    val k = weird.select(fitted.keyColumn.as("k")).head().getString(0)
+    val kvVal = fitted.kv.kv.filter(col("key") === k)
+      .select("value").head().getDouble(0)
+    assert(p == kvVal)
+  }
+
   test("fitted.transform works unchanged on a streaming DataFrame") {
     val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
       .toDF("f", "y")
