@@ -87,11 +87,29 @@ object Bench {
       s"stage_e2e_sel_$sel" -> bestOf(2)(e2e(sel))
     }
 
+    // single-row serve path: collect-once local scorer, µs per lookup
+    // (the reference's standalone-trie point-query mode)
+    val localScorer = kv.toLocalScorer
+    val probeKeys = li.select(keyCol.as("key")).limit(10000)
+      .collect().map(_.getString(0))
+    var sink = 0.0
+    val reps = 10
+    val tl0 = System.nanoTime()
+    var r = 0
+    while (r < reps) {
+      var j = 0
+      while (j < probeKeys.length) { sink += localScorer.scoreKey(probeKeys(j)); j += 1 }
+      r += 1
+    }
+    val pointLookupUs = (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
+    if (sink.isNaN) println("unreachable") // keep the loop observable
+
     val stages = Seq(
       "stage_featurize" -> featurize,
       "stage_translate" -> translate,
       "stage_score" -> score,
-      "stage_end_to_end" -> endToEnd) ++ ladder
+      "stage_end_to_end" -> endToEnd,
+      "stage_point_lookup_us" -> pointLookupUs) ++ ladder
     val qs = (stages ++ queryTimes)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum

@@ -49,6 +49,28 @@ object InferDbPipeline {
     def transform(df: DataFrame, predName: String = "prediction"): DataFrame =
       kv.probe(df, keyColumn, predName)
 
+    /** Collect-once driver-local scorer for single-row / low-latency
+      * paths (the reference's standalone trie, transpiler.py:3117-3215):
+      * raw values for `selected` (in order) -> prediction, microseconds
+      * per call, no Spark job. The collected maps are bounded by the
+      * selected key space — small by construction. */
+    def toLocalScorer: Seq[Any] => Double = {
+      val scorer = kv.toLocalScorer
+      val specs = selected.map(bins)
+      vals => {
+        require(vals.length == specs.length,
+          s"expected ${specs.length} values for ${selected.mkString(",")}")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < specs.length) {
+          if (i > 0) sb.append('.')
+          sb.append(specs(i).binValue(vals(i)))
+          i += 1
+        }
+        scorer.scoreKey(sb.toString)
+      }
+    }
+
     /** Rows in the kv relation (the "index size" driver). */
     def indexEntries: Long = kv.kv.count()
   }

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
 sealed trait BinSpec {
   /** Number of bins including the overflow bin. */
   def numBins: Int
+  /** Driver-side encode of ONE raw value — the single-row serve path
+    * ([[graft.InferDbPipeline.Fitted.toLocalScorer]]). Must agree with
+    * [[toColumn]] on every input incl. null/NaN. */
+  def binValue(v: Any): Long
   /** Encode a raw column into its bin index (LongType). Pure Column
     * expression -> stays in whole-stage codegen; the CASE chain also
     * handles NULL via the ELSE branch exactly like the generated SQL
@@ -46,6 +50,14 @@ final case class NumericBins(splits: Array[Double]) extends BinSpec {
       // matching encoder.py's TypeError path.
       chain.otherwise(splits.length.toLong)
     }
+
+  override def binValue(v: Any): Long =
+    if (splits.isEmpty) 0L
+    else v match {
+      case null => splits.length.toLong
+      case n: java.lang.Number => graft.plans.BinIndex.lookup(splits, n.doubleValue())
+      case _ => splits.length.toLong // non-numeric -> overflow (TypeError path)
+    }
 }
 
 object NumericBins {
@@ -67,6 +79,10 @@ final case class CategoricalBins(mapping: Map[String, Int]) extends BinSpec {
       coalesce(element_at(m, c.cast("string")), lit(overflow))
     }
   }
+
+  override def binValue(v: Any): Long =
+    if (v == null) overflow
+    else mapping.get(v.toString).map(_.toLong).getOrElse(overflow)
 }
 
 object Binning {

@@ -75,6 +75,60 @@ final case class KvModel(
       .withColumn(predName, pred)
       .drop("__key" +: "__v_exact" +: prefixes.map { case (l, _) => s"__v_$l" }: _*)
   }
+
+  /** Collect the (bounded-by-key-space) kv + prefix tables ONCE into
+    * plain maps for driver-local point lookups — the reference's
+    * standalone-trie single-row use case (transpiler.py:3117-3215;
+    * SURVEY §1.1). */
+  def toLocalScorer: LocalScorer = {
+    val kvMap = kv.select(col("key"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pfxMaps = prefixes.map { case (l, t) =>
+      l -> t.select(col("prefix"), col("value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    LocalScorer(keyLen, kvMap, pfxMaps, globalValue)
+  }
+}
+
+/** Driver-local single-row scorer: exact hit, then longest non-empty
+  * field-wise prefix, then the global fallback — the same cascade as
+  * [[KvModel.probe]], microseconds per lookup, no Spark job. */
+final case class LocalScorer(
+    keyLen: Int,
+    kv: Map[String, Double],
+    prefixes: Seq[(Int, Map[String, Double])], // longest first, like probe
+    globalValue: Double) {
+
+  def scoreKey(key: String): Double =
+    kv.get(key) match {
+      case Some(v) => v
+      case None =>
+        var i = 0
+        while (i < prefixes.length) {
+          val (l, m) = prefixes(i)
+          val hit = m.get(LocalScorer.prefix(key, l))
+          if (hit.isDefined) return hit.get
+          i += 1
+        }
+        globalValue
+    }
+}
+
+object LocalScorer {
+  /** First `n` '.'-separated fields — `Keys.prefix` (substring_index)
+    * driver-side: the whole key when it has ≤ n fields. */
+  def prefix(key: String, n: Int): String = {
+    var idx = -1
+    var seen = 0
+    while (seen < n) {
+      val next = key.indexOf('.', idx + 1)
+      if (next < 0) return key
+      idx = next
+      seen += 1
+    }
+    key.substring(0, idx)
+  }
 }
 
 object KvIndexBuilder {

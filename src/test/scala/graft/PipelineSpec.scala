@@ -117,6 +117,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(p == kvVal)
   }
 
+  test("toLocalScorer matches the distributed probe row-for-row") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      (a, b, if (a + 0.5 * b > 7) 1.0 else 0.0)
+    }.toDF("f_a", "f_b", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 6)
+    val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
+    val scorer = fitted.toLocalScorer
+    val selected = fitted.selected
+    val probe = df.limit(1000)
+    val cols = selected :+ "p"
+    fitted.transform(probe, "p").select(cols.map(col): _*).collect().foreach { r =>
+      val vals = selected.indices.map(i => r.get(i))
+      assert(scorer(vals) == r.getDouble(selected.length),
+        s"mismatch at ${vals.mkString(",")}")
+    }
+    // dirty single row: NULL routes to the overflow bin -> same
+    // fallback the distributed cascade takes
+    val dirty = spark.sql("SELECT CAST(NULL AS DOUBLE) AS f_a, CAST(3.0 AS DOUBLE) AS f_b")
+    val pDirty = fitted.transform(dirty, "p").select("p").head().getDouble(0)
+    val dirtyVals = selected.map { case "f_a" => null; case _ => 3.0.asInstanceOf[Any] }
+    assert(scorer(dirtyVals) == pDirty)
+  }
+
   test("fitted.transform works unchanged on a streaming DataFrame") {
     val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
       .toDF("f", "y")
