@@ -80,9 +80,13 @@ object Multimodal {
       transform(col("feature"), x => (x * scale).cast("float")))
 
   /** Build a media frame from the documents table (text bytes as fake
-    * payloads) — the demo/test source. NOTE the x_multimodal_decode
-    * oracle folds per-CHARACTER code points; byte-fold == char-fold
-    * only for ASCII payloads (true for the testdata corpus).
+    * payloads) — the demo/test source. The decoder folds BYTES while
+    * the oracle folds CHARACTER code points, which only agree for
+    * ASCII — so the payload text is ASCII-SANITIZED here (non-ASCII
+    * chars -> '?'), with the SAME sanitization mirrored in the
+    * x_multimodal_decode oracle SQL. Identity on the testdata corpus;
+    * a non-ASCII corpus stays oracle-consistent instead of silently
+    * diverging.
     */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -90,5 +94,5 @@ object Multimodal {
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio")
         .otherwise("video").as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+      encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8").as("payload"))
 }

@@ -84,6 +84,20 @@ object InferDbQueries {
           round(col("prediction"), 6).as("prediction"))
     }),
 
+    // T12 — class-balance reweighting (transpiler.py:3080-3081): kv
+    // values scaled min(v*ratio, 1) BEFORE prefix aggregation, so the
+    // whole fallback cascade serves reweighted values.
+    "t12_balance_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val train = li.filter(trainPred)
+        .select(keyCol.as("key"), targetCol.as("pred"))
+      val model = KvIndexBuilder.buildFromKeyed(
+        train, keyLen = 3, Task.Classification, balanceRatio = Some(2.5))
+      model.probe(li, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // A9 — the precomputed prefix-aggregate tables themselves.
     "a9_prefix_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -326,6 +340,22 @@ object InferDbQueries {
     "x29_inferdb_probe" ->
       s"""WITH kv AS (
          |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber,
+         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+         |FROM probe p
+         |LEFT JOIN kv ON p.key = kv.key
+         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |CROSS JOIN g""".stripMargin,
+    "t12_balance_probe" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key,
+         |    least(avg($targetSql) * CAST(2.5 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS value
          |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
          |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
          |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),

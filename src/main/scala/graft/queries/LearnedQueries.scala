@@ -187,8 +187,11 @@ object LearnedQueries {
   )
 
   private val P = 1000000007L
+  // mirrors Multimodal.fromDocuments' ASCII sanitization (byte-fold ==
+  // char-fold needs ASCII); identity on the ASCII testdata corpus
+  private val asciiText = "regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g')"
   private val chSql =
-    s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split(text, '')]), (h, x) -> (h * 31 + x) % $P)"
+    s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split($asciiText, '')]), (h, x) -> (h * 31 + x) % $P)"
 
   val oracle: Map[String, String] = Map(
     "x_sizes_sensitivity" -> {
@@ -205,10 +208,10 @@ object LearnedQueries {
       s"""SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-         |  length(text) AS byte_len,
+         |  length($asciiText) AS byte_len,
          |  ($chSql) % 640 AS width,
          |  (($chSql) // 640) % 480 AS height,
-         |  length(text) // 100 + 1 AS n_frames
+         |  length($asciiText) // 100 + 1 AS n_frames
          |FROM documents""".stripMargin,
     "x_stream_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS wstart, event_type,
