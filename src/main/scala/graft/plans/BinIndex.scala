@@ -92,13 +92,16 @@ object BinIndex {
 }
 
 /** SparkSessionExtensions hook: registers `bin_index(expr, s1, s2, …)`
-  * for SQL use. Install with
+  * plus the text/vector kernels (`graft_dot`, `poly_hash`,
+  * `minhash_sig`, `simhash16`, `shingle_set`) for SQL use. Install with
   * `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.binIndexFn)
+    GraftExtensions.kernelFns.foreach(ext.injectFunction)
+  }
 }
 
 object GraftExtensions {
@@ -114,9 +117,27 @@ object GraftExtensions {
       BinIndex(children.head, splits)
     })
 
-  /** Register `bin_index` on an already-built session (getOrCreate
-    * ignores withExtensions when a session exists). */
+  private[plans] val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (c: Seq[Expression]) => PolyHash(c.head)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (c: Seq[Expression]) => MinHashSig(c.head)),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (c: Seq[Expression]) => SimHash16(c.head)),
+    (FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (c: Seq[Expression]) => ShingleSet(c.head)))
+
+  /** Register all graft functions on an already-built session
+    * (getOrCreate ignores withExtensions when a session exists). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(binIndexFn._1, binIndexFn._2, binIndexFn._3)
+    (binIndexFn +: kernelFns).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

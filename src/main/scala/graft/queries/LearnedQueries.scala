@@ -154,6 +154,39 @@ object LearnedQueries {
         .toDF("selected_features", "index_entries", "model_index_agreement")
     }),
 
+    // MNIST-width stress (SURVEY §7.4 risks #1/#8): 256 synthetic
+    // features through the full lifecycle — the 2-job batched binning
+    // must not degenerate into 256 jobs, and maxBins=24 pushes every
+    // selected feature onto the codegen'd BinIndex binary-search path
+    // (a 24-way CASE chain × 256 features would blow up codegen).
+    // Rows-only; fit wall-time is carried in the output row.
+    "x_width_stress" -> ((s, d) => {
+      val width = 256
+      val feats = (0 until width).map { i =>
+        (element_at(col("embedding"), i % 64 + 1).cast("double") * ((i / 64) + 1)
+          + lit(i * 0.001)).as(s"f_$i")
+      }
+      val base = Tables.embeddings(s, d).select(feats :+
+        (element_at(col("embedding"), 1) + element_at(col("embedding"), 2) > 0)
+          .cast("double").as("target"): _*)
+      val cfg = InferDbPipeline.Config(
+        features = (0 until width).map(i => s"f_$i"),
+        target = "target", task = Task.Classification,
+        maxBins = 24, maxFeatures = 3)
+      val t0 = System.nanoTime()
+      val (f, withPred) = InferDbPipeline.fitWithModel(base, cfg)
+      val scored = f.transform(withPred, "index_pred")
+      val agree = scored.agg(
+        avg((round(col("index_pred")) === col("__model_pred")).cast("double")))
+        .head().getDouble(0)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      import s.implicits._
+      Seq((width.toLong, f.selected.length.toLong, f.indexEntries,
+           math.rint(agree * 1e4) / 1e4, math.rint(fitSec * 100) / 100))
+        .toDF("n_features", "n_selected", "index_entries",
+          "model_index_agreement", "fit_sec")
+    }),
+
     // Index-size sensitivity (the reference's sizes microbench): the
     // distinct-key count under coarser/finer binnings, one pass.
     "x_sizes_sensitivity" -> ((s, d) => {

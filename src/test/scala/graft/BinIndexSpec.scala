@@ -47,4 +47,17 @@ class BinIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("text/vector kernels are callable from SQL once registered") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('ab') AS h, simhash16('a b a') AS s, " +
+      "  graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "  size(minhash_sig('a b c d')) AS m, " +
+      "  shingle_set('a b c d') AS sh").head()
+    assert(r.getAs[Long]("h") == (97L * 31 + 98) % 1000000007L)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Int]("m") == 16)
+    assert(r.getSeq[String](4).toSeq == Seq("a b c", "b c d"))
+  }
 }

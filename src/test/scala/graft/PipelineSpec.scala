@@ -218,6 +218,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 3)
   }
 
+  test("width stress: 256-feature fit stays batched and rides BinIndex codegen") {
+    import graft.queries.LearnedQueries
+    val out = LearnedQueries.defs("x_width_stress")(spark, "/root/testdata/sf0.001").head()
+    assert(out.getAs[Long]("n_features") == 256L)
+    val nSel = out.getAs[Long]("n_selected")
+    assert(nSel >= 1 && nSel <= 3, s"selected $nSel")
+    assert(out.getAs[Long]("index_entries") > 0)
+    assert(out.getAs[Double]("model_index_agreement") > 0.7,
+      s"agreement ${out.getAs[Double]("model_index_agreement")}")
+    // the wide-bin encode path must be the codegen'd binary search, not
+    // a 24-way CASE chain: 24 bins > CaseChainMax engages BinIndex
+    val wide = graft.core.NumericBins((1 to 20).map(_.toDouble).toArray)
+    assert(org.apache.spark.sql.GraftColumnBridge.expression(wide.toColumn(col("x")))
+      .toString.contains("bin_index"))
+  }
+
   test("IVF top-1 recall vs brute force is sane and never beats it") {
     import graft.queries.{IvfQueries, TextQueries}
     val d = "/root/testdata/sf0.001"
