@@ -28,12 +28,8 @@ object Bench {
   private def bestOf(iters: Int)(f: => Long): Double =
     (1 to iters).map(_ => time(f)._1).min
 
-  /** Evaluate EVERY column (checksum via hash) — `.count()` on a
-    * projection lets ColumnPruning delete the projected expressions,
-    * so a count-timed stage would measure only the scan. */
-  private def evalAll(df: DataFrame): Long =
-    df.select(hash(df.columns.map(col): _*).as("__h"))
-      .agg(coalesce(sum(col("__h")), lit(0L))).head().getLong(0)
+  /** Evaluate EVERY column — see [[graft.core.ForceEval]]. */
+  private def evalAll(df: DataFrame): Long = graft.core.ForceEval.checksum(df)._1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,9 +71,10 @@ object Bench {
         .agg(count(lit(1)).as("cnt"), sum("charge").as("rev")))
     val endToEnd = bestOf(2)(e2e(0.3))
 
-    // ---- every declared query, one timed pass ----
+    // ---- every declared query, one timed pass (evalAll, not count():
+    // projection-only queries would otherwise time a bare scan) ----
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try time(fn(spark, sfDir).count())._1 catch { case _: Throwable => -1.0 }
+      val t = try time(evalAll(fn(spark, sfDir)))._1 catch { case _: Throwable => -1.0 }
       name -> t
     }
 
@@ -101,7 +98,9 @@ object Bench {
       while (j < probeKeys.length) { sink += localScorer.scoreKey(probeKeys(j)); j += 1 }
       r += 1
     }
-    val pointLookupUs = (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
+    val pointLookupUs =
+      if (probeKeys.isEmpty) 0.0 // avoid NaN breaking the JSON line
+      else (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
     if (sink.isNaN) println("unreachable") // keep the loop observable
 
     val stages = Seq(

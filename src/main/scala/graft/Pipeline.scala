@@ -126,6 +126,54 @@ object InferDbPipeline {
     Fitted(config, bins, selectedRaw, sel.iv, kv)
   }
 
+  /** ONE estimator construction for both the main fit and the
+    * populate-paths re-fit — same model kind and hyperparameters,
+    * different column wiring (keeping two copies in sync by hand is how
+    * the populated entries silently diverge from the memorized model).
+    */
+  private def trainEstimator(
+      config: Config,
+      data: DataFrame,
+      nFeatures: Int,
+      featuresCol: String,
+      labelCol: String,
+      predictionCol: String,
+      probaCol: String,
+      rawCol: String): org.apache.spark.ml.Model[_] = (config.task, config.model) match {
+    case (Task.Regression, "gbt") =>
+      new org.apache.spark.ml.regression.GBTRegressor()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol).setSeed(42)
+        .fit(data)
+    case (Task.Regression, _) =>
+      new LinearRegression()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol)
+        .fit(data)
+    case (_, "gbt") =>
+      new org.apache.spark.ml.classification.GBTClassifier()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol).setSeed(42)
+        .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
+        .fit(data)
+    case (_, "mlp") =>
+      // labels are 0..k-1 doubles by construction, so max+1 = #classes
+      val k = data.agg(max(col(labelCol))).head().getDouble(0).toInt + 1
+      new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol)
+        .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
+        .setLayers(Array(nFeatures, config.mlpHidden, k))
+        .setSeed(42).setMaxIter(60)
+        .fit(data)
+    case _ =>
+      new LogisticRegression()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol)
+        .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
+        .fit(data)
+  }
+
   /** (key, pred) rows for every key path absent from training: the
     * configured estimator is re-fitted on the SELECTED bin indices
     * (label = the model predictions the index memorizes), then scores
@@ -161,34 +209,10 @@ object InferDbPipeline {
     val encTrain = assembler.transform(
       encoded.select((selFeatures.map(f => col(f).cast("double").as(f)) :+
         col("__pred").cast("double").as("__elabel")): _*))
-    val encModel: org.apache.spark.ml.Transformer = (config.task, config.model) match {
-      case (Task.Regression, "gbt") =>
-        new org.apache.spark.ml.regression.GBTRegressor()
-          .setFeaturesCol("__efv").setLabelCol("__elabel")
-          .setPredictionCol("__epred").setSeed(42).fit(encTrain)
-      case (Task.Regression, _) =>
-        new LinearRegression()
-          .setFeaturesCol("__efv").setLabelCol("__elabel")
-          .setPredictionCol("__epred").fit(encTrain)
-      case (_, "gbt") =>
-        new org.apache.spark.ml.classification.GBTClassifier()
-          .setFeaturesCol("__efv").setLabelCol("__elabel")
-          .setPredictionCol("__epred").setSeed(42)
-          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
-      case (_, "mlp") =>
-        val k = encTrain.agg(max(col("__elabel"))).head().getDouble(0).toInt + 1
-        new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
-          .setFeaturesCol("__efv").setLabelCol("__elabel")
-          .setPredictionCol("__epred").setSeed(42).setMaxIter(60)
-          .setLayers(Array(selFeatures.length, config.mlpHidden, k))
-          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
-      case _ =>
-        new LogisticRegression()
-          .setFeaturesCol("__efv").setLabelCol("__elabel")
-          .setPredictionCol("__epred")
-          .setProbabilityCol("__eproba").setRawPredictionCol("__eraw").fit(encTrain)
-    }
-    encModel.transform(assembler.transform(unfilled))
+    val encModel = trainEstimator(config, encTrain, selFeatures.length,
+      "__efv", "__elabel", "__epred", "__eproba", "__eraw")
+    encModel.asInstanceOf[org.apache.spark.ml.Transformer]
+      .transform(assembler.transform(unfilled))
       .select(col("key"), col("__epred").cast("double").as("pred"))
   }
 
@@ -230,43 +254,8 @@ object InferDbPipeline {
       .setInputCols(numeric.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(train).cache()
 
-    val model: org.apache.spark.ml.Model[_] = (config.task, config.model) match {
-      case (Task.Regression, "gbt") =>
-        new org.apache.spark.ml.regression.GBTRegressor()
-          .setFeaturesCol("__fv").setLabelCol(config.target)
-          .setPredictionCol("__model_pred").setSeed(42)
-          .fit(assembled)
-      case (Task.Regression, _) =>
-        new LinearRegression()
-          .setFeaturesCol("__fv").setLabelCol(config.target)
-          .setPredictionCol("__model_pred")
-          .fit(assembled)
-      case (_, "gbt") =>
-        new org.apache.spark.ml.classification.GBTClassifier()
-          .setFeaturesCol("__fv").setLabelCol(config.target)
-          .setPredictionCol("__model_pred").setSeed(42)
-          .setProbabilityCol("__model_proba")
-          .setRawPredictionCol("__model_raw")
-          .fit(assembled)
-      case (_, "mlp") =>
-        // labels are 0..k-1 doubles by construction, so max+1 = #classes
-        val k = assembled.agg(max(col(config.target))).head().getDouble(0).toInt + 1
-        new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
-          .setFeaturesCol("__fv").setLabelCol(config.target)
-          .setPredictionCol("__model_pred")
-          .setProbabilityCol("__model_proba")
-          .setRawPredictionCol("__model_raw")
-          .setLayers(Array(numeric.length, config.mlpHidden, k))
-          .setSeed(42).setMaxIter(60)
-          .fit(assembled)
-      case _ =>
-        new LogisticRegression()
-          .setFeaturesCol("__fv").setLabelCol(config.target)
-          .setPredictionCol("__model_pred")
-          .setProbabilityCol("__model_proba")
-          .setRawPredictionCol("__model_raw")
-          .fit(assembled)
-    }
+    val model = trainEstimator(config, assembled, numeric.length,
+      "__fv", config.target, "__model_pred", "__model_proba", "__model_raw")
     val predicted = model.asInstanceOf[org.apache.spark.ml.Transformer].transform(assembled)
     val withPred = predicted.drop("__fv").cache()
     val fitted = fit(withPred, config, "__model_pred")

@@ -87,7 +87,7 @@ final case class KvModel(
       l -> t.select(col("prefix"), col("value"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
-    LocalScorer(keyLen, kvMap, pfxMaps, globalValue)
+    LocalScorer(kvMap, pfxMaps, globalValue)
   }
 }
 
@@ -95,7 +95,6 @@ final case class KvModel(
   * field-wise prefix, then the global fallback — the same cascade as
   * [[KvModel.probe]], microseconds per lookup, no Spark job. */
 final case class LocalScorer(
-    keyLen: Int,
     kv: Map[String, Double],
     prefixes: Seq[(Int, Map[String, Double])], // longest first, like probe
     globalValue: Double) {

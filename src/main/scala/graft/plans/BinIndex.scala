@@ -117,22 +117,30 @@ object GraftExtensions {
       BinIndex(children.head, splits)
     })
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): FunctionRegistry.FunctionBuilder =
+    (c: Seq[Expression]) => {
+      if (c.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${c.length}")
+      build(c)
+    }
+
   private[plans] val kernelFns: Seq[(FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+      arity("graft_dot", 2)(c => DotProduct(c(0), c(1)))),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (c: Seq[Expression]) => PolyHash(c.head)),
+      arity("poly_hash", 1)(c => PolyHash(c.head))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (c: Seq[Expression]) => MinHashSig(c.head)),
+      arity("minhash_sig", 1)(c => MinHashSig(c.head))),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
-      (c: Seq[Expression]) => SimHash16(c.head)),
+      arity("simhash16", 1)(c => SimHash16(c.head))),
     (FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
-      (c: Seq[Expression]) => ShingleSet(c.head)))
+      arity("shingle_set", 1)(c => ShingleSet(c.head))))
 
   /** Register all graft functions on an already-built session
     * (getOrCreate ignores withExtensions when a session exists). */

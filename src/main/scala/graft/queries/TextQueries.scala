@@ -32,11 +32,6 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
   import TextHash._
 
-  // per-doc distinct shingles, exploded: (doc_id, shingle)
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-
   // Full 16-perm signature in ONE codegen'd expression
   // (plans.MinHashSig): per-token hashes composed into shingle hashes
   // via the rolling-hash identity, mins updated in the same pass. The

@@ -27,10 +27,8 @@ object Report {
   private def timedEval(df: DataFrame, iterations: Int): (Double, Double, Long) = {
     val runs = (1 to iterations).map { _ =>
       val t0 = System.nanoTime()
-      val r = df.select(hash(df.columns.map(col): _*).as("__h"))
-        .agg(count(lit(1)).as("n"), coalesce(sum(col("__h")), lit(0L)).as("chk"))
-        .head()
-      ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+      val (rows, _) = graft.core.ForceEval.checksum(df)
+      ((System.nanoTime() - t0) / 1e9, rows)
     }
     val times = runs.map(_._1).sorted
     (times(times.length / 2), times.last - times.head, runs.head._2)
