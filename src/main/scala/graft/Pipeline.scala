@@ -29,6 +29,7 @@ object InferDbPipeline {
       maxBins: Int = 8,
       tolerance: Double = 1.002,
       maxFeatures: Int = Int.MaxValue,
+      maxCandidates: Int = Int.MaxValue, // cap the greedy walk (1 IV job per candidate)
       balanceRatio: Option[Double] = None,
       model: String = "lr", // "lr" | "gbt" | "mlp" — the index memorizes ANY model
       mlpHidden: Int = 8,   // hidden-layer width when model = "mlp"
@@ -106,7 +107,8 @@ object InferDbPipeline {
       "__y",
       config.task,
       config.tolerance,
-      config.maxFeatures)
+      config.maxFeatures,
+      config.maxCandidates)
     val selectedRaw = sel.features.map(_.stripPrefix("__b_"))
 
     val keyed = encoded.select(

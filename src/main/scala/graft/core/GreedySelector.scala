@@ -31,7 +31,8 @@ object GreedySelector {
       target: String,
       task: Task,
       tolerance: Double = 1.002,
-      maxFeatures: Int = Int.MaxValue
+      maxFeatures: Int = Int.MaxValue,
+      maxCandidates: Int = Int.MaxValue
   ): Result = {
     def ivOf(cols: Seq[String]): Double = task match {
       case Task.Regression     => IV.regression(encoded, cols.map(col), col(target))
@@ -48,8 +49,12 @@ object GreedySelector {
         val m = IV.singleFeatureIvs(encoded, candidates, target, task)
         candidates.map(f => f -> m(f))
     }
-    // stable sort: descending IV, ties keep candidate order
-    val ranked = single.sortBy { case (_, iv) => -iv }.map(_._1)
+    // stable sort: descending IV, ties keep candidate order. The walk
+    // below costs ONE joint-IV job per candidate (accepted or not), so
+    // at MNIST width the ranked list is capped: only the `maxCandidates`
+    // best single-IV features are considered (the single-IV ranking
+    // itself is one batched job over ALL candidates).
+    val ranked = single.sortBy { case (_, iv) => -iv }.map(_._1).take(maxCandidates)
 
     var kept    = Vector.empty[String]
     var current = 0.0

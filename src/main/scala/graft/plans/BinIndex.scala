@@ -129,6 +129,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       arity("graft_dot", 2)(c => DotProduct(c(0), c(1)))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2DistSq].getName, "graft_l2sq"),
+      arity("graft_l2sq", 2)(c => L2DistSq(c(0), c(1)))),
     (FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       arity("poly_hash", 1)(c => PolyHash(c.head))),

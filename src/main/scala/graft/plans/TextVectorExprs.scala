@@ -40,6 +40,24 @@ object VectorKernels {
     }
     acc
   }
+
+  /** Sequential Σ (a_i - b_i)² — same fold order as the zip_with
+    * formulation and the oracle's list_reduce. */
+  def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 object TextKernels {
@@ -203,6 +221,41 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "graft_dot"
 }
 
+/** Σ (a_i - b_i)² — squared L2 distance, same contract as [[DotProduct]]. */
+case class L2DistSq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2sq requires array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2Sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("l2")
+      s"""
+       |java.lang.Double $r = graft.plans.VectorKernels.l2Sq($a, $b, ${isFloat(left)}, ${isFloat(right)});
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_l2sq"
+}
+
 /** Integer polynomial rolling hash of a string (mod 1e9+7). */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -266,6 +319,7 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
 object TextVectorExprs {
   private def expr(c: Column) = GraftColumnBridge.expression(c)
   def dot(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(expr(a), expr(b)))
+  def l2Sq(a: Column, b: Column): Column = GraftColumnBridge.column(L2DistSq(expr(a), expr(b)))
   def polyHash(s: Column): Column = GraftColumnBridge.column(PolyHash(expr(s)))
   def minhashSig(s: Column): Column = GraftColumnBridge.column(MinHashSig(expr(s)))
   def simhash16(s: Column): Column = GraftColumnBridge.column(SimHash16(expr(s)))

@@ -28,13 +28,11 @@ object IvfQueries {
   /** centroid k, component i — deterministic in [-6/13, 6/13]-ish. */
   private def cent(k: Int, i: Int): Double = (((i * 5 + k * 11) % 13) - 6) / 6.0
 
-  /** Squared L2 distance from the embedding to centroid k (fold). */
-  private def distSq(emb: Column, k: Int): Column = {
-    val c = typedLit(Array.tabulate(Dim)(i => cent(k, i)))
-    aggregate(
-      zip_with(emb, c, (x, ci) => (x.cast("double") - ci) * (x.cast("double") - ci)),
-      lit(0.0), (a, v) => a + v)
-  }
+  /** Squared L2 distance from the embedding to centroid k — codegen'd
+    * sequential fold (graft.plans.L2DistSq), bit-identical to the
+    * oracle's list_reduce. */
+  private def distSq(emb: Column, k: Int): Column =
+    graft.plans.TextVectorExprs.l2Sq(emb, typedLit(Array.tabulate(Dim)(i => cent(k, i))))
 
   /** (row…, cell, dist) exploded over all K centroids. */
   private def withCells(df: DataFrame, embCol: String): DataFrame =

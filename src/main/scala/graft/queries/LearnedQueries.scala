@@ -172,7 +172,10 @@ object LearnedQueries {
       val cfg = InferDbPipeline.Config(
         features = (0 until width).map(i => s"f_$i"),
         target = "target", task = Task.Classification,
-        maxBins = 24, maxFeatures = 3)
+        maxBins = 24, maxFeatures = 3,
+        // the walk costs one joint-IV job per candidate: rank all 256
+        // in ONE batched job, then walk only the 16 best
+        maxCandidates = 16)
       val t0 = System.nanoTime()
       val (f, withPred) = InferDbPipeline.fitWithModel(base, cfg)
       val scored = f.transform(withPred, "index_pred")

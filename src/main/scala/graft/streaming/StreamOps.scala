@@ -100,4 +100,21 @@ object StreamOps {
   /** Convenience writer for tests/demos: complete-mode in-memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** foreachBatch sink: per-micro-batch the batch DataFrame is handed to
+    * an arbitrary BATCH transform (e.g. `fitted.transform(_, "p")` — the
+    * learned-index probe is stateless broadcast joins, so the same plan
+    * serves batch and stream) and then to a writer. This is the S4/MV
+    * maintenance shape: incremental scoring + upsert into a sink that
+    * has no native streaming writer.
+    */
+  def foreachBatchSink(
+      df: DataFrame,
+      transform: DataFrame => DataFrame,
+      write: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        write(transform(batch), id))
+      .start()
 }

@@ -164,6 +164,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1.0) < 0.5 && out(7.0) > 0.5)
   }
 
+  test("foreachBatch sink scores micro-batches with the learned index") {
+    val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
+      .toDF("f", "y")
+    val cfg = InferDbPipeline.Config(Seq("f"), target = "y",
+      task = Task.Classification, maxBins = 4)
+    val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Double]
+    mem.addData(1.0, 7.0, 8.0)
+    val got = scala.collection.concurrent.TrieMap.empty[Double, Double]
+    val q = StreamOps.foreachBatchSink(
+      mem.toDF().withColumnRenamed("value", "f"),
+      batch => fitted.transform(batch, "p"),
+      (scored, _) => scored.select("f", "p").as[(Double, Double)]
+        .collect().foreach { case (f, p) => got(f) = p })
+    q.processAllAvailable(); q.stop()
+    assert(got.size == 3)
+    assert(got(1.0) < 0.5 && got(7.0) > 0.5 && got(8.0) > 0.5)
+  }
+
   test("windowedCounts on a watermarked stream matches batch semantics") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
