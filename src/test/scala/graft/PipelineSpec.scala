@@ -255,6 +255,35 @@ class PipelineSpec extends AnyFunSuite {
       .toString.contains("bin_index"))
   }
 
+  test("serve-path plan shape: broadcast joins only, no shuffle on the probe side") {
+    val df = (1 to 2000).map(i => (i.toDouble % 10, (i % 7).toDouble, if (i % 10 >= 5) 1.0 else 0.0))
+      .toDF("f_a", "f_b", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 4)
+    val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
+    // AQE off so executedPlan is the materialized tree, not a wrapper
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = fitted.transform(df, "p").queryExecution.executedPlan
+      val s = plan.toString
+      // every index side must broadcast; a sort-merge or shuffled-hash
+      // join here would shuffle the 100 TB probe side
+      assert(s.contains("BroadcastHashJoin"), s.take(800))
+      assert(!s.contains("SortMergeJoin"), "probe side must not sort-merge")
+      assert(!s.contains("CartesianProduct"))
+      // the probe side itself must not be exchanged — count shuffles
+      // OUTSIDE broadcast/cached-build subtrees (the kv build behind
+      // InMemoryRelation shuffles once at BUILD time, which is fine)
+      def probeShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val n = p.getClass.getSimpleName
+        if (n.contains("BroadcastExchange") || n.contains("InMemoryTableScan")) 0
+        else (if (n.contains("ShuffleExchange")) 1 else 0) +
+          p.children.map(probeShuffles).sum
+      }
+      assert(probeShuffles(plan) == 0, s"unexpected probe-side shuffle:\n$s")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("IVF top-1 recall vs brute force is sane and never beats it") {
     import graft.queries.{IvfQueries, TextQueries}
     val d = "/root/testdata/sf0.001"
