@@ -166,7 +166,7 @@ object InferDbPipeline {
         .setPredictionCol(predictionCol)
         .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
         .setLayers(Array(nFeatures, config.mlpHidden, k))
-        .setSeed(42).setMaxIter(60)
+        .setSeed(42).setMaxIter(40)
         .fit(data)
     case _ =>
       new LogisticRegression()
