@@ -78,6 +78,18 @@ object TextQueries {
         .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
         .select("canonical_id", "n_copies")),
 
+    // Exact dedup, 100 TB shape: group on the 8-byte FINGERPRINT
+    // instead of the full document, so the shuffle moves hashes + ids,
+    // not content. (Collision odds at P≈2^30 are the trade; a real
+    // deployment pairs fp with length or re-verifies within groups —
+    // t_dedup_exact above is the content-exact baseline.)
+    "t_dedup_exact_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), charHash(col("text")).as("fp"), length(col("text")).as("len"))
+        .groupBy("fp", "len")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select("canonical_id", "n_copies")),
+
     // Rolling-hash document fingerprint (one fused projection).
     "t_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -297,6 +309,10 @@ object TextQueries {
     "t_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+    "t_dedup_exact_hash" ->
+      s"""SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM (SELECT doc_id, ${chSql("text")} AS fp, length(text) AS len FROM documents)
+         |GROUP BY fp, len""".stripMargin,
     "t_fingerprint" ->
       s"SELECT doc_id, ${chSql("text")} AS fp FROM documents",
     "t_minhash_sig" ->
