@@ -185,9 +185,15 @@ object TextKernels {
   }
 }
 
-/** Σ a_i·b_i accumulated in double, sequential order. Accepts
-  * array<float> or array<double> on either side. */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+/** Shared scaffolding for binary array<float|double> -> double kernels:
+  * type checking, float/double element dispatch, and the null-boxing
+  * eval/codegen pattern. Subclasses supply the kernel method name on
+  * [[VectorKernels]] (also used in generated Java, so it must be a
+  * static-forwardable object method). */
+sealed trait VectorBinaryKernel extends BinaryExpression {
+  /** VectorKernels method: (ArrayData, ArrayData, Boolean, Boolean) -> java.lang.Double */
+  protected def kernelName: String
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // length mismatch / null element -> null
 
@@ -195,62 +201,42 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
-  private def isFloat(e: Expression): Boolean =
+  protected def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
-
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+      s"$prettyName requires array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("dot")
+      val r = ctx.freshName("vk")
       s"""
-       |java.lang.Double $r = graft.plans.VectorKernels.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});
+       |java.lang.Double $r = graft.plans.VectorKernels.$kernelName($a, $b, ${isFloat(left)}, ${isFloat(right)});
        |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
+}
 
+/** Σ a_i·b_i accumulated in double, sequential order. Accepts
+  * array<float> or array<double> on either side. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryKernel {
+  override protected def kernelName: String = "dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
   override def prettyName: String = "graft_dot"
 }
 
 /** Σ (a_i - b_i)² — squared L2 distance, same contract as [[DotProduct]]. */
-case class L2DistSq(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-
-  private def elemOk(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => true
-    case _ => false
-  }
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_l2sq requires array<float|double> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
-
+case class L2DistSq(left: Expression, right: Expression) extends VectorBinaryKernel {
+  override protected def kernelName: String = "l2Sq"
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.l2Sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("l2")
-      s"""
-       |java.lang.Double $r = graft.plans.VectorKernels.l2Sq($a, $b, ${isFloat(left)}, ${isFloat(right)});
-       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
-       """.stripMargin
-    })
-
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
     copy(left = l, right = r)
   override def prettyName: String = "graft_l2sq"

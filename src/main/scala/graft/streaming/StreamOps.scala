@@ -111,9 +111,10 @@ object StreamOps {
   def foreachBatchSink(
       df: DataFrame,
       transform: DataFrame => DataFrame,
-      write: (DataFrame, Long) => Unit) =
+      write: (DataFrame, Long) => Unit,
+      mode: OutputMode = OutputMode.Append()) =
     df.writeStream
-      .outputMode(OutputMode.Append())
+      .outputMode(mode)
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         write(transform(batch), id))
       .start()

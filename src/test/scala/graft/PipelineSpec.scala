@@ -262,6 +262,7 @@ class PipelineSpec extends AnyFunSuite {
       task = Task.Classification, maxBins = 4)
     val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
     // AQE off so executedPlan is the materialized tree, not a wrapper
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = fitted.transform(df, "p").queryExecution.executedPlan
@@ -281,7 +282,7 @@ class PipelineSpec extends AnyFunSuite {
           p.children.map(probeShuffles).sum
       }
       assert(probeShuffles(plan) == 0, s"unexpected probe-side shuffle:\n$s")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   test("IVF top-1 recall vs brute force is sane and never beats it") {
