@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.TextHash
+import graft.plans.TextKernels
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM sampled-property tests for the codegen kernels against
+  * naive reference implementations — these guard the rolling-hash
+  * composition (H(s||t) = H(s)·31^len(t) + H(t) mod P) and the
+  * distinct/ordering conventions the DuckDB oracle depends on.
+  * Deterministic seed; hundreds of cases incl. empty tokens / short
+  * docs / repeated shingles.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  private val P = TextHash.P
+  private val rnd = new scala.util.Random(1234)
+
+  private def refHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+
+  /** Random doc: 0-12 tokens, tokens 0-8 alnum chars (empties common so
+    * the split(" ", -1) keep-empties convention is exercised). */
+  private def randomDoc(): String = {
+    val n = rnd.nextInt(13)
+    Seq.fill(n) {
+      val len = rnd.nextInt(9)
+      Seq.fill(len)(("abcdefgh0123" ) (rnd.nextInt(12))).mkString
+    }.mkString(" ")
+  }
+
+  test("polyHash == character fold for arbitrary ASCII strings") {
+    val samples = Seq("", "a", " ", "a b c") ++
+      (1 to 300).map(_ => Seq.fill(rnd.nextInt(40))((' ' + rnd.nextInt(95)).toChar).mkString)
+    samples.foreach { s =>
+      assert(TextKernels.polyHash(UTF8String.fromString(s)) == refHash(s), s"for '$s'")
+    }
+  }
+
+  test("minhashSig == naive shingle-hash mins (rolling-hash composition)") {
+    (1 to 400).foreach { _ =>
+      val text = randomDoc()
+      val toks = text.split(" ", -1)
+      val got = Option(TextKernels.minhashSig(UTF8String.fromString(text)))
+        .map(_.toLongArray.toSeq)
+      if (toks.length < 3) assert(got.isEmpty, s"for '$text'")
+      else {
+        val shingleHashes = (0 to toks.length - 3)
+          .map(i => refHash(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"))
+        val want = (0 until TextHash.NumPerms).map { k =>
+          shingleHashes.map(h => (h * TextHash.permA(k) + TextHash.permB(k)) % P).min
+        }
+        assert(got.contains(want), s"for '$text'")
+      }
+    }
+  }
+
+  test("simhash == naive distinct-token bit sums") {
+    (1 to 400).foreach { _ =>
+      val text = randomDoc()
+      val distinct = text.split(" ", -1).distinct
+      val want = (0 until 16).map { j =>
+        val s = distinct.map(t => if (((refHash(t) >> j) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << j else 0L
+      }.sum
+      assert(TextKernels.simhash(UTF8String.fromString(text)) == want, s"for '$text'")
+    }
+  }
+
+  test("shingleSet == distinct 3-grams in first-occurrence order") {
+    (1 to 400).foreach { _ =>
+      val text = randomDoc()
+      val toks = text.split(" ", -1)
+      val want =
+        if (toks.length < 3) Seq.empty
+        else (0 to toks.length - 3)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+      val got = TextKernels.shingleSet(UTF8String.fromString(text))
+        .toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      assert(got == want, s"for '$text'")
+    }
+  }
+
+  test("LocalScorer.prefix == first-n-fields (substring_index semantics)") {
+    (1 to 400).foreach { _ =>
+      val k = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(31)).mkString(".")
+      val n = 1 + rnd.nextInt(6)
+      val fields = k.split("\\.", -1)
+      val want = if (fields.length <= n) k else fields.take(n).mkString(".")
+      assert(graft.core.LocalScorer.prefix(k, n) == want, s"for '$k' n=$n")
+    }
+  }
+}
