@@ -44,9 +44,11 @@ object TextQueries {
       // docs with <3 tokens have no shingles (NULL sig): drop them,
       // matching the oracle's shingle CTE (which emits no rows for
       // them) — otherwise they'd all share the empty signature and
-      // pair as false dups.
+      // pair as false dups. The predicate is on TOKEN COUNT, not
+      // sig.isNotNull: a sig-dependent filter gets pushed below the
+      // projection and re-runs the signature kernel per row.
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), TextHash.minhashSignature(col("text")).as("sig"))
-      .filter(col("sig").isNotNull)
       .select(
         col("doc_id") +: (0 until NumPerms).map(k =>
           element_at(col("sig"), k + 1).as(s"m$k")): _*)
