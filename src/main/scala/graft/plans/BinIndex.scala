@@ -143,7 +143,10 @@ object GraftExtensions {
       arity("simhash16", 1)(c => SimHash16(c.head))),
     (FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
-      arity("shingle_set", 1)(c => ShingleSet(c.head))))
+      arity("shingle_set", 1)(c => ShingleSet(c.head))),
+    (FunctionIdentifier("intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
+      arity("intersect_size", 2)(c => IntersectSize(c(0), c(1)))))
 
   /** Register all graft functions on an already-built session
     * (getOrCreate ignores withExtensions when a session exists). */

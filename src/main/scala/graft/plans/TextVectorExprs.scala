@@ -163,6 +163,28 @@ object TextKernels {
     fp
   }
 
+  /** |a ∩ b| over string arrays, null elements ignored (arrays here are
+    * produced by ShingleSet, containsNull = false). DISTINCT count —
+    * matches size(array_intersect(a, b)). */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val (small, big, ns, nb2) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[String](ns * 2)
+    var i = 0
+    while (i < ns) {
+      if (!small.isNullAt(i)) set.add(small.getUTF8String(i).toString)
+      i += 1
+    }
+    var cnt = 0L
+    i = 0
+    while (i < nb2 && !set.isEmpty) {
+      if (!big.isNullAt(i) && set.remove(big.getUTF8String(i).toString)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
   /** Distinct word-3-gram shingles in first-occurrence order (the
     * `array_distinct(shingles(...))` contract); empty for < 3 tokens. */
   def shingleSet(s: UTF8String): ArrayData = {
@@ -301,6 +323,31 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
   override def prettyName: String = "shingle_set"
 }
 
+/** |a ∩ b| for two string arrays (distinct semantics — the
+  * size(array_intersect(...)) idiom) as one hash-set pass. */
+case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_size requires array<string> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TextKernels.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+    copy(left = l, right = r)
+  override def prettyName: String = "intersect_size"
+}
+
 /** Column-API entry points for the codegen'd text/vector kernels. */
 object TextVectorExprs {
   private def expr(c: Column) = GraftColumnBridge.expression(c)
@@ -310,4 +357,6 @@ object TextVectorExprs {
   def minhashSig(s: Column): Column = GraftColumnBridge.column(MinHashSig(expr(s)))
   def simhash16(s: Column): Column = GraftColumnBridge.column(SimHash16(expr(s)))
   def shingleSet(s: Column): Column = GraftColumnBridge.column(ShingleSet(expr(s)))
+  def intersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntersectSize(expr(a), expr(b)))
 }

@@ -139,7 +139,7 @@ object TextQueries {
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       a.join(b, col("doc_b") === col("doc_a") + 1)
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+          graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).as("inter"),
           size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
         .filter(col("inter") > 0)
         .select(col("doc_a"), col("doc_b"), col("inter"),

@@ -81,6 +81,17 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("intersectSize == size(array_intersect) distinct semantics") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Seq[String]) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    (1 to 400).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(10))(s"t${rnd.nextInt(8)}")
+      val b = Seq.fill(rnd.nextInt(10))(s"t${rnd.nextInt(8)}")
+      val want = (a.distinct intersect b.distinct).length.toLong
+      assert(TextKernels.intersectSize(arr(a), arr(b)) == want, s"for $a vs $b")
+    }
+  }
+
   test("LocalScorer.prefix == first-n-fields (substring_index semantics)") {
     (1 to 400).foreach { _ =>
       val k = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(31)).mkString(".")
