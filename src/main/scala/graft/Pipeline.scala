@@ -159,8 +159,11 @@ object InferDbPipeline {
         .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
         .fit(data)
     case (_, "mlp") =>
-      // labels are 0..k-1 doubles by construction, so max+1 = #classes
-      val k = data.agg(max(col(labelCol))).head().getDouble(0).toInt + 1
+      // labels are 0..k-1 doubles by construction, so max+1 = #classes;
+      // clamped to >=2 because a degenerate re-fit label (populatedEntries
+      // trains on model predictions, which can collapse to one class) would
+      // otherwise yield a 1-unit output layer that MLP rejects.
+      val k = math.max(2, data.agg(max(col(labelCol))).head().getDouble(0).toInt + 1)
       new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
         .setPredictionCol(predictionCol)

@@ -56,7 +56,13 @@ final case class NumericBins(splits: Array[Double]) extends BinSpec {
     else v match {
       case null => splits.length.toLong
       case n: java.lang.Number => graft.plans.BinIndex.lookup(splits, n.doubleValue())
-      case _ => splits.length.toLong // non-numeric -> overflow (TypeError path)
+      // Mirror toColumn's implicit string->double cast so the driver-local
+      // scorer agrees with the distributed probe on stringly-typed inputs;
+      // unparseable strings fall through to the overflow (TypeError) bin.
+      case other => other.toString.toDoubleOption match {
+        case Some(dv) => graft.plans.BinIndex.lookup(splits, dv)
+        case None => splits.length.toLong
+      }
     }
 }
 

@@ -29,10 +29,14 @@ object Metrics {
       .withColumn("recall",
         when(col("tp") + col("fn") === 0, 0.0)
           .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))))
+      // f1 in the single-division algebraic form 2*tp/(2*tp+fp+fn): the
+      // classic 2*p*r/(p+r) is a multi-op FP expression whose last ulp
+      // depends on evaluation order and differs between engines; a lone
+      // division of exact integers is bit-identical everywhere.
       .withColumn("f1",
-        when(col("precision") + col("recall") === 0, 0.0)
-          .otherwise(lit(2.0) * col("precision") * col("recall") /
-            (col("precision") + col("recall"))))
+        when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))))
   }
 
   /** Macro-averaged multi-class report: per-label one-vs-rest
@@ -54,8 +58,10 @@ object Metrics {
         sum(lit(1L) - col("isP")).as("trueCnt"))
       .withColumn("precision", when(col("predCnt") === 0, 0.0).otherwise(col("tp") / col("predCnt")))
       .withColumn("recall", when(col("trueCnt") === 0, 0.0).otherwise(col("tp") / col("trueCnt")))
-      .withColumn("f1", when(col("precision") + col("recall") === 0, 0.0)
-        .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall"))))
+      // Same single-division form as binaryReport: for one-vs-rest counts
+      // 2*p*r/(p+r) reduces algebraically to 2*tp/(predCnt+trueCnt).
+      .withColumn("f1", when(col("predCnt") + col("trueCnt") === 0, 0.0)
+        .otherwise((lit(2L) * col("tp")).cast("double") / (col("predCnt") + col("trueCnt"))))
     byLabel.agg(
       avg("precision").as("macro_precision"),
       avg("recall").as("macro_recall"),

@@ -144,6 +144,10 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       arity("shingle_set", 1)(c => ShingleSet(c.head))),
+    // intersect_size(a, b) == size(array_intersect(a, b)) ONLY for
+    // array<string NOT NULL>; nullable-element arrays are rejected at
+    // analysis time (array_intersect counts a shared null, the kernel
+    // does not — refusing the type keeps the equivalence honest).
     (FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
       arity("intersect_size", 2)(c => IntersectSize(c(0), c(1)))))

@@ -328,14 +328,18 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
 case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
 
+  // containsNull arrays are rejected outright: size(array_intersect(a,b))
+  // counts a shared null element, and the kernel would silently drop it.
+  // Restricting to non-null elements keeps the documented equivalence exact.
   private def elemOk(e: Expression): Boolean = e.dataType match {
-    case ArrayType(StringType, _) => true
+    case ArrayType(StringType, containsNull) => !containsNull
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left) && elemOk(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"intersect_size requires array<string> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+      s"intersect_size requires array<string NOT NULL> inputs (null elements would " +
+        s"diverge from size(array_intersect)), got ${left.dataType.sql}, ${right.dataType.sql}")
 
   override def nullSafeEval(a: Any, b: Any): Any =
     TextKernels.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

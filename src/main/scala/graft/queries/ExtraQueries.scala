@@ -210,14 +210,12 @@ object ExtraQueries {
          |    (SELECT count(*) FROM scored WHERE p = label) AS predcnt,
          |    (SELECT count(*) FROM scored WHERE t = label) AS truecnt
          |  FROM labels),
-         |pr AS (SELECT label,
+         |f AS (SELECT label,
          |    CASE WHEN predcnt = 0 THEN 0.0 ELSE tp::DOUBLE / predcnt END AS precision,
-         |    CASE WHEN truecnt = 0 THEN 0.0 ELSE tp::DOUBLE / truecnt END AS recall
-         |  FROM stats),
-         |f AS (SELECT label, precision, recall,
-         |    CASE WHEN precision + recall = 0 THEN 0.0
-         |         ELSE 2.0 * precision * recall / (precision + recall) END AS f1
-         |  FROM pr)
+         |    CASE WHEN truecnt = 0 THEN 0.0 ELSE tp::DOUBLE / truecnt END AS recall,
+         |    CASE WHEN predcnt + truecnt = 0 THEN 0.0
+         |         ELSE (2 * tp)::DOUBLE / (predcnt + truecnt) END AS f1
+         |  FROM stats)
          |SELECT round(avg(precision), 6) AS macro_precision,
          |       round(avg(recall), 6) AS macro_recall,
          |       round(avg(f1), 6) AS macro_f1

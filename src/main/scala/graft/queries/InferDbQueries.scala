@@ -434,12 +434,10 @@ object InferDbQueries {
          |  (tp + tn)::DOUBLE / (tp + tn + fp + fn) AS accuracy,
          |  (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END) AS precision,
          |  (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) AS recall,
-         |  (CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
-         |           + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) = 0 THEN 0.0
-         |        ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
-         |                 * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)
-         |           / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END)
-         |            + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END)) END) AS f1
+         |  -- Single-division algebraic form: 2*p*r/(p+r) is multi-op FP and
+         |  -- differs from Spark in the last ulp under full-precision hashing.
+         |  (CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |        ELSE (2 * tp)::DOUBLE / (2 * tp + fp + fn) END) AS f1
          |FROM scored""".stripMargin,
     "a8_rmsle" ->
       """SELECT round(sqrt(sum(pow(ln(l_quantity * 25.0 + 100.0 + 1) - ln(l_extendedprice + 1), 2))
