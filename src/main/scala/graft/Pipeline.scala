@@ -31,8 +31,9 @@ object InferDbPipeline {
       maxFeatures: Int = Int.MaxValue,
       maxCandidates: Int = Int.MaxValue, // cap the greedy walk (1 IV job per candidate)
       balanceRatio: Option[Double] = None,
-      model: String = "lr", // "lr" | "gbt" | "mlp" — the index memorizes ANY model
+      model: String = "lr", // "lr" | "gbt" | "dt" | "mlp" — the index memorizes ANY model
       mlpHidden: Int = 8,   // hidden-layer width when model = "mlp"
+      maxOneHot: Int = 64,  // per-categorical one-hot width cap (most-frequent first)
       populatePaths: Boolean = false) // score+insert unfilled key paths (transpiler.py:887)
 
   final case class Fitted(
@@ -147,6 +148,11 @@ object InferDbPipeline {
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
         .setPredictionCol(predictionCol).setSeed(42)
         .fit(data)
+    case (Task.Regression, "dt") =>
+      new org.apache.spark.ml.regression.DecisionTreeRegressor()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol).setSeed(42)
+        .fit(data)
     case (Task.Regression, _) =>
       new LinearRegression()
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
@@ -154,6 +160,12 @@ object InferDbPipeline {
         .fit(data)
     case (_, "gbt") =>
       new org.apache.spark.ml.classification.GBTClassifier()
+        .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+        .setPredictionCol(predictionCol).setSeed(42)
+        .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
+        .fit(data)
+    case (_, "dt") =>
+      new org.apache.spark.ml.classification.DecisionTreeClassifier()
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
         .setPredictionCol(predictionCol).setSeed(42)
         .setProbabilityCol(probaCol).setRawPredictionCol(rawCol)
@@ -222,12 +234,42 @@ object InferDbPipeline {
   }
 
   /** The full trained lifecycle: fitted index, the train frame with
-    * model predictions, and the raw MLlib model (for weight
-    * extraction, e.g. [[graft.models.MlpModel.fromMlpClassifier]]). */
+    * model predictions, the raw MLlib model (for weight extraction,
+    * e.g. [[graft.models.MlpModel.fromMlpClassifier]]), and the fitted
+    * one-hot dictionaries (category order = model input-slot order) so
+    * consumers can map model coefficients back to categories. */
   final case class Trained(
       fitted: Fitted,
       withPred: DataFrame,
-      mlModel: org.apache.spark.ml.Model[_])
+      mlModel: org.apache.spark.ml.Model[_],
+      oneHot: Map[String, Seq[Any]] = Map.empty)
+
+  /** Fitted one-hot dictionary per categorical feature: observed
+    * categories, most-frequent first (ties by value), capped at
+    * `maxOneHot` — the cap bounds model width when a "categorical" is
+    * secretly high-cardinality; rare tail categories encode as all-zeros
+    * exactly like sklearn's handle_unknown="ignore" (the reference's
+    * fitted column transformer, transpiler.py:688-835). One groupBy per
+    * categorical — train-time only, output is category-cardinality-
+    * bounded, never data-bounded.
+    */
+  private def fitOneHot(train: DataFrame, config: Config): Map[String, Seq[Any]] =
+    config.features.filter(config.categorical).map { f =>
+      f -> train.filter(col(f).isNotNull)
+        .groupBy(col(f)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(f))
+        .limit(config.maxOneHot)
+        .collect().map(_.get(0)).toSeq
+    }.toMap
+
+  /** Indicator columns for the fitted dictionary: NULL and unseen
+    * categories are all-zeros (handle_unknown="ignore"). */
+  private def oneHotCols(oneHot: Map[String, Seq[Any]]): Seq[(String, Column)] =
+    oneHot.toSeq.sortBy(_._1).flatMap { case (f, cats) =>
+      cats.zipWithIndex.map { case (c, i) =>
+        s"__oh_${f}_$i" -> when(col(f) === lit(c), 1.0).otherwise(0.0)
+      }
+    }
 
   /** Train an MLlib model on `train`, predict on train, and fit the
     * index from those predictions — the full §3.1 lifecycle in one
@@ -239,32 +281,38 @@ object InferDbPipeline {
     (t.fitted, t.withPred)
   }
 
-  /** Like [[fitWithModel]] but also returns the trained MLlib model. */
+  /** Like [[fitWithModel]] but also returns the trained MLlib model.
+    *
+    * Model inputs are the numeric features plus fitted one-hot
+    * indicators for every categorical feature (the reference one-hots
+    * categoricals into the model via its fitted column transformer,
+    * transpiler.py:688-835 / one-hot template :752-766); the index side
+    * bins the raw categorical (T2) as before.
+    */
   def fitLifecycle(train: DataFrame, config: Config): Trained = {
-    // the MLlib model trains on the numeric features; categorical
-    // candidates still participate in binning/selection for the index
-    // key (the reference one-hots them into the model — omitted here,
-    // the index side is what we memorize).
-    require(Set("lr", "gbt", "mlp").contains(config.model),
-      s"unknown model '${config.model}' — supported: lr, gbt, mlp")
+    require(Set("lr", "gbt", "dt", "mlp").contains(config.model),
+      s"unknown model '${config.model}' — supported: lr, gbt, dt, mlp")
     require(!(config.task == Task.MultiClass && config.model == "gbt"),
       "GBTClassifier is binary-only; use model=\"lr\" (multinomial) for MultiClass")
     require(!(config.task == Task.Regression && config.model == "mlp"),
-      "MultilayerPerceptronClassifier is classification-only; use lr or gbt for Regression")
+      "MultilayerPerceptronClassifier is classification-only; use lr/gbt/dt for Regression")
+    require(config.features.nonEmpty, "fitWithModel needs at least one feature")
     val numeric = config.features.filterNot(config.categorical)
-    require(numeric.nonEmpty,
-      "fitWithModel needs at least one numeric feature for the MLlib model; " +
-        "for all-categorical features, train externally and use fit(train, config, predCol)")
+    val oneHot = fitOneHot(train, config)
+    val oh = oneHotCols(oneHot)
+    val modelInputs = numeric ++ oh.map(_._1)
+    require(modelInputs.nonEmpty, "no model inputs: every categorical is empty")
+    val withOh = oh.foldLeft(train) { case (df, (n, c)) => df.withColumn(n, c) }
     val assembler = new VectorAssembler()
-      .setInputCols(numeric.toArray).setOutputCol("__fv")
-    val assembled = assembler.transform(train).cache()
+      .setInputCols(modelInputs.toArray).setOutputCol("__fv")
+    val assembled = assembler.transform(withOh).cache()
 
-    val model = trainEstimator(config, assembled, numeric.length,
+    val model = trainEstimator(config, assembled, modelInputs.length,
       "__fv", config.target, "__model_pred", "__model_proba", "__model_raw")
     val predicted = model.asInstanceOf[org.apache.spark.ml.Transformer].transform(assembled)
-    val withPred = predicted.drop("__fv").cache()
+    val withPred = predicted.drop("__fv" +: oh.map(_._1): _*).cache()
     val fitted = fit(withPred, config, "__model_pred")
     assembled.unpersist()
-    Trained(fitted, withPred, model)
+    Trained(fitted, withPred, model, oneHot)
   }
 }

@@ -32,13 +32,32 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
   import TextHash._
 
+  /** The minhash ORACLE's generate_series bound (DuckDB can't
+    * lateral-join generate_series on a column arg, so the shingle CTE
+    * uses this fixed cap). The Spark side has no such limit — documents
+    * longer than the cap would silently shingle-truncate ONLY on the
+    * oracle side, so any corpus that could exceed it must fail loudly
+    * instead ([[assertUnderOracleTokenCap]]). Testdata max is 100. */
+  val OracleTokenCap = 1024
+
+  /** Fail-loud guard called by every minhash query whose oracle uses
+    * the shingle CTE: one cheap max-agg over the corpus. */
+  def assertUnderOracleTokenCap(docs: DataFrame): Unit = {
+    val maxTok = docs.agg(max(size(split(col("text"), " ")))).head().getInt(0)
+    require(maxTok <= OracleTokenCap,
+      s"corpus has a $maxTok-token document > the $OracleTokenCap-token " +
+        "minhash-oracle shingle cap: the DuckDB oracle would silently " +
+        "truncate shingles — raise the cap in TextQueries.shingleCte first")
+  }
+
   // Full 16-perm signature in ONE codegen'd expression
   // (plans.MinHashSig): per-token hashes composed into shingle hashes
   // via the rolling-hash identity, mins updated in the same pass. The
   // earlier HOF formulation needed a cache barrier + repartition to be
   // viable (87 s -> 0.6 s for 5000 docs); the kernel needs neither.
   // Values identical to the oracle's explode+groupBy formulation.
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    assertUnderOracleTokenCap(Tables.documents(s, d))
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // single-file source -> spread CPU work
       // docs with <3 tokens have no shingles (NULL sig): drop them,
@@ -52,6 +71,7 @@ object TextQueries {
       .select(
         col("doc_id") +: (0 until NumPerms).map(k =>
           element_at(col("sig"), k + 1).as(s"m$k")): _*)
+  }
 
   // SRP-LSH hyperplanes: deterministic integer pattern, shared with SQL.
   private def hyperplane(k: Int): Array[Double] =
@@ -276,14 +296,14 @@ object TextQueries {
 
   /** (doc_id, shingle) distinct word-3-gram CTE body. DuckDB can't
     * lateral-join generate_series on a column arg, so the series bound
-    * is a fixed cap: 1024 tokens (testdata max is 100; documents above
-    * the cap would silently shingle-truncate ONLY on the oracle side —
-    * keep the cap well above real doc lengths).
+    * is the fixed [[OracleTokenCap]]; [[assertUnderOracleTokenCap]]
+    * fails every minhash query loudly if the corpus ever exceeds it
+    * (silent oracle-side truncation otherwise).
     */
   private val shingleCte =
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-       |       FROM words, generate_series(1, 1024) t(i) WHERE i <= len(w) - 2)""".stripMargin
+       |       FROM words, generate_series(1, $OracleTokenCap) t(i) WHERE i <= len(w) - 2)""".stripMargin
 
   private val minhashCte = {
     val mins = (0 until NumPerms)

@@ -34,11 +34,26 @@ object Report {
     (times(times.length / 2), times.last - times.head, runs.head._2)
   }
 
+  /** The impute/featurize stage (the reference's first report column,
+    * transpiler.py:1434-1441): null-impute every feature — numerics to
+    * 0.0, categoricals to a missing marker — as one projection over the
+    * test frame. The serve path proper routes NULLs to the overflow bin,
+    * so this stage exists to time the reference's report shape, not to
+    * change predictions.
+    */
+  private def featurizeFrame(fitted: Fitted, test: DataFrame): DataFrame =
+    test.select(fitted.config.features.map { f =>
+      if (fitted.config.categorical(f)) coalesce(col(f), lit("__missing__")).as(f)
+      else coalesce(col(f).cast("double"), lit(0.0)).as(f)
+    }: _*)
+
   /** Classification report for a fitted index over a test frame:
     * (solution, size_entries, accuracy, precision, recall, f1,
-    * translate_s, score_s, end_to_end_s, spread_s, n_iterations,
-    * batch_size) — the reference's PG report row shape with the same
-    * stage decomposition and repeated-measurement protocol.
+    * featurize_s, translate_s, score_s, end_to_end_s, spread_s,
+    * n_iterations, batch_size) — the reference's PG report row shape
+    * (impute / encode / score latencies with end-to-end = their sum,
+    * transpiler.py:1434-1441) with the same repeated-measurement
+    * protocol.
     */
   def classificationReport(
       spark: SparkSession,
@@ -47,7 +62,9 @@ object Report {
       target: String,
       solution: String = "graft-kv-index",
       iterations: Int = 5): DataFrame = {
-    val (translateS, translateSpread, batch) =
+    val (featurizeS, featurizeSpread, batch) =
+      timedEval(featurizeFrame(fitted, test), iterations)
+    val (translateS, translateSpread, _) =
       timedEval(test.select(fitted.keyColumn.as("key")), iterations)
     val scored = fitted.transform(test, "__p")
     val (scoreS, scoreSpread, _) = timedEval(scored, iterations)
@@ -58,11 +75,11 @@ object Report {
       fitted.indexEntries,
       m.getAs[Double]("accuracy"), m.getAs[Double]("precision"),
       m.getAs[Double]("recall"), m.getAs[Double]("f1"),
-      translateS, scoreS, translateS + scoreS,
-      translateSpread + scoreSpread, iterations, batch
+      featurizeS, translateS, scoreS, featurizeS + translateS + scoreS,
+      featurizeSpread + translateSpread + scoreSpread, iterations, batch
     )).toDF("solution", "size_entries", "accuracy", "precision", "recall",
-      "f1", "translate_s", "score_s", "end_to_end_s", "spread_s",
-      "n_iterations", "batch_size")
+      "f1", "featurize_s", "translate_s", "score_s", "end_to_end_s",
+      "spread_s", "n_iterations", "batch_size")
   }
 
   /** Regression variant: RMSLE in place of the confusion metrics. */
@@ -73,15 +90,18 @@ object Report {
       target: String,
       solution: String = "graft-kv-index",
       iterations: Int = 5): DataFrame = {
-    val (translateS, translateSpread, batch) =
+    val (featurizeS, featurizeSpread, batch) =
+      timedEval(featurizeFrame(fitted, test), iterations)
+    val (translateS, translateSpread, _) =
       timedEval(test.select(fitted.keyColumn.as("key")), iterations)
     val scored = fitted.transform(test, "__p")
     val (scoreS, scoreSpread, _) = timedEval(scored, iterations)
     val rmsle = Metrics.rmsle(scored, col("__p"), col(target)).head().getDouble(0)
     import spark.implicits._
-    Seq((solution, fitted.indexEntries, rmsle, translateS, scoreS,
-      translateS + scoreS, translateSpread + scoreSpread, iterations, batch))
-      .toDF("solution", "size_entries", "rmsle", "translate_s", "score_s",
-        "end_to_end_s", "spread_s", "n_iterations", "batch_size")
+    Seq((solution, fitted.indexEntries, rmsle, featurizeS, translateS, scoreS,
+      featurizeS + translateS + scoreS,
+      featurizeSpread + translateSpread + scoreSpread, iterations, batch))
+      .toDF("solution", "size_entries", "rmsle", "featurize_s", "translate_s",
+        "score_s", "end_to_end_s", "spread_s", "n_iterations", "batch_size")
   }
 }

@@ -86,6 +86,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(modelF1 - indexF1) < 0.1, s"model $modelF1 vs index $indexF1")
   }
 
+  test("one-hot categoricals reach the trained model (and the index reproduces it)") {
+    val rnd = new scala.util.Random(13)
+    // the signal lives ONLY in the categorical: without one-hot inputs
+    // the model can do no better than the base rate
+    val df = (1 to 3000).map { _ =>
+      val c = Seq("a", "b", "c")(rnd.nextInt(3))
+      (rnd.nextDouble(), c, if (c == "b") 1.0 else 0.0)
+    }.toDF("f_noise", "c", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_noise", "c"), categorical = Set("c"),
+      target = "y", task = Task.Classification, maxBins = 4)
+    val t = InferDbPipeline.fitLifecycle(df, cfg)
+    assert(t.oneHot("c").toSet == Set("a", "b", "c"))
+    val lr = t.mlModel.asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // slots: numeric (1) then the one-hot block — a categorical that
+    // never reached the assembler would leave no such coefficients
+    val ohCoefs = lr.coefficients.toArray.drop(1)
+    assert(ohCoefs.length == 3, s"expected 3 one-hot slots, got ${ohCoefs.length}")
+    assert(ohCoefs.exists(w => math.abs(w) > 0.5), ohCoefs.mkString(","))
+    val scored = t.fitted.transform(t.withPred, "index_pred")
+    val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(modelF1 > 0.95, s"categorical signal not learned: F1 $modelF1")
+    assert(math.abs(modelF1 - indexF1) < 0.05, s"model $modelF1 vs index $indexF1")
+  }
+
+  test("dt lifecycle: classification and regression, index reproduces the tree") {
+    val rnd = new scala.util.Random(17)
+    val cls = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      (a, b, if (a > 6 || b < 2) 1.0 else 0.0) // axis-aligned — a tree's home turf
+    }.toDF("f_a", "f_b", "y")
+    val ccfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 8, model = "dt")
+    val ct = InferDbPipeline.fitLifecycle(cls, ccfg)
+    assert(ct.mlModel.isInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel])
+    val cScored = ct.fitted.transform(ct.withPred, "index_pred")
+    val cModelF1 = Metrics.binaryReport(cScored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val cIndexF1 = Metrics.binaryReport(cScored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(cModelF1 > 0.9, s"dt F1 $cModelF1")
+    assert(math.abs(cModelF1 - cIndexF1) < 0.08, s"model $cModelF1 vs index $cIndexF1")
+
+    val reg = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      (a, if (a > 5) 100.0 else 10.0) // step function
+    }.toDF("f_a", "y")
+    val rcfg = InferDbPipeline.Config(Seq("f_a"), target = "y",
+      task = Task.Regression, maxBins = 8, model = "dt")
+    val rt = InferDbPipeline.fitLifecycle(reg, rcfg)
+    assert(rt.mlModel.isInstanceOf[org.apache.spark.ml.regression.DecisionTreeRegressionModel])
+    val rScored = rt.fitted.transform(rt.withPred, "index_pred")
+    val rmsle = Metrics.rmsle(rScored, col("index_pred"), col("y")).head().getDouble(0)
+    assert(rmsle < 0.2, s"dt regression index rmsle $rmsle")
+  }
+
   test("populatePaths: every key path is materialized and served as an exact hit") {
     val rnd = new scala.util.Random(3)
     // both features informative (so greedy keeps both) but with
@@ -298,6 +357,67 @@ class PipelineSpec extends AnyFunSuite {
     val recall = common.count(q => ivf(q)._2 == bf(q)._2).toDouble / common.size
     assert(recall >= 0.35, s"recall@1 $recall") // measured ~0.51 at nprobe 4/16
     common.foreach(q => assert(ivf(q)._3 <= bf(q)._3 + 1e-12)) // ANN can't beat exact
+  }
+
+  test("fitted-KMeans IVF: recall@1 is sane and never beats brute force") {
+    import graft.queries.IvfQueries
+    val row = IvfQueries.defs("x_ann_ivf_kmeans")(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Long]("n_queries") == 100L)
+    val recall = row.getAs[Double]("recall_at_1")
+    assert(recall >= 0.35, s"fitted-quantizer recall@1 $recall")
+    assert(row.getAs[Double]("no_beat_frac") == 1.0, "ANN cosine must not beat exact")
+  }
+
+  test("minhash oracle token cap: an over-cap corpus fails loudly") {
+    import graft.queries.TextQueries
+    val longDoc = Seq((1L, ("tok " * (TextQueries.OracleTokenCap + 5)).trim))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.assertUnderOracleTokenCap(longDoc)
+    }
+    assert(e.getMessage.contains("shingle cap"))
+    // the guard passes a corpus under the cap
+    TextQueries.assertUnderOracleTokenCap(Seq((1L, "a b c d")).toDF("doc_id", "text"))
+  }
+
+  test("x_stream_probe: streamed micro-batch probe equals the one-shot batch probe") {
+    import graft.queries.LearnedQueries
+    val d = "/root/testdata/sf0.001"
+    val streamed = LearnedQueries.defs("x_stream_probe")(spark, d)
+      .select("user_id", "event_type", "value", "prediction")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.nonEmpty)
+    // batch equivalent: same index, same probe, no streaming
+    val events = Tables.events(spark, d)
+    import graft.core.{Keys, KvIndexBuilder, NumericBins}
+    val keyCol = Keys.keyColumn(Seq(
+      NumericBins(Array(1.0, 2.0, 3.0)).toColumn(col("user_id") % 4),
+      NumericBins(Array(10.0, 20.0, 30.0)).toColumn(col("value"))))
+    val train = events.filter(col("value") < 30.0)
+      .select(keyCol.as("key"),
+        when(col("event_type") === "click", 1.0).otherwise(0.0).as("pred"))
+    val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 2, Task.Classification)
+    val batch = model.probe(events, keyCol, "prediction")
+      .select(col("user_id"), col("event_type"), col("value"),
+        round(col("prediction"), 6).as("prediction"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("report rows carry the impute/featurize stage with end-to-end = sum") {
+    val df = (1 to 500).map(i => (i.toDouble % 10, if (i % 10 >= 5) 1.0 else 0.0))
+      .toDF("f", "y")
+    val cfg = InferDbPipeline.Config(Seq("f"), target = "y",
+      task = Task.Classification, maxBins = 4)
+    val (fitted, _) = InferDbPipeline.fitWithModel(df, cfg)
+    val rep = graft.report.Report.classificationReport(spark, fitted, df, "y", iterations = 1)
+    val r = rep.head()
+    Seq("featurize_s", "translate_s", "score_s", "end_to_end_s").foreach(c =>
+      assert(rep.columns.contains(c), s"missing column $c"))
+    assert(math.abs(r.getAs[Double]("end_to_end_s") -
+      (r.getAs[Double]("featurize_s") + r.getAs[Double]("translate_s")
+        + r.getAs[Double]("score_s"))) < 1e-9)
   }
 
   test("stream-stream join attributes right events within the window") {
