@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators (SURVEY.md §2.1 S2 bulk load / S6 CTAS),
+  * exercised end-to-end instead of library-only: each query WRITES a
+  * derived layout, reads it back, and asserts the layout actually
+  * changes the physical plan — the two techniques that matter most at
+  * 100 TB, where a scan that can't skip data and a join that reshuffles
+  * both sides are the dominant costs.
+  *
+  * Reference behavior: bulk load + CTAS in
+  * /root/reference/src/database_connect.py (table materialization) —
+  * re-expressed here as partitioned/bucketed parquet, the Spark-native
+  * equivalents of clustered physical layout.
+  */
+object StorageQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sumCents(c: org.apache.spark.sql.Column) =
+    sum(round(c * 100).cast("long")) / 100.0
+
+  /** CTAS into a hive-partitioned layout, then a filtered read-back.
+    * At 100 TB, partitioning on a low-cardinality predicate column means
+    * the filter prunes whole directories before any IO is scheduled.
+    * The query REQUIRES the pruning to show up in the physical plan
+    * (PartitionFilters on the scan) — a silent full scan fails loudly.
+    */
+  private def ctasPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ctas_part").toString
+    Tables.orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+
+    val back = s.read.parquet(tmp).filter(col("o_orderstatus") === "F")
+    val res = back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumCents(col("o_totalprice")).as("revenue"))
+
+    val scans = res.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f
+    }
+    require(
+      scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "o_orderstatus"))),
+      s"partition pruning missing from scan: ${res.queryExecution.sparkPlan}")
+    res
+  }
+
+  /** Bulk load into bucketed tables + shuffle-free big-big join.
+    * Both sides are bucketed on the join key with the same bucket count,
+    * so the sort-merge join zips matching buckets and the follow-up
+    * aggregation on the same key reuses the bucket partitioning: ZERO
+    * shuffle exchanges in the whole plan (asserted). This is the
+    * co-located-join strategy for repeated fact-fact joins at 100 TB —
+    * pay the layout once at load, never reshuffle at query time.
+    * `hint("merge")` keeps it a genuine big-big SMB join (no broadcast).
+    */
+  private def bucketedSmbJoin(s: SparkSession, d: String): DataFrame = {
+    val tmpO = java.nio.file.Files.createTempDirectory("graft_bucket_o").toString
+    val tmpL = java.nio.file.Files.createTempDirectory("graft_bucket_l").toString
+    Tables.orders(s, d).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", tmpO).saveAsTable("graft_orders_bucketed")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", tmpL).saveAsTable("graft_lineitem_bucketed")
+
+    val o = s.table("graft_orders_bucketed")
+    val l = s.table("graft_lineitem_bucketed")
+    val res = o.hint("merge")
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("cnt"),
+        sumCents(col("l_extendedprice")).as("revenue"))
+
+    val shuffles = res.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    require(shuffles.isEmpty,
+      s"bucketed join must be shuffle-free, found ${shuffles.size} exchanges:\n" +
+        res.queryExecution.sparkPlan)
+    res
+  }
+
+  val defs: Map[String, Q] = Map(
+    "s6_ctas_partition_prune" -> ctasPartitionPrune,
+    "s2_bucketed_smb_join" -> bucketedSmbJoin
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s6_ctas_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "s2_bucketed_smb_join" ->
+      """SELECT o_orderkey, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin
+  )
+}
