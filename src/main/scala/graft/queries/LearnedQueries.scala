@@ -189,8 +189,11 @@ object LearnedQueries {
     // The reference's one-row report (size + metrics + stage latencies;
     // rows-only: latencies are wall-clock).
     "x_report" -> ((s, d) => {
-      val (f, _) = fitted(s, d)
-      graft.report.Report.classificationReport(s, f, trainFrame(s, d), "target")
+      // report over the memoized CACHED train frame: the reference times
+      // its stages over a database-resident table, so the analog is a
+      // resident (cached) DataFrame — not 15 re-reads of cold parquet.
+      val (f, withPred) = fitted(s, d)
+      graft.report.Report.classificationReport(s, f, withPred, "target")
     }),
 
     // Regression lifecycle e2e (T11 log-target + A1 mean index + A8

@@ -85,9 +85,34 @@ object StorageQueries {
     res
   }
 
+  /** Deterministic salted skew join as a driver-checkable query.
+    * The per-type frequency dim is forced onto the shuffle-hash path
+    * (no broadcast — asserted), so the salt genuinely splits each hot
+    * `event_type` across `saltFactor` shuffle partitions: the 100 TB
+    * remedy when one key holds 30% of the rows and the dim side is too
+    * big (or too wide) to broadcast. Salt is a hash of `event_id`, not
+    * rand(), so retries and the DuckDB oracle agree exactly.
+    */
+  private def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val stats = e.groupBy("event_type").agg(count(lit(1)).as("type_freq"))
+    val res = graft.core.SkewJoin
+      .saltedJoin(e, stats.hint("shuffle_hash"), "event_type", "event_id")
+      .select("event_id", "event_type", "type_freq")
+
+    val broadcasts = res.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    require(broadcasts.isEmpty,
+      "salted skew join must take the shuffle path, found a broadcast:\n" +
+        res.queryExecution.sparkPlan)
+    res
+  }
+
   val defs: Map[String, Q] = Map(
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
-    "s2_bucketed_smb_join" -> bucketedSmbJoin
+    "s2_bucketed_smb_join" -> bucketedSmbJoin,
+    "j_skew_salted" -> skewSaltedJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -99,6 +124,11 @@ object StorageQueries {
       """SELECT o_orderkey, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderkey""".stripMargin
+        |GROUP BY o_orderkey""".stripMargin,
+    "j_skew_salted" ->
+      """SELECT e.event_id, e.event_type, t.type_freq
+        |FROM events e JOIN (
+        |  SELECT event_type, count(*) AS type_freq FROM events GROUP BY event_type) t
+        | ON e.event_type = t.event_type""".stripMargin
   )
 }

@@ -26,6 +26,16 @@ class StorageQueriesSpec extends AnyFunSuite {
     assert(row.getAs[Double]("revenue") == direct.getAs[Double]("revenue"))
   }
 
+  test("j_skew_salted: salted shuffle join equals plain join") {
+    val res = StorageQueries.defs("j_skew_salted")(spark, sf)
+    val e = Tables.events(spark, sf)
+    val direct = e.groupBy("event_type").agg(count(lit(1)).as("type_freq"))
+      .join(e, "event_type")
+      .select("event_id", "event_type", "type_freq")
+    assert(res.count() == direct.count())
+    assert(res.join(direct, Seq("event_id", "event_type", "type_freq")).count() == direct.count())
+  }
+
   test("s2_bucketed_smb_join: shuffle-free result equals plain join") {
     val res = StorageQueries.defs("s2_bucketed_smb_join")(spark, sf)
     val o = Tables.orders(spark, sf)
