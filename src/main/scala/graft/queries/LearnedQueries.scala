@@ -310,6 +310,28 @@ object LearnedQueries {
         .select(unix_timestamp(col("window_start")).as("wstart"),
           col("event_type"), col("cnt"), col("sum_value")))
 ,
+    // mapGroupsWithState sessionization (the custom-state escape hatch),
+    // run on the batch frame — identical code on a stream. The trailing
+    // (final) session per user is deterministic given a total event
+    // order, so even the stateful surface gets a full oracle
+    // (gaps-and-islands SQL). Guard: the per-user order is total only if
+    // (user_id, ts) is unique — tied timestamps could land on either
+    // side of a session break in the oracle's window ordering, so a
+    // regenerated corpus with ties fails loudly instead of flaking.
+    "x_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dups = ev.agg(
+        (count(lit(1)) - count_distinct(struct(col("user_id"), col("ts")))).as("d"))
+        .head().getLong(0)
+      require(dups == 0L,
+        s"x_sessionize needs unique (user_id, ts); found $dups duplicate pairs")
+      val e = ev.select(col("user_id"), col("ts"), col("value"))
+        .as[StreamOps.Event]
+      StreamOps.sessionize(e).toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_value") * 1000).cast("long").as("sum_millis"))
+    }),
     // Streaming PROBE through the foreachBatch sink: the events parquet
     // is replayed as a file STREAM, each micro-batch scored by the
     // learned index (`model.probe` — stateless broadcast joins, the
@@ -382,6 +404,28 @@ object LearnedQueries {
         |  count(*) AS cnt,
         |  sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // final session per user: gaps-and-islands with a 30-min gap; the
+    // session sum is reported as integer thousandths (the 3-decimal
+    // values sum exactly there, so the code's sequential double fold and
+    // the oracle's sum round to the same integer).
+    "x_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR date_diff('millisecond',
+        |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |last AS (SELECT user_id, max(sid) AS msid FROM sess GROUP BY user_id)
+        |SELECT s.user_id, count(*) AS n_events,
+        |  CAST(round(sum(s.value) * 1000) AS BIGINT) AS sum_millis
+        |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid = l.msid
+        |GROUP BY s.user_id""".stripMargin,
     "x_stream_probe" -> {
       val sKey = Seq(
         SqlGen.binCase("user_id % 4", Seq(1.0, 2.0, 3.0)),

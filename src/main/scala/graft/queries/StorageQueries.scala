@@ -61,10 +61,15 @@ object StorageQueries {
   private def bucketedSmbJoin(s: SparkSession, d: String): DataFrame = {
     val tmpO = java.nio.file.Files.createTempDirectory("graft_bucket_o").toString
     val tmpL = java.nio.file.Files.createTempDirectory("graft_bucket_l").toString
-    Tables.orders(s, d).write.mode("overwrite")
+    // CTAS with an explicit projection: load only the columns the
+    // downstream joins need — at 100 TB the bucketed copy is a derived
+    // layout, not a second full copy of the table.
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", tmpO).saveAsTable("graft_orders_bucketed")
-    Tables.lineitem(s, d).write.mode("overwrite")
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", tmpL).saveAsTable("graft_lineitem_bucketed")
 
