@@ -318,6 +318,33 @@ object LearnedQueries {
     // (user_id, ts) is unique — tied timestamps could land on either
     // side of a session break in the oracle's window ordering, so a
     // regenerated corpus with ties fails loudly instead of flaking.
+    // Stream-stream interval join (click -> purchase attribution within
+    // 1 h per user), run on batch frames — the join predicate is
+    // identical on watermarked streams, so the batch oracle checks the
+    // streaming operator's semantics. Timestamps are emitted as floored
+    // epoch seconds (both engines floor), values compared verbatim.
+    "x_stream_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      StreamOps.streamStreamJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"),
+          unix_timestamp(col("l_ts")).as("click_ts"),
+          col("l_value").as("click_value"),
+          unix_timestamp(col("r_ts")).as("purchase_ts"),
+          col("r_value").as("purchase_value"))
+    }),
+
+    // Watermark-bounded streaming dedup, run on batch: the table
+    // unioned with itself simulates at-least-once redelivery; the dedup
+    // (exact key + event time) collapses it back to the distinct set.
+    "x_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      StreamOps.dedupStream(ev.union(ev), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ets"))
+    }),
+
     "x_sessionize" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -408,6 +435,24 @@ object LearnedQueries {
     // session sum is reported as integer thousandths (the 3-decimal
     // values sum exactly there, so the code's sequential double fold and
     // the oracle's sum round to the same integer).
+    "x_stream_interval_join" ->
+      """SELECT l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS click_ts,
+        |  l.value AS click_value,
+        |  CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_ts,
+        |  r.value AS purchase_value
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR""".stripMargin,
+    // dedup key is (user_id, event_type, exact ts) and (user_id, ts) is
+    // unique, so the deduped union is exactly the original table — the
+    // oracle is the plain projection (NOT DISTINCT over floored seconds,
+    // which would collapse same-second events the engine keeps apart).
+    "x_stream_dedup" ->
+      """SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ets
+        |FROM events""".stripMargin,
     "x_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,
