@@ -304,6 +304,17 @@ object LearnedQueries {
       Multimodal.decode(Multimodal.fromDocuments(Tables.documents(s, d)))
         .select("media_id", "media_type", "byte_len", "width", "height", "n_frames")),
 
+    // Frame sampling over decoded media (every 2nd frame id), exploded
+    // to (media_id, frame_id) rows: the multimodal frame-sample op is
+    // pure column expressions over decoded metadata, so it oracles
+    // through the same stub arithmetic as x_multimodal_decode.
+    "x_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.decode(Multimodal.fromDocuments(Tables.documents(s, d))),
+          stride = 2)
+        .select(col("media_id"), explode(col("frame_ids")).as("f"))
+        .select(col("media_id"), col("f").cast("long").as("frame_id"))),
+
     // Tumbling-window aggregate (same code path batch + streaming).
     "x_stream_window" -> ((s, d) =>
       StreamOps.windowedCounts(Tables.events(s, d), exactSums = true)
@@ -425,6 +436,11 @@ object LearnedQueries {
          |  ($chSql) % 640 AS width,
          |  (($chSql) // 640) % 480 AS height,
          |  length($asciiText) // 100 + 1 AS n_frames
+         |FROM documents""".stripMargin,
+    "x_multimodal_frames" ->
+      s"""SELECT doc_id AS media_id,
+         |  unnest([i FOR i IN range(0, (length($asciiText) // 100 + 1)::BIGINT)
+         |          IF i % 2 = 0]) AS frame_id
          |FROM documents""".stripMargin,
     "x_stream_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS wstart, event_type,
