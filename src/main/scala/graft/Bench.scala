@@ -108,8 +108,8 @@ object Bench {
       else (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
     if (sink.isNaN) println("unreachable") // keep the loop observable
 
-    // fitted-quantizer ANN quality next to the timings (the KMeans fit
-    // is memoized, so this re-run only pays the search)
+    // fitted-quantizer ANN quality next to the timings (the query's
+    // one-row result is collect-once memoized, so this read is free)
     val ivfRecall = try SparkEntry.queries("x_ann_ivf_kmeans")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
 

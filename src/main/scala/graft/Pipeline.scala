@@ -302,7 +302,11 @@ object InferDbPipeline {
     val oh = oneHotCols(oneHot)
     val modelInputs = numeric ++ oh.map(_._1)
     require(modelInputs.nonEmpty, "no model inputs: every categorical is empty")
-    val withOh = oh.foldLeft(train) { case (df, (n, c)) => df.withColumn(n, c) }
+    // one projection for all indicators — withColumn-per-indicator would
+    // re-analyze the growing plan once per column
+    val withOh =
+      if (oh.isEmpty) train
+      else train.select(col("*") +: oh.map { case (n, c) => c.as(n) }: _*)
     val assembler = new VectorAssembler()
       .setInputCols(modelInputs.toArray).setOutputCol("__fv")
     val assembled = assembler.transform(withOh).cache()

@@ -113,7 +113,7 @@ object IvfQueries {
     // brute-force top-1 so the fitted quantizer's quality is measured,
     // not assumed. Rows-only (MLlib cluster internals are not
     // SQL-expressible); same cell-keyed equi-join search shape.
-    "x_ann_ivf_kmeans" -> ((s, d) => {
+    "x_ann_ivf_kmeans" -> ((s, d) => kmeansResult.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -149,14 +149,22 @@ object IvfQueries {
         .groupBy("q_id")
         .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
         .select(col("q_id"), col("x.n_id").as("bf_id"), col("x.cos").as("bf_cos"))
-      ivfTop.join(bfTop, Seq("q_id"))
+      val res = ivfTop.join(bfTop, Seq("q_id"))
         .agg(
           lit(K).as("k"), lit(NProbe).as("nprobe"),
           count(lit(1)).as("n_queries"),
           avg((col("ivf_id") === col("bf_id")).cast("double")).as("recall_at_1"),
           avg((col("ivf_cos") <= col("bf_cos") + 1e-12).cast("double")).as("no_beat_frac"))
-    })
+      // collect-once memo: the 1-row result includes a brute-force
+      // crossJoin baseline, so Bench's recall extraction must not
+      // re-execute it — the first (timed) invocation pays, later
+      // invocations get the materialized row back.
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    }))
   )
+
+  private val kmeansResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   // ---- oracle ----
   private def centSql(k: Int): String =

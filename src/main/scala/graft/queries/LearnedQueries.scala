@@ -45,6 +45,20 @@ object LearnedQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Any]
   private def memoized[T](s: SparkSession, d: String, key: String)(f: => T): T =
     memo.getOrElseUpdate((s, d, key), f).asInstanceOf[T]
+  // (user_id, ts) uniqueness underpins BOTH the sessionize oracle's tie
+  // order and the stream-dedup oracle's plain projection; memoized so
+  // timed invocations don't re-pay the scan.
+  private val tsUnique =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private def assertEventsTsUnique(s: SparkSession, d: String): Unit =
+    tsUnique.getOrElseUpdate((s, d), {
+      val dups = Tables.events(s, d).agg(
+        (count(lit(1)) - count_distinct(struct(col("user_id"), col("ts")))).as("d"))
+        .head().getLong(0)
+      require(dups == 0L,
+        s"events needs unique (user_id, ts); found $dups duplicate pairs")
+    })
+
   private def fitted(s: SparkSession, d: String) =
     memoized(s, d, "binary_e2e") {
       val df = trainFrame(s, d)
@@ -128,8 +142,12 @@ object LearnedQueries {
       }
       val lr = t.mlModel
         .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
-      // slots: 2 numeric then the one-hot block (fitOneHot order)
-      val ohWeight = lr.coefficients.toArray.drop(2).map(math.abs).max
+      // slots: numeric features first, then the one-hot block (fitOneHot
+      // order) — derive the offset from the config so a feature-list
+      // edit can't silently shift the block
+      val numericSlots = t.fitted.config.features
+        .count(f => !t.fitted.config.categorical(f))
+      val ohWeight = lr.coefficients.toArray.drop(numericSlots).map(math.abs).max
       val scored = t.fitted.transform(t.withPred, "index_pred")
       val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("target"))
         .select("f1").head().getDouble(0)
@@ -350,6 +368,10 @@ object LearnedQueries {
     // unioned with itself simulates at-least-once redelivery; the dedup
     // (exact key + event time) collapses it back to the distinct set.
     "x_stream_dedup" -> ((s, d) => {
+      // the plain-projection oracle is valid only while the dedup key
+      // is unique in the corpus — fail loudly on a regenerated corpus
+      // with duplicates instead of surfacing a confusing hash mismatch
+      assertEventsTsUnique(s, d)
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
       StreamOps.dedupStream(ev.union(ev), Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"),
@@ -358,13 +380,8 @@ object LearnedQueries {
 
     "x_sessionize" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-      val dups = ev.agg(
-        (count(lit(1)) - count_distinct(struct(col("user_id"), col("ts")))).as("d"))
-        .head().getLong(0)
-      require(dups == 0L,
-        s"x_sessionize needs unique (user_id, ts); found $dups duplicate pairs")
-      val e = ev.select(col("user_id"), col("ts"), col("value"))
+      assertEventsTsUnique(s, d)
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
         .as[StreamOps.Event]
       StreamOps.sessionize(e).toDF()
         .select(col("user_id"), col("n_events"),
@@ -387,9 +404,9 @@ object LearnedQueries {
       // file — stage it as 4 files so maxFilesPerTrigger=1 genuinely
       // replays the table as 4 micro-batches
       val raw = s.read.parquet(s"$d/events.parquet")
-      val stageDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      val stageDir = graft.core.TmpDirs.scratch("stream_src", d)
       raw.repartition(4).write.mode("overwrite").parquet(stageDir)
-      val outDir = java.nio.file.Files.createTempDirectory("graft_stream_probe").toString
+      val outDir = graft.core.TmpDirs.scratch("stream_probe", d)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val q = StreamOps.foreachBatchSink(

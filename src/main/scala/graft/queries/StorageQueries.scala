@@ -31,7 +31,7 @@ object StorageQueries {
     * (PartitionFilters on the scan) — a silent full scan fails loudly.
     */
   private def ctasPartitionPrune(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ctas_part").toString
+    val tmp = graft.core.TmpDirs.scratch("ctas_part", d)
     Tables.orders(s, d)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
 
@@ -59,8 +59,8 @@ object StorageQueries {
     * `hint("merge")` keeps it a genuine big-big SMB join (no broadcast).
     */
   private def bucketedSmbJoin(s: SparkSession, d: String): DataFrame = {
-    val tmpO = java.nio.file.Files.createTempDirectory("graft_bucket_o").toString
-    val tmpL = java.nio.file.Files.createTempDirectory("graft_bucket_l").toString
+    val tmpO = graft.core.TmpDirs.scratch("bucket_o", d)
+    val tmpL = graft.core.TmpDirs.scratch("bucket_l", d)
     // CTAS with an explicit projection: load only the columns the
     // downstream joins need — at 100 TB the bucketed copy is a derived
     // layout, not a second full copy of the table.
