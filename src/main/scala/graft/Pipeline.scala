@@ -31,7 +31,7 @@ object InferDbPipeline {
       maxFeatures: Int = Int.MaxValue,
       maxCandidates: Int = Int.MaxValue, // cap the greedy walk (1 IV job per candidate)
       balanceRatio: Option[Double] = None,
-      model: String = "lr", // "lr" | "gbt" | "dt" | "mlp" — the index memorizes ANY model
+      model: String = "lr", // "lr" | "gbt" | "dt" | "mlp" | "knn" — the index memorizes ANY model
       mlpHidden: Int = 8,   // hidden-layer width when model = "mlp"
       maxOneHot: Int = 64,  // per-categorical one-hot width cap (most-frequent first)
       populatePaths: Boolean = false) // score+insert unfilled key paths (transpiler.py:887)
@@ -153,6 +153,12 @@ object InferDbPipeline {
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
         .setPredictionCol(predictionCol).setSeed(42)
         .fit(data)
+    case (Task.Regression, "knn") =>
+      graft.models.KnnModel.fit(data, featuresCol, labelCol, predictionCol,
+        regression = true)
+    case (_, "knn") =>
+      graft.models.KnnModel.fit(data, featuresCol, labelCol, predictionCol,
+        regression = false)
     case (Task.Regression, _) =>
       new LinearRegression()
         .setFeaturesCol(featuresCol).setLabelCol(labelCol)
@@ -290,8 +296,8 @@ object InferDbPipeline {
     * bins the raw categorical (T2) as before.
     */
   def fitLifecycle(train: DataFrame, config: Config): Trained = {
-    require(Set("lr", "gbt", "dt", "mlp").contains(config.model),
-      s"unknown model '${config.model}' — supported: lr, gbt, dt, mlp")
+    require(Set("lr", "gbt", "dt", "mlp", "knn").contains(config.model),
+      s"unknown model '${config.model}' — supported: lr, gbt, dt, mlp, knn")
     require(!(config.task == Task.MultiClass && config.model == "gbt"),
       "GBTClassifier is binary-only; use model=\"lr\" (multinomial) for MultiClass")
     require(!(config.task == Task.Regression && config.model == "mlp"),

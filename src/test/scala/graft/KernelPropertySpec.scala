@@ -101,4 +101,34 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(graft.core.LocalScorer.prefix(k, n) == want, s"for '$k' n=$n")
     }
   }
+
+  test("KnnRef.vote == naive sorted top-k vote (regression + majority)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def naive(feats: Array[Array[Double]], labels: Array[Double], k: Int,
+              regression: Boolean, x: Array[Double]): Double = {
+      val kk = math.min(k, feats.length)
+      val top = feats.zip(labels).map { case (f, l) =>
+        (f.zip(x).map { case (a, b) => (b - a) * (b - a) }.sum, l)
+      }.sortBy(identity).take(kk).map(_._2)
+      if (regression) top.sum / kk
+      else top.groupBy(identity).toSeq
+        .map { case (l, g) => (-g.length, l) }.min._2
+    }
+    (1 to 200).foreach { _ =>
+      val d = 1 + rnd.nextInt(6)
+      val n = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(7)
+      // coarse grid values make distance/label ties common
+      val feats = Array.fill(n)(Array.fill(d)(rnd.nextInt(4).toDouble))
+      val labels = Array.fill(n)(rnd.nextInt(3).toDouble)
+      val x = Array.fill(d)(rnd.nextInt(4).toDouble)
+      val xa = new GenericArrayData(x.map(v => v: Any))
+      Seq(true, false).foreach { reg =>
+        val ref = new graft.plans.KnnRef(feats, labels, k, reg)
+        val got = ref.vote(xa, xFloat = false)
+        val want = naive(feats, labels, k, reg, x)
+        assert(got == want, s"reg=$reg d=$d n=$n k=$k: got $got want $want")
+      }
+    }
+  }
 }

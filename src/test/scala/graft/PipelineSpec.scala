@@ -145,6 +145,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(rmsle < 0.2, s"dt regression index rmsle $rmsle")
   }
 
+  test("knn lifecycle: deterministic sample vote, index reproduces the model") {
+    val rnd = new scala.util.Random(23)
+    val cls = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      (a, b, if (a + b > 10) 1.0 else 0.0)
+    }.toDF("f_a", "f_b", "y")
+    val ccfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.Classification, maxBins = 8, model = "knn")
+    val ct = InferDbPipeline.fitLifecycle(cls, ccfg)
+    assert(ct.mlModel.isInstanceOf[graft.models.KnnModel])
+    val cScored = ct.fitted.transform(ct.withPred, "index_pred")
+    val cModelF1 = Metrics.binaryReport(cScored, col("__model_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    val cIndexF1 = Metrics.binaryReport(cScored, col("index_pred"), col("y"))
+      .select("f1").head().getDouble(0)
+    assert(cModelF1 > 0.9, s"knn F1 $cModelF1")
+    assert(math.abs(cModelF1 - cIndexF1) < 0.08, s"model $cModelF1 vs index $cIndexF1")
+    // determinism: a second fit over the same data votes identically
+    val ct2 = InferDbPipeline.fitLifecycle(cls, ccfg)
+    val joined = ct.withPred.select(col("f_a"), col("__model_pred").as("p1"))
+      .join(ct2.withPred.select(col("f_a"), col("__model_pred").as("p2")), "f_a")
+    assert(joined.filter(col("p1") =!= col("p2")).count() == 0)
+
+    val reg = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      (a, a * 10.0 + rnd.nextGaussian())
+    }.toDF("f_a", "y")
+    val rcfg = InferDbPipeline.Config(Seq("f_a"), target = "y",
+      task = Task.Regression, maxBins = 8, model = "knn")
+    val rt = InferDbPipeline.fitLifecycle(reg, rcfg)
+    val rScored = rt.fitted.transform(rt.withPred, "index_pred")
+    val rmsle = Metrics.rmsle(rScored, col("__model_pred"), col("y")).head().getDouble(0)
+    assert(rmsle < 0.3, s"knn regression model rmsle $rmsle")
+  }
+
   test("populatePaths: every key path is materialized and served as an exact hit") {
     val rnd = new scala.util.Random(3)
     // both features informative (so greedy keeps both) but with
