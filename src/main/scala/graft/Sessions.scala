@@ -20,8 +20,7 @@ object Sessions {
       // keep saveAsTable metadata out of the working directory (the
       // bucketed-layout queries pass explicit data paths; this catches
       // the empty spark-warehouse/ dir the in-memory catalog creates)
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", graft.core.TmpDirs.warehouseDir)
       // Broadcast threshold stays default (10 MB) — all index/dim
       // sides we broadcast are far below it at any SF because they are
       // bounded by key-space/dimension size, not data size.

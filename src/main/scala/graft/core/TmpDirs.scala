@@ -14,6 +14,11 @@ object TmpDirs {
     System.getProperty("java.io.tmpdir"),
     s"graft_scratch_${ProcessHandle.current().pid()}")
 
+  /** Per-process warehouse location for saveAsTable metadata — shared
+    * by the main and test session builders so neither drops an empty
+    * spark-warehouse/ dir into the working directory. */
+  def warehouseDir: String = root.resolve("warehouse").toString
+
   def scratch(name: String, key: String): String = {
     val dir = root.resolve(s"${name}_${Integer.toHexString(key.hashCode)}")
     deleteRecursively(dir)

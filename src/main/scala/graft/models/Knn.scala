@@ -43,7 +43,8 @@ final class KnnModel(
 
   override def copy(extra: ParamMap): KnnModel = this
   override def transformSchema(schema: StructType): StructType =
-    schema.add(predictionCol, DoubleType, nullable = false)
+    // nullable: a null features vector yields a null prediction
+    schema.add(predictionCol, DoubleType, nullable = true)
 
   override def transform(df: Dataset[_]): DataFrame = {
     val ref = new graft.plans.KnnRef(

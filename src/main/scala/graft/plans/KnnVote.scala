@@ -25,27 +25,34 @@ final class KnnRef(
     val k: Int,
     val regression: Boolean) extends Serializable {
   require(feats.length == labels.length && feats.nonEmpty)
+  require(feats.forall(_.length == feats(0).length),
+    "kNN reference sample has inconsistent feature widths")
   private val kk = math.min(k, feats.length)
+  private val dim = feats(0).length
 
   def vote(x: ArrayData, xFloat: Boolean): Double = {
+    val d = x.numElements()
+    if (d != dim) throw new IllegalArgumentException(
+      s"knn_vote: query vector has $d dims, fitted sample has $dim — " +
+        "the serve frame's assembler must match the fit")
     val bestD = new Array[Double](kk)
     val bestL = new Array[Double](kk)
     java.util.Arrays.fill(bestD, Double.PositiveInfinity)
-    val d = x.numElements()
     var n = 0
     while (n < feats.length) {
       val f = feats(n)
-      val lim = math.min(d, f.length)
       var s = 0.0
       var i = 0
-      while (i < lim) {
+      while (i < dim) {
         val xi = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
         val diff = xi - f(i)
         s += diff * diff
         i += 1
       }
       val lab = labels(n)
-      // insertion into the (dist, label)-sorted top-k arrays
+      // NaN distances (NaN feature) fail both comparisons and skip —
+      // handled after the loop; insertion into the (dist, label)-sorted
+      // top-k arrays otherwise
       if (s < bestD(kk - 1) || (s == bestD(kk - 1) && lab < bestL(kk - 1))) {
         var j = kk - 1
         while (j > 0 && (bestD(j - 1) > s || (bestD(j - 1) == s && bestL(j - 1) > lab))) {
@@ -55,17 +62,24 @@ final class KnnRef(
       }
       n += 1
     }
+    // slots never filled (all distances NaN, or +Inf from Inf features)
+    // must not vote with their 0.0 initializer: vote over the filled
+    // prefix, NaN when nothing is comparable (sklearn would error;
+    // NaN propagates visibly instead of a confident phantom class)
+    var m = kk
+    while (m > 0 && java.lang.Double.isInfinite(bestD(m - 1))) m -= 1
+    if (m == 0) return Double.NaN
     if (regression) {
       var s = 0.0; var j = 0
-      while (j < kk) { s += bestL(j); j += 1 }
-      s / kk
+      while (j < m) { s += bestL(j); j += 1 }
+      s / m
     } else {
-      // majority over kk labels, ties to the smallest label (O(k²), k tiny)
+      // majority over m labels, ties to the smallest label (O(k²), k tiny)
       var winner = bestL(0); var winCnt = 0
       var i = 0
-      while (i < kk) {
+      while (i < m) {
         var c = 0; var j = 0
-        while (j < kk) { if (bestL(j) == bestL(i)) c += 1; j += 1 }
+        while (j < m) { if (bestL(j) == bestL(i)) c += 1; j += 1 }
         if (c > winCnt || (c == winCnt && bestL(i) < winner)) { winner = bestL(i); winCnt = c }
         i += 1
       }

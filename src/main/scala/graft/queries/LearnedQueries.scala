@@ -59,6 +59,47 @@ object LearnedQueries {
         s"events needs unique (user_id, ts); found $dups duplicate pairs")
     })
 
+  /** Shared classification+regression lifecycle row for the model-zoo
+    * members (dt, knn): cls F1 (model vs index) + reg RMSLE in the
+    * price domain (model vs index), both fits memoized per model. */
+  private def zooRow(s: SparkSession, d: String, model: String): DataFrame = {
+    val (clsModelF1, clsIndexF1) = {
+      val t = memoized(s, d, s"${model}_cls") {
+        InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
+          model = model,
+          features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
+          categorical = Set.empty))
+      }
+      val scored = t.fitted.transform(t.withPred, "index_pred")
+      (Metrics.binaryReport(scored, col("__model_pred"), col("target"))
+         .select("f1").head().getDouble(0),
+       Metrics.binaryReport(scored, col("index_pred"), col("target"))
+         .select("f1").head().getDouble(0))
+    }
+    val (regModelR, regIndexR) = {
+      val (f, withPred) = memoized(s, d, s"${model}_reg") {
+        val df = Tables.lineitem(s, d).select(
+          col("l_quantity"), col("l_discount"), col("l_tax"),
+          log(col("l_extendedprice") + 1.0).as("target"),
+          col("l_extendedprice"))
+        InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
+          features = Seq("l_quantity", "l_discount", "l_tax"),
+          target = "target", task = Task.Regression, maxBins = 8, model = model))
+      }
+      val scored = f.transform(withPred, "index_pred")
+        .withColumn("model_price", exp(col("__model_pred")) - 1.0)
+        .withColumn("index_price", exp(col("index_pred")) - 1.0)
+      (Metrics.rmsle(scored, col("model_price"), col("l_extendedprice"))
+         .head().getDouble(0),
+       Metrics.rmsle(scored, col("index_price"), col("l_extendedprice"))
+         .head().getDouble(0))
+    }
+    import s.implicits._
+    Seq((math.rint(clsModelF1 * 1e6) / 1e6, math.rint(clsIndexF1 * 1e6) / 1e6,
+         math.rint(regModelR * 1e4) / 1e4, math.rint(regIndexR * 1e4) / 1e4))
+      .toDF("cls_model_f1", "cls_index_f1", "reg_model_rmsle", "reg_index_rmsle")
+  }
+
   private def fitted(s: SparkSession, d: String) =
     memoized(s, d, "binary_e2e") {
       val df = trainFrame(s, d)
@@ -166,86 +207,14 @@ object LearnedQueries {
     // in one row — the index must reproduce an axis-aligned step model
     // exactly (trees and bin boundaries are the same function family).
     // Rows-only.
-    "x_learned_dt" -> ((s, d) => {
-      val (clsModelF1, clsIndexF1) = {
-        val t = memoized(s, d, "dt_cls") {
-          InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
-            model = "dt",
-            features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
-            categorical = Set.empty))
-        }
-        val scored = t.fitted.transform(t.withPred, "index_pred")
-        (Metrics.binaryReport(scored, col("__model_pred"), col("target"))
-           .select("f1").head().getDouble(0),
-         Metrics.binaryReport(scored, col("index_pred"), col("target"))
-           .select("f1").head().getDouble(0))
-      }
-      val (regModelR, regIndexR) = {
-        val (f, withPred) = memoized(s, d, "dt_reg") {
-          val df = Tables.lineitem(s, d).select(
-            col("l_quantity"), col("l_discount"), col("l_tax"),
-            log(col("l_extendedprice") + 1.0).as("target"),
-            col("l_extendedprice"))
-          InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
-            features = Seq("l_quantity", "l_discount", "l_tax"),
-            target = "target", task = Task.Regression, maxBins = 8, model = "dt"))
-        }
-        val scored = f.transform(withPred, "index_pred")
-          .withColumn("model_price", exp(col("__model_pred")) - 1.0)
-          .withColumn("index_price", exp(col("index_pred")) - 1.0)
-        (Metrics.rmsle(scored, col("model_price"), col("l_extendedprice"))
-           .head().getDouble(0),
-         Metrics.rmsle(scored, col("index_price"), col("l_extendedprice"))
-           .head().getDouble(0))
-      }
-      import s.implicits._
-      Seq((math.rint(clsModelF1 * 1e6) / 1e6, math.rint(clsIndexF1 * 1e6) / 1e6,
-           math.rint(regModelR * 1e4) / 1e4, math.rint(regIndexR * 1e4) / 1e4))
-        .toDF("cls_model_f1", "cls_index_f1", "reg_model_rmsle", "reg_index_rmsle")
-    }),
+    "x_learned_dt" -> ((s, d) => zooRow(s, d, "dt")),
 
     // kNN lifecycle (the reference zoo's last member,
-    // standalone_experiments.py:10-17): classification + regression in
-    // one row. The model is a bounded deterministic-sample kNN served
-    // as one shuffle-free projection (models/Knn.scala); the index then
-    // memorizes its predictions like any other model. Rows-only.
-    "x_learned_knn" -> ((s, d) => {
-      val (clsModelF1, clsIndexF1) = {
-        val t = memoized(s, d, "knn_cls") {
-          InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
-            model = "knn",
-            features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
-            categorical = Set.empty))
-        }
-        val scored = t.fitted.transform(t.withPred, "index_pred")
-        (Metrics.binaryReport(scored, col("__model_pred"), col("target"))
-           .select("f1").head().getDouble(0),
-         Metrics.binaryReport(scored, col("index_pred"), col("target"))
-           .select("f1").head().getDouble(0))
-      }
-      val (regModelR, regIndexR) = {
-        val (f, withPred) = memoized(s, d, "knn_reg") {
-          val df = Tables.lineitem(s, d).select(
-            col("l_quantity"), col("l_discount"), col("l_tax"),
-            log(col("l_extendedprice") + 1.0).as("target"),
-            col("l_extendedprice"))
-          InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
-            features = Seq("l_quantity", "l_discount", "l_tax"),
-            target = "target", task = Task.Regression, maxBins = 8, model = "knn"))
-        }
-        val scored = f.transform(withPred, "index_pred")
-          .withColumn("model_price", exp(col("__model_pred")) - 1.0)
-          .withColumn("index_price", exp(col("index_pred")) - 1.0)
-        (Metrics.rmsle(scored, col("model_price"), col("l_extendedprice"))
-           .head().getDouble(0),
-         Metrics.rmsle(scored, col("index_price"), col("l_extendedprice"))
-           .head().getDouble(0))
-      }
-      import s.implicits._
-      Seq((math.rint(clsModelF1 * 1e6) / 1e6, math.rint(clsIndexF1 * 1e6) / 1e6,
-           math.rint(regModelR * 1e4) / 1e4, math.rint(regIndexR * 1e4) / 1e4))
-        .toDF("cls_model_f1", "cls_index_f1", "reg_model_rmsle", "reg_index_rmsle")
-    }),
+    // standalone_experiments.py:10-17): the model is a bounded
+    // deterministic-sample kNN served as one codegen'd shuffle-free
+    // projection (models/Knn.scala); the index then memorizes its
+    // predictions like any other model. Rows-only.
+    "x_learned_knn" -> ((s, d) => zooRow(s, d, "knn")),
 
     // The reference's one-row report (size + metrics + stage latencies;
     // rows-only: latencies are wall-clock).

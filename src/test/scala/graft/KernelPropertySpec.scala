@@ -130,5 +130,13 @@ class KernelPropertySpec extends AnyFunSuite {
         assert(got == want, s"reg=$reg d=$d n=$n k=$k: got $got want $want")
       }
     }
+    // edge semantics: a NaN query makes every distance NaN -> NaN out
+    // (not a confident phantom class); a width mismatch throws
+    val ref = new graft.plans.KnnRef(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)), Array(0.0, 1.0), 1, false)
+    val nanQ = new GenericArrayData(Array[Any](Double.NaN, 0.0))
+    assert(ref.vote(nanQ, xFloat = false).isNaN)
+    val narrow = new GenericArrayData(Array[Any](1.0))
+    assertThrows[IllegalArgumentException](ref.vote(narrow, xFloat = false))
   }
 }

@@ -171,7 +171,9 @@ class PipelineSpec extends AnyFunSuite {
 
     val reg = (1 to 3000).map { _ =>
       val a = rnd.nextDouble() * 10
-      (a, a * 10.0 + rnd.nextGaussian())
+      // +20 keeps y > -1 for every draw: RMSLE's log(y+1) must stay in
+      // domain or Spark nulls the term while count() still counts it
+      (a, a * 10.0 + 20.0 + rnd.nextGaussian())
     }.toDF("f_a", "y")
     val rcfg = InferDbPipeline.Config(Seq("f_a"), target = "y",
       task = Task.Regression, maxBins = 8, model = "knn")

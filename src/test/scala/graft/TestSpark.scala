@@ -12,8 +12,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", graft.core.TmpDirs.warehouseDir)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
