@@ -160,10 +160,72 @@ object IvfQueries {
       // re-execute it — the first (timed) invocation pays, later
       // invocations get the materialized row back.
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    })),
+
+    // The IVF operating curve (nprobe -> recall/cost), the sweep every
+    // real ANN deployment tunes by: one row per probe depth with
+    // recall@1 and the average fraction of the corpus scanned. ONE
+    // brute-force pass + ONE cell-rank join answers every depth —
+    // with exact re-ranking, IVF returns the true top-1 iff that
+    // neighbor's cell ranks within the query's `p` nearest cells, so
+    // recall@1(p) = avg(rank-of-true-cell <= p); no per-p search runs.
+    // Rows-only (fitted KMeans centers are not SQL-expressible).
+    "x_ann_ivf_sweep" -> ((s, d) => sweepResult.getOrElseUpdate((s, d), {
+      val probes = Seq(1, 2, 4, 8)
+      val centers = fittedCenters(s, d)
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+        .cache()
+      val total = e.count().toDouble
+      val inv = e.select(col("vec_id").as("n_id"),
+        nearestCell(col("embedding"), centers).as("cell"))
+      val cellSizes = inv.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+      val q0 = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nsq").as("q_nsq"))
+      // every (query, cell) with the cell's search rank — the same
+      // (dist, cell) ordering the top-1 queries probe by
+      val qRanks = q0.select(col("q_id"), explode(array(centers.zipWithIndex.map {
+          case (c, k) => struct(lit(k).as("cell"),
+            graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+        }: _*)).as("c"))
+        .select(col("q_id"), col("c.cell"), col("c.dist"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .select("q_id", "cell", "rnk")
+      val bfTop = q0.crossJoin(e.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("nsq").as("n_nsq")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (Fns.dotProduct(col("q_emb"), col("n_emb"))
+            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("cos"), col("n_id"))).as("bf_id"))
+      val trueCellRank = bfTop
+        .join(inv, col("bf_id") === col("n_id"))
+        .join(qRanks, Seq("q_id", "cell"))
+      val recallCols = count(lit(1)).cast("long").as("nq") +:
+        probes.map(p => avg((col("rnk") <= p).cast("double")).as(s"r_$p"))
+      val recallRow = trueCellRank.agg(recallCols.head, recallCols.tail: _*).head()
+      val scanPerQ = probes.map(p =>
+        sum(when(col("rnk") <= p, col("cell_n")).otherwise(0L)).as(s"s_$p"))
+      val avgScan = probes.indices.map(i => avg(col(s"s_${probes(i)}")).as(s"a_$i"))
+      val scanRow = qRanks.join(cellSizes, Seq("cell"))
+        .groupBy("q_id").agg(scanPerQ.head, scanPerQ.tail: _*)
+        .agg(avgScan.head, avgScan.tail: _*).head()
+      import s.implicits._
+      val nq = recallRow.getLong(0)
+      probes.zipWithIndex.map { case (p, i) =>
+        (p.toLong, nq, math.rint(recallRow.getDouble(i + 1) * 1e4) / 1e4,
+         math.rint(scanRow.getDouble(i) / total * 1e4) / 1e4)
+      }.toDF("nprobe", "n_queries", "recall_at_1", "scan_frac")
     }))
   )
 
   private val kmeansResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sweepResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   // ---- oracle ----

@@ -65,10 +65,15 @@ object LearnedQueries {
   private def zooRow(s: SparkSession, d: String, model: String): DataFrame = {
     val (clsModelF1, clsIndexF1) = {
       val t = memoized(s, d, s"${model}_cls") {
-        InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
+        val r = InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
           model = model,
           features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
           categorical = Set.empty))
+        // resident input for the serve-path metric heads (like the
+        // binary lifecycle's fitted()): without this every one of the
+        // row's four metric jobs re-reads cold parquet + re-scores
+        r.withPred.cache()
+        r
       }
       val scored = t.fitted.transform(t.withPred, "index_pred")
       (Metrics.binaryReport(scored, col("__model_pred"), col("target"))
@@ -82,9 +87,10 @@ object LearnedQueries {
           col("l_quantity"), col("l_discount"), col("l_tax"),
           log(col("l_extendedprice") + 1.0).as("target"),
           col("l_extendedprice"))
-        InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
+        val (f0, wp0) = InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
           features = Seq("l_quantity", "l_discount", "l_tax"),
           target = "target", task = Task.Regression, maxBins = 8, model = model))
+        (f0, wp0.cache())
       }
       val scored = f.transform(withPred, "index_pred")
         .withColumn("model_price", exp(col("__model_pred")) - 1.0)

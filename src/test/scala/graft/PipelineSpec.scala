@@ -145,6 +145,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rmsle < 0.2, s"dt regression index rmsle $rmsle")
   }
 
+  test("knn multiclass lifecycle: 3-class majority vote, mode index agrees") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 3000).map { _ =>
+      val a = rnd.nextDouble() * 10
+      val b = rnd.nextDouble() * 10
+      val y = if (a + b > 13) 2.0 else if (a + b > 7) 1.0 else 0.0
+      (a, b, y)
+    }.toDF("f_a", "f_b", "y")
+    val cfg = InferDbPipeline.Config(Seq("f_a", "f_b"), target = "y",
+      task = Task.MultiClass, maxBins = 8, model = "knn")
+    val t = InferDbPipeline.fitLifecycle(df, cfg)
+    assert(t.mlModel.isInstanceOf[graft.models.KnnModel])
+    // the vote must actually produce all three classes, not collapse
+    val classes = t.withPred.select("__model_pred").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    assert(classes == Set(0.0, 1.0, 2.0), s"predicted classes $classes")
+    val acc = t.withPred.agg(
+      avg((col("__model_pred") === col("y")).cast("double"))).head().getDouble(0)
+    assert(acc > 0.85, s"knn multiclass accuracy $acc")
+    // A2 mode index over the 3-class predictions tracks the model
+    val scored = t.fitted.transform(t.withPred, "index_pred")
+    val agree = scored.agg(
+      avg((col("index_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
+    assert(agree > 0.75, s"index/model agreement $agree")
+  }
+
   test("knn lifecycle: deterministic sample vote, index reproduces the model") {
     val rnd = new scala.util.Random(23)
     val cls = (1 to 3000).map { _ =>
@@ -404,6 +430,28 @@ class PipelineSpec extends AnyFunSuite {
     val recall = row.getAs[Double]("recall_at_1")
     assert(recall >= 0.35, s"fitted-quantizer recall@1 $recall")
     assert(row.getAs[Double]("no_beat_frac") == 1.0, "ANN cosine must not beat exact")
+  }
+
+  test("IVF nprobe sweep: recall and scan cost are monotone in probe depth") {
+    import graft.queries.IvfQueries
+    val rows = IvfQueries.defs("x_ann_ivf_sweep")(spark, "/root/testdata/sf0.001")
+      .orderBy("nprobe").collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach(r => assert(r.getAs[Long]("n_queries") == 100L))
+    val recalls = rows.map(_.getAs[Double]("recall_at_1")).toSeq
+    val scans = rows.map(_.getAs[Double]("scan_frac")).toSeq
+    // deeper probes can only add candidates: both curves non-decreasing
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls.mkString(","))
+    assert(scans.zip(scans.tail).forall { case (a, b) => b > a }, scans.mkString(","))
+    // probing half the 16 cells must find most true neighbors, at a
+    // scan cost well under the brute-force full pass
+    assert(recalls.last >= 0.5, s"recall@1(nprobe=8) ${recalls.last}")
+    assert(scans.last < 0.9, s"scan_frac(nprobe=8) ${scans.last}")
+    // the nprobe=4 point must agree with x_ann_ivf_kmeans' own recall
+    val r4 = rows(2).getAs[Double]("recall_at_1")
+    val kmeans = IvfQueries.defs("x_ann_ivf_kmeans")(spark, "/root/testdata/sf0.001").head()
+    assert(math.abs(r4 - kmeans.getAs[Double]("recall_at_1")) < 1e-9,
+      s"sweep r@4 $r4 vs search ${kmeans.getAs[Double]("recall_at_1")}")
   }
 
   test("minhash oracle token cap: an over-cap corpus fails loudly") {
