@@ -292,6 +292,46 @@ object TextQueries {
         (fp % 640).as("fake_width"),
         (floor(fp / 640.0).cast("long") % 480).as("fake_height"),
         floor(byteLen / 100.0).cast("long").as("fake_frames"))
+    }),
+
+    // Vocabulary building (the tokenizer-training / corpus-stats pass):
+    // term frequency + document frequency per token, top-100 by tf.
+    // Scale shape: explode is row-local; the groupBy partial-aggregates
+    // map-side (heavy-hitter tokens combine before the shuffle); the
+    // top-k is orderBy+limit = TakeOrdered (per-partition heaps + a
+    // driver merge of 100-row heads, NOT a full sort shuffle). df needs
+    // distinct doc_ids per token — bounded by the group's doc set; the
+    // (tf desc, token) order is total, so LIMIT is deterministic.
+    "t_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)),
+
+    // Deterministic balanced downsampling (the class-rebalance pass a
+    // training pipeline runs before fitting): every event class is
+    // Bernoulli-downsampled toward the minority class size by a hash
+    // threshold on event_id — keep iff bucket(event_id) < M*target/cnt.
+    // Scale shape: ONE scan + a broadcast of the tiny per-class count
+    // table; no window over skewed class partitions (the exact-k
+    // variant's row_number would funnel each class through one
+    // reducer — that is the non-scalable formulation). Integer-only
+    // hashing, so retries, AQE re-plans and the DuckDB oracle agree
+    // bit-exactly; sampled sizes land within Bernoulli noise of the
+    // minority count.
+    "t_balanced_sample" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val counts = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val target = counts.agg(min(col("cnt"))).head().getLong(0)
+      val bucket = pmod((col("event_id") * lit(2654435761L)) % lit(1000000007L), lit(1000000L))
+      // keep iff bucket < M*target/cnt, cross-multiplied to stay in
+      // exact BIGINT arithmetic (no division, no FP, no floor-vs-div
+      // disagreement between engines)
+      e.join(broadcast(counts), "event_type")
+        .filter(bucket * col("cnt") < lit(1000000L) * lit(target))
+        .select(col("event_id"), col("event_type"), col("user_id"))
     })
   )
 
@@ -444,6 +484,21 @@ object TextQueries {
          |  ${chSql("text")} % 640 AS fake_width,
          |  CAST(floor(${chSql("text")} / 640.0) AS BIGINT) % 480 AS fake_height,
          |  CAST(floor(length(text) / 100.0) AS BIGINT) AS fake_frames
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    // (tf desc, token) is a TOTAL order (token is the group key), so
+    // the LIMIT boundary is deterministic on both engines
+    "t_vocab_topk" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY tf DESC, token
+        |LIMIT 100""".stripMargin,
+    "t_balanced_sample" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+        |t AS (SELECT min(cnt) AS target FROM c)
+        |SELECT e.event_id, e.event_type, e.user_id
+        |FROM events e JOIN c ON e.event_type = c.event_type CROSS JOIN t
+        |WHERE (((e.event_id * 2654435761) % 1000000007) % 1000000) * c.cnt
+        |      < 1000000 * t.target""".stripMargin
   )
 }
