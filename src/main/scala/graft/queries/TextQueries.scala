@@ -99,6 +99,24 @@ object TextQueries {
   private def stopCount(w: Column, stop: Seq[String]): Column =
     size(filter(w, t => t.isin(stop: _*)))
 
+  /** LSH candidate pairs (doc_a < doc_b), shared by the pair query and
+    * the cluster-formation query. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    // cache: the signature is cheap now (codegen'd kernel) but still
+    // worth materializing once for the two band-join sides.
+    val sig = minhashSig(s, d).cache()
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bsig"))
+    val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on full content, canonical = min id.
     "t_dedup_exact" -> ((s, d) =>
@@ -132,20 +150,49 @@ object TextQueries {
 
     // MinHash + LSH near-dup candidate pairs: band the signature, join
     // on (band, band-sig) — O(n) shuffle instead of O(n²) pairs.
-    "t_dedup_minhash" -> ((s, d) => {
-      // cache: the signature is cheap now (codegen'd kernel) but still
-      // worth materializing once for the two band-join sides.
-      val sig = minhashSig(s, d).cache()
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
-        }: _*)).as("x"))
-        .select(col("doc_id"), col("x.band"), col("x.bsig"))
-      val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+    "t_dedup_minhash" -> ((s, d) => lshPairs(s, d)),
+
+    // Candidate pairs → duplicate CLUSTERS (the step that makes dedup
+    // actionable: each group keeps one representative). Connected
+    // components by min-label propagation: every round each node takes
+    // the min label over itself and its neighbors — converges in
+    // O(component diameter) rounds of keyed join + groupBy-min, all
+    // shuffles keyed by doc id. The label sum is monotone decreasing,
+    // so `sum unchanged` IS the fixpoint test (one cheap agg per
+    // round). At 100 TB this is the standard iterative-CC shape; for
+    // adversarially long chains the large-star/small-star variant
+    // halves the diameter per round, but near-dup components are
+    // near-cliques (band collisions), so plain propagation converges
+    // in 2-3 rounds. Deterministic: cluster id = min doc_id reachable.
+    "t_dedup_clusters" -> ((s, d) => {
+      val pairs = lshPairs(s, d)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")).cache()
+      def labSum(df: org.apache.spark.sql.DataFrame): Long = {
+        val v = df.agg(sum("lab")).head()
+        if (v.isNullAt(0)) 0L else v.getLong(0) // null = no candidate pairs at all
+      }
+      var current = labSum(labels)
+      var converged = current == 0L
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("lab"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("lab").as("lab")).cache()
+        val nsum = labSum(next)
+        labels.unpersist()
+        labels = next
+        converged = nsum == current
+        current = nsum
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
     }),
 
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
@@ -398,6 +445,28 @@ object TextQueries {
          |bands AS ($bandSelects)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""".stripMargin
+    },
+    // connected components over the SAME candidate-pair graph, as a
+    // recursive reachability CTE: reach(id, lab) holds every label
+    // reachable from id; min over them = the component representative.
+    "t_dedup_clusters" -> {
+      val bandSelects = (0 until NumBands).map { b =>
+        val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
+        s"SELECT doc_id, $b AS band, $sig AS bsig FROM m"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $minhashCte,
+         |bands AS ($bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin
     },
     "t_dedup_simhash" -> {
       val bitSums = (0 until 16)

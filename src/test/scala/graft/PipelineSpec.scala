@@ -454,6 +454,29 @@ class PipelineSpec extends AnyFunSuite {
       s"sweep r@4 $r4 vs search ${kmeans.getAs[Double]("recall_at_1")}")
   }
 
+  test("dedup clusters: components are consistent with the candidate pairs") {
+    import graft.queries.TextQueries
+    val d = "/root/testdata/sf0.001"
+    val clusters = TextQueries.defs("t_dedup_clusters")(spark, d).cache()
+    val pairs = TextQueries.defs("t_dedup_minhash")(spark, d).cache()
+    assert(clusters.count() > 0, "expected some near-dup candidates in testdata")
+    // representative = min reachable id: never above the member's id,
+    // and itself a member of its own cluster
+    assert(clusters.filter(col("cluster") > col("doc_id")).count() == 0)
+    val reps = clusters.select(col("cluster")).distinct()
+    val repRows = clusters.filter(col("cluster") === col("doc_id"))
+      .select(col("cluster"))
+    assert(reps.except(repRows).count() == 0, "every cluster id must be a member")
+    // the defining CC property: both ends of every candidate pair land
+    // in the same cluster
+    val ca = clusters.select(col("doc_id").as("doc_a"), col("cluster").as("c_a"))
+    val cb = clusters.select(col("doc_id").as("doc_b"), col("cluster").as("c_b"))
+    val broken = pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("c_a") =!= col("c_b")).count()
+    assert(broken == 0, s"$broken pairs split across clusters")
+    clusters.unpersist(); pairs.unpersist()
+  }
+
   test("minhash oracle token cap: an over-cap corpus fails loudly") {
     import graft.queries.TextQueries
     val longDoc = Seq((1L, ("tok " * (TextQueries.OracleTokenCap + 5)).trim))
