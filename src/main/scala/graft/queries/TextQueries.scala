@@ -222,6 +222,28 @@ object TextQueries {
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
     }),
 
+    // Benchmark decontamination (the pre-training hygiene pass: drop
+    // training docs that share n-grams with the eval set). Docs with
+    // id < 50 stand in as the benchmark; training docs report how many
+    // of their distinct 3-gram shingles appear anywhere in it. Scale
+    // shape: the benchmark side is tiny by nature -> its distinct
+    // shingle HASHES broadcast (8 bytes each, not strings); the
+    // training side is one explode + broadcast-join + doc-keyed
+    // count — no all-pairs work, no string shuffle. The clean corpus
+    // is the anti-join complement of this result.
+    "t_decontaminate" -> ((s, d) => {
+      assertCapMemo(s, d) // oracle reuses the capped shingle CTE
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), charHash(col("shingle")).as("h"))
+      val bench = sh.filter(col("doc_id") < 50).select("h").distinct()
+      sh.filter(col("doc_id") >= 50)
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
     // Language ID: stopword-hit scoring, argmax with alphabetical ties.
     "t_lang_id" -> ((s, d) => {
       val w = tokens(col("text"))
@@ -489,6 +511,14 @@ object TextQueries {
          |FROM inter
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b""".stripMargin,
+    "t_decontaminate" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 50)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM hs t JOIN bench b ON t.h = b.h
+         |WHERE t.doc_id >= 50
+         |GROUP BY t.doc_id""".stripMargin,
     "t_lang_id" -> {
       val (sDe, sEn, sEs, sFr, sZh) =
         (stopSql(deStop), stopSql(enStop), stopSql(esStop), stopSql(frStop), stopSql(zhStop))
