@@ -165,7 +165,9 @@ object TextQueries {
     // near-cliques (band collisions), so plain propagation converges
     // in 2-3 rounds. Deterministic: cluster id = min doc_id reachable.
     "t_dedup_clusters" -> ((s, d) => {
-      val pairs = lshPairs(s, d)
+      // cache the pairs BEFORE symmetrizing: the union's two branches
+      // would otherwise each run the full LSH band join
+      val pairs = lshPairs(s, d).cache()
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
@@ -191,7 +193,7 @@ object TextQueries {
         rounds += 1
       }
       require(converged, s"label propagation did not converge in $rounds rounds")
-      edges.unpersist()
+      edges.unpersist(); pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
     }),
 
