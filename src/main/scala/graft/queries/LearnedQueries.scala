@@ -75,7 +75,12 @@ object LearnedQueries {
         r.withPred.cache()
         r
       }
-      val scored = t.fitted.transform(t.withPred, "index_pred")
+      // the scored frame is also memoized+cached: the model transform
+      // (MLlib row-at-a-time for dt) + probe join would otherwise
+      // re-run for each of the row's metric heads
+      val scored = memoized(s, d, s"${model}_cls_scored") {
+        t.fitted.transform(t.withPred, "index_pred").cache()
+      }
       (Metrics.binaryReport(scored, col("__model_pred"), col("target"))
          .select("f1").head().getDouble(0),
        Metrics.binaryReport(scored, col("index_pred"), col("target"))
@@ -92,9 +97,12 @@ object LearnedQueries {
           target = "target", task = Task.Regression, maxBins = 8, model = model))
         (f0, wp0.cache())
       }
-      val scored = f.transform(withPred, "index_pred")
-        .withColumn("model_price", exp(col("__model_pred")) - 1.0)
-        .withColumn("index_price", exp(col("index_pred")) - 1.0)
+      val scored = memoized(s, d, s"${model}_reg_scored") {
+        f.transform(withPred, "index_pred")
+          .withColumn("model_price", exp(col("__model_pred")) - 1.0)
+          .withColumn("index_price", exp(col("index_pred")) - 1.0)
+          .cache()
+      }
       (Metrics.rmsle(scored, col("model_price"), col("l_extendedprice"))
          .head().getDouble(0),
        Metrics.rmsle(scored, col("index_price"), col("l_extendedprice"))

@@ -246,6 +246,22 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // Repetition filter (the Gopher-rule family: drop documents
+    // dominated by one repeated token). top_ratio is a SINGLE division
+    // of two exact integers, so the verdict threshold compares the
+    // same double on both engines. Scale shape: explode + two keyed
+    // aggregations, both map-side combined; no joins.
+    "t_repetition_filter" -> ((s, d) => {
+      val ratio = col("top_cnt").cast("double") / col("n_tokens")
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("top_cnt"),
+          sum("cnt").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("top_cnt"),
+          ratio.as("top_ratio"), (ratio <= 0.2).as("keep"))
+    }),
+
     // Language ID: stopword-hit scoring, argmax with alphabetical ties.
     "t_lang_id" -> ((s, d) => {
       val w = tokens(col("text"))
@@ -513,6 +529,15 @@ object TextQueries {
          |FROM inter
          |JOIN cnt ca ON ca.doc_id = doc_a
          |JOIN cnt cb ON cb.doc_id = doc_b""".stripMargin,
+    "t_repetition_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(cnt) AS top_cnt,
+        |               CAST(sum(cnt) AS BIGINT) AS n_tokens FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, top_cnt,
+        |  top_cnt::DOUBLE / n_tokens AS top_ratio,
+        |  (top_cnt::DOUBLE / n_tokens) <= 0.2 AS keep
+        |FROM agg""".stripMargin,
     "t_decontaminate" ->
       s"""WITH $shingleCte,
          |hs AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
