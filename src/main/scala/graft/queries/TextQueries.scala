@@ -99,6 +99,20 @@ object TextQueries {
   private def stopCount(w: Column, stop: Seq[String]): Column =
     size(filter(w, t => t.isin(stop: _*)))
 
+  /** Fail-loud scale guard (same pattern as StorageQueries): queries
+    * whose 100 TB story is "the small side broadcasts" assert that no
+    * join in their physical plan degraded to a sort-merge/shuffle-hash
+    * exchange — a silent fallback would reshuffle the big side. */
+  private def requireBroadcastOnly(df: DataFrame, name: String): Unit = {
+    val smj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    require(smj.isEmpty,
+      s"$name: expected broadcast-only joins, found ${smj.size} shuffled join(s):\n" +
+        df.queryExecution.sparkPlan)
+  }
+
   /** LSH candidate pairs (doc_a < doc_b), shared by the pair query and
     * the cluster-formation query. */
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
@@ -240,10 +254,12 @@ object TextQueries {
         .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
         .select(col("doc_id"), charHash(col("shingle")).as("h"))
       val bench = sh.filter(col("doc_id") < 50).select("h").distinct()
-      sh.filter(col("doc_id") >= 50)
+      val res = sh.filter(col("doc_id") >= 50)
         .join(broadcast(bench), Seq("h"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
+      requireBroadcastOnly(res, "t_decontaminate")
+      res
     }),
 
     // Repetition filter (the Gopher-rule family: drop documents
@@ -416,9 +432,11 @@ object TextQueries {
       // keep iff bucket < M*target/cnt, cross-multiplied to stay in
       // exact BIGINT arithmetic (no division, no FP, no floor-vs-div
       // disagreement between engines)
-      e.join(broadcast(counts), "event_type")
+      val res = e.join(broadcast(counts), "event_type")
         .filter(bucket * col("cnt") < lit(1000000L) * lit(target))
         .select(col("event_id"), col("event_type"), col("user_id"))
+      requireBroadcastOnly(res, "t_balanced_sample")
+      res
     })
   )
 
