@@ -63,6 +63,45 @@ object IvfQueries {
         lit(k).as("cell"))
     }: _*)).getField("cell")
 
+  /** (vec_id, embedding, nsq) cached once per (session, sfDir) — shared
+    * by the fitted-quantizer search and the sweep. */
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedEmb(s: SparkSession, d: String): DataFrame =
+    embCache.getOrElseUpdate((s, d),
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+        .cache())
+
+  private def queries(s: SparkSession, d: String): DataFrame =
+    cachedEmb(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nsq").as("q_nsq"))
+
+  /** Brute-force cosine top-1 per query — the ground truth BOTH recall
+    * queries measure against, computed (and its crossJoin paid) exactly
+    * once per (session, sfDir): 100 rows, collected and re-wrapped so no
+    * later plan can re-execute the crossJoin. Tie-break (cos desc,
+    * n_id asc) must match the candidate-side min_by orderings. */
+  private val bfTopCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def bfTop(s: SparkSession, d: String): DataFrame =
+    bfTopCache.getOrElseUpdate((s, d), {
+      val e = cachedEmb(s, d)
+      val top = queries(s, d)
+        .crossJoin(e.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("nsq").as("n_nsq")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (Fns.dotProduct(col("q_emb"), col("n_emb"))
+            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
+        .select(col("q_id"), col("x.n_id").as("bf_id"), col("x.cos").as("bf_cos"))
+      s.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+    })
+
   val defs: Map[String, Q] = Map(
     // Cell assignment (the "fit"/partitioning half): argmin centroid.
     "t_ann_ivf_assign" -> ((s, d) => {
@@ -78,10 +117,7 @@ object IvfQueries {
     // cells; candidates come from a cell-keyed equi-join; top-1 via
     // single-pass min_by. Exact same cosine arithmetic as t_embed_knn.
     "t_ann_ivf_top1" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
-        .cache()
+      val e = cachedEmb(s, d)
       // inverted file: every vector in its single nearest cell
       val inv = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nsq").as("n_nsq"),
@@ -115,14 +151,10 @@ object IvfQueries {
     // SQL-expressible); same cell-keyed equi-join search shape.
     "x_ann_ivf_kmeans" -> ((s, d) => kmeansResult.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
-        .cache()
+      val e = cachedEmb(s, d)
       val inv = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nsq").as("n_nsq"), nearestCell(col("embedding"), centers).as("cell"))
-      val q0 = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+      val q0 = queries(s, d)
       // nprobe nearest fitted cells per query
       val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
         struct(lit(k).as("cell"),
@@ -142,19 +174,17 @@ object IvfQueries {
         .groupBy("q_id")
         .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
         .select(col("q_id"), col("x.n_id").as("ivf_id"), col("x.cos").as("ivf_cos"))
-      val bfTop = q0.crossJoin(e.select(col("vec_id").as("n_id"),
-          col("embedding").as("n_emb"), col("nsq").as("n_nsq")))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"), cosCol)
-        .groupBy("q_id")
-        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
-        .select(col("q_id"), col("x.n_id").as("bf_id"), col("x.cos").as("bf_cos"))
-      val res = ivfTop.join(bfTop, Seq("q_id"))
+      // RIGHT join onto the 100-query ground truth: a query whose
+      // probed cells held no candidate at all counts as a MISS (the
+      // same denominator the sweep uses), not a dropped row
+      val res = ivfTop.join(bfTop(s, d), Seq("q_id"), "right")
         .agg(
           lit(K).as("k"), lit(NProbe).as("nprobe"),
           count(lit(1)).as("n_queries"),
-          avg((col("ivf_id") === col("bf_id")).cast("double")).as("recall_at_1"),
-          avg((col("ivf_cos") <= col("bf_cos") + 1e-12).cast("double")).as("no_beat_frac"))
+          // coalesce before avg: a NULL from the right join would be
+          // SKIPPED by avg (shrinking the denominator right back)
+          avg(coalesce(col("ivf_id") === col("bf_id"), lit(false)).cast("double")).as("recall_at_1"),
+          avg(coalesce(col("ivf_cos") <= col("bf_cos") + 1e-12, lit(true)).cast("double")).as("no_beat_frac"))
       // collect-once memo: the 1-row result includes a brute-force
       // crossJoin baseline, so Bench's recall extraction must not
       // re-execute it — the first (timed) invocation pays, later
@@ -173,20 +203,14 @@ object IvfQueries {
     "x_ann_ivf_sweep" -> ((s, d) => sweepResult.getOrElseUpdate((s, d), {
       val probes = Seq(1, 2, 4, 8)
       val centers = fittedCenters(s, d)
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
-        .cache()
+      val e = cachedEmb(s, d)
       val total = e.count().toDouble
       val inv = e.select(col("vec_id").as("n_id"),
         nearestCell(col("embedding"), centers).as("cell"))
       val cellSizes = inv.groupBy("cell").agg(count(lit(1)).as("cell_n"))
-      val q0 = e.filter(col("vec_id") < 100)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nsq").as("q_nsq"))
       // every (query, cell) with the cell's search rank — the same
       // (dist, cell) ordering the top-1 queries probe by
-      val qRanks = q0.select(col("q_id"), explode(array(centers.zipWithIndex.map {
+      val qRanks = queries(s, d).select(col("q_id"), explode(array(centers.zipWithIndex.map {
           case (c, k) => struct(lit(k).as("cell"),
             graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
         }: _*)).as("c"))
@@ -194,15 +218,7 @@ object IvfQueries {
         .withColumn("rnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
         .select("q_id", "cell", "rnk")
-      val bfTop = q0.crossJoin(e.select(col("vec_id").as("n_id"),
-          col("embedding").as("n_emb"), col("nsq").as("n_nsq")))
-        .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          (Fns.dotProduct(col("q_emb"), col("n_emb"))
-            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
-        .groupBy("q_id")
-        .agg(min_by(col("n_id"), struct(-col("cos"), col("n_id"))).as("bf_id"))
-      val trueCellRank = bfTop
+      val trueCellRank = bfTop(s, d)
         .join(inv, col("bf_id") === col("n_id"))
         .join(qRanks, Seq("q_id", "cell"))
       val recallCols = count(lit(1)).cast("long").as("nq") +:

@@ -65,15 +65,10 @@ object LearnedQueries {
   private def zooRow(s: SparkSession, d: String, model: String): DataFrame = {
     val (clsModelF1, clsIndexF1) = {
       val t = memoized(s, d, s"${model}_cls") {
-        val r = InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
+        InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
           model = model,
           features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
           categorical = Set.empty))
-        // resident input for the serve-path metric heads (like the
-        // binary lifecycle's fitted()): without this every one of the
-        // row's four metric jobs re-reads cold parquet + re-scores
-        r.withPred.cache()
-        r
       }
       // the scored frame is also memoized+cached: the model transform
       // (MLlib row-at-a-time for dt) + probe join would otherwise
@@ -92,10 +87,9 @@ object LearnedQueries {
           col("l_quantity"), col("l_discount"), col("l_tax"),
           log(col("l_extendedprice") + 1.0).as("target"),
           col("l_extendedprice"))
-        val (f0, wp0) = InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
+        InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
           features = Seq("l_quantity", "l_discount", "l_tax"),
           target = "target", task = Task.Regression, maxBins = 8, model = model))
-        (f0, wp0.cache())
       }
       val scored = memoized(s, d, s"${model}_reg_scored") {
         f.transform(withPred, "index_pred")

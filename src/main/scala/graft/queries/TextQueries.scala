@@ -426,8 +426,23 @@ object TextQueries {
     // minority count.
     "t_balanced_sample" -> ((s, d) => {
       val e = Tables.events(s, d)
-      val counts = e.groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      val target = counts.agg(min(col("cnt"))).head().getLong(0)
+      // ONE aggregation pass over events: per-class counts + the
+      // overflow guard's max id, collected once — target and the tiny
+      // broadcast side both come from the collected rows instead of
+      // re-running the scan as the join's build side.
+      val countRows = e.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"), max(col("event_id")).as("max_id")).collect()
+      // event_id * 2654435761 must stay in Long: Spark would wrap
+      // silently (and pmod would "rescue" the negative) while DuckDB's
+      // checked BIGINT multiply throws — fail loudly on both instead
+      val maxId = countRows.map(_.getLong(2)).max
+      require(maxId <= Long.MaxValue / 2654435761L,
+        s"t_balanced_sample: max event_id $maxId would overflow the " +
+          "Long hash multiply — rescale the hash constant first")
+      val target = countRows.map(_.getLong(1)).min
+      import s.implicits._
+      val counts = countRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("event_type", "cnt")
       val bucket = pmod((col("event_id") * lit(2654435761L)) % lit(1000000007L), lit(1000000L))
       // keep iff bucket < M*target/cnt, cross-multiplied to stay in
       // exact BIGINT arithmetic (no division, no FP, no floor-vs-div
@@ -466,6 +481,20 @@ object TextQueries {
        |m AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
   }
 
+  /** The LSH band-join candidate pairs as SQL CTEs (`bands`, `pairs`)
+    * over the minhash CTE's `m` — ONE definition shared by the pair
+    * and cluster oracles so they can never check different graphs. */
+  private val bandsPairsCte = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $sig AS bsig FROM m"
+    }.mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN list_zip($a, $b)]), (acc, v) -> acc + v)"
 
@@ -494,29 +523,16 @@ object TextQueries {
       s"""WITH $minhashCte
          |SELECT doc_id, ${(0 until NumPerms).map(k => s"m$k").mkString(" || '-' || ")} AS sig
          |FROM m""".stripMargin,
-    "t_dedup_minhash" -> {
-      val bandSelects = (0 until NumBands).map { b =>
-        val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
-        s"SELECT doc_id, $b AS band, $sig AS bsig FROM m"
-      }.mkString(" UNION ALL ")
+    "t_dedup_minhash" ->
       s"""WITH $minhashCte,
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |$bandsPairsCte
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     // connected components over the SAME candidate-pair graph, as a
     // recursive reachability CTE: reach(id, lab) holds every label
     // reachable from id; min over them = the component representative.
-    "t_dedup_clusters" -> {
-      val bandSelects = (0 until NumBands).map { b =>
-        val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
-        s"SELECT doc_id, $b AS band, $sig AS bsig FROM m"
-      }.mkString(" UNION ALL ")
+    "t_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
-         |bands AS ($bandSelects),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |$bandsPairsCte,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -524,8 +540,7 @@ object TextQueries {
          |  SELECT id, id FROM nodes
          |  UNION
          |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin
-    },
+         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
     "t_dedup_simhash" -> {
       val bitSums = (0 until 16)
         .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")

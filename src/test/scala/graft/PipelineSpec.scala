@@ -441,8 +441,11 @@ class PipelineSpec extends AnyFunSuite {
     val recalls = rows.map(_.getAs[Double]("recall_at_1")).toSeq
     val scans = rows.map(_.getAs[Double]("scan_frac")).toSeq
     // deeper probes can only add candidates: both curves non-decreasing
+    // (>=, not >: consecutive depths can add only empty/sub-rounding
+    // cells on a regenerated corpus) with real growth across the range
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls.mkString(","))
-    assert(scans.zip(scans.tail).forall { case (a, b) => b > a }, scans.mkString(","))
+    assert(scans.zip(scans.tail).forall { case (a, b) => b >= a }, scans.mkString(","))
+    assert(scans.last > scans.head, scans.mkString(","))
     // probing half the 16 cells must find most true neighbors, at a
     // scan cost well under the brute-force full pass
     assert(recalls.last >= 0.5, s"recall@1(nprobe=8) ${recalls.last}")
