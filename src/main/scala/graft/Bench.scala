@@ -84,8 +84,10 @@ object Bench {
     }
 
     // selectivity ladder (reference protocol: predicate on the
-    // prediction at several cut-offs; BASELINE.md "Selectivity ladder")
-    val ladder = Seq(0.1, 0.5).map { sel =>
+    // prediction at several cut-offs; BASELINE.md "Selectivity ladder"
+    // runs 5 points — ours span the classification-score range the way
+    // the reference's 5 price thresholds span its regression target)
+    val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
       s"stage_e2e_sel_$sel" -> bestOf(2)(e2e(sel))
     }
 
