@@ -34,37 +34,38 @@ object GreedySelector {
       maxFeatures: Int = Int.MaxValue,
       maxCandidates: Int = Int.MaxValue
   ): Result = {
-    def ivOf(cols: Seq[String]): Double = task match {
-      case Task.Regression     => IV.regression(encoded, cols.map(col), col(target))
-      case Task.Classification => IV.classification(encoded, cols.map(col), col(target))
-      case Task.MultiClass     => IV.multiclass(encoded, cols.map(col), col(target))
-    }
-
-    // single-feature ranking: ONE batched job for binary/regression
-    // (IV.singleFeatureIvs); multi-class keeps per-feature jobs (the
-    // one-vs-rest decomposition doesn't batch the same way).
-    val single: Seq[(String, Double)] = task match {
-      case Task.MultiClass => candidates.map(f => f -> ivOf(Seq(f)))
-      case _ =>
-        val m = IV.singleFeatureIvs(encoded, candidates, target, task)
-        candidates.map(f => f -> m(f))
-    }
-    // stable sort: descending IV, ties keep candidate order. The walk
-    // below costs ONE joint-IV job per candidate (accepted or not), so
-    // at MNIST width the ranked list is capped: only the `maxCandidates`
-    // best single-IV features are considered (the single-IV ranking
-    // itself is one batched job over ALL candidates).
+    // single-feature ranking: ONE batched job for every task
+    // (IV.jointIvs with an empty kept set = single-feature IVs; it
+    // also batches the multi-class one-vs-rest decomposition, which
+    // used to pay per-feature jobs).
+    val singleMap = IV.jointIvs(encoded, Nil, candidates, target, task)
+    val single: Seq[(String, Double)] = candidates.map(f => f -> singleMap(f))
+    // stable sort: descending IV, ties keep candidate order; at MNIST
+    // width the ranked list is capped to the `maxCandidates` best.
     val ranked = single.sortBy { case (_, iv) => -iv }.map(_._1).take(maxCandidates)
 
-    var kept    = Vector.empty[String]
-    var current = 0.0
-    ranked.foreach { f =>
-      if (kept.size < maxFeatures) {
-        val joint = ivOf(kept :+ f)
-        if (kept.isEmpty || joint > tolerance * current) {
-          kept = kept :+ f
-          current = joint
-        }
+    // The walk, batched: ONE joint-IV job per ACCEPT evaluates every
+    // remaining candidate against the current kept set, then the rank
+    // order is walked over the precomputed joints, accepting the FIRST
+    // improver — decision-for-decision identical to evaluating
+    // candidates one at a time (rejected candidates were judged
+    // against the same kept set either way), but the job count is
+    // O(accepts) = O(maxFeatures), not O(candidates).
+    var kept      = Vector.empty[String]
+    var current   = 0.0
+    var remaining = ranked
+    while (kept.size < maxFeatures && remaining.nonEmpty) {
+      val joint =
+        if (kept.isEmpty) singleMap // round 0's joints ARE the single IVs
+        else IV.jointIvs(encoded, kept, remaining, target, task)
+      val idx = remaining.indexWhere(f =>
+        kept.isEmpty || joint(f) > tolerance * current)
+      if (idx < 0) remaining = Nil // nothing improves: the walk is done
+      else {
+        val f = remaining(idx)
+        kept = kept :+ f
+        current = joint(f)
+        remaining = remaining.drop(idx + 1)
       }
     }
     // re-order by bin count asc (stable: ties keep greedy order)

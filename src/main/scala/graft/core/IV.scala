@@ -63,6 +63,68 @@ object IV {
     }.sum
   }
 
+  /** Joint IV of (kept ++ candidate) for EVERY candidate in ONE
+    * aggregation job (all three tasks): explode (candidateIdx, bin)
+    * pairs alongside the kept-bin tuple, aggregate per
+    * (candidate, kept-bins, bin), then sum each candidate's IV terms —
+    * all in Spark, so only #candidates rows come back to the driver.
+    * This is what makes the greedy WALK (not just the ranking) O(jobs
+    * per accept) instead of O(jobs per candidate): each rejected
+    * candidate previously paid its own two-job `classification()`
+    * call against the same kept set.
+    */
+  def jointIvs(
+      df: DataFrame,
+      kept: Seq[String],
+      candidates: Seq[String],
+      target: String,
+      task: Task): Map[String, Double] = {
+    val y = col(target).cast("double")
+    val keptKey: Column =
+      if (kept.isEmpty) lit(0L) else struct(kept.map(col): _*)
+    val pairs = df.select(
+      posexplode(array(candidates.map(c => col(c).cast("long")): _*)).as(Seq("fi", "bin")) ,
+      keptKey.as("kk"), y.as("y"))
+
+    val (perBinAggs: Seq[Column], ivSum: Column) = task match {
+      case Task.Regression =>
+        val tot = df.agg(avg(y), count(lit(1)).cast("double")).head()
+        val (gMean, nTot) = (tot.getDouble(0), tot.getDouble(1))
+        (Seq(count(lit(1)).cast("double").as("n"), avg("y").as("m")),
+          abs(col("m") - gMean) * col("n") / nTot)
+      case Task.Classification =>
+        val tot = df.agg(sum(y).as("s"), count(lit(1)).cast("double").as("n")).head()
+        val nEv = tot.getDouble(0); val nNonEv = tot.getDouble(1) - nEv
+        if (nEv == 0 || nNonEv == 0) return candidates.map(_ -> 0.0).toMap.withDefaultValue(0.0)
+        (Seq(count(lit(1)).cast("double").as("n"), sum("y").as("s")),
+          classificationIvTerm(col("n"), col("s"), nEv, nNonEv))
+      case Task.MultiClass =>
+        // one-vs-rest per class, summed: the per-class bin sums are
+        // extra agg columns and the per-class terms one summed column
+        val counts = df.groupBy(col(target).cast("long").as("c"))
+          .agg(count(lit(1)).cast("double").as("n")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val classes = counts.keys.toSeq.sorted
+        val nTot = counts.values.sum
+        val terms = classes.flatMap { c =>
+          val nEv = counts(c); val nNonEv = nTot - nEv
+          if (nEv == 0 || nNonEv == 0) None
+          else Some(classificationIvTerm(col("n"), col(s"s_$c"), nEv, nNonEv))
+        }
+        if (terms.isEmpty) return candidates.map(_ -> 0.0).toMap.withDefaultValue(0.0)
+        (count(lit(1)).cast("double").as("n") +:
+           classes.map(c => sum(when(col("y") === c.toDouble, 1.0).otherwise(0.0)).as(s"s_$c")),
+          terms.reduce(_ + _))
+    }
+    pairs.groupBy("fi", "kk", "bin")
+      .agg(perBinAggs.head, perBinAggs.tail: _*)
+      .groupBy("fi").agg(sum(ivSum).as("iv"))
+      .collect()
+      .map(r => candidates(r.getInt(0)) -> r.getDouble(1))
+      .toMap
+      .withDefaultValue(0.0)
+  }
+
   /** ALL single-feature IVs in ONE aggregation job (classification /
     * regression): the per-(feature, bin) stats for every candidate are
     * computed in a single pass by exploding (featureIdx, bin) pairs —

@@ -121,6 +121,26 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(reg("b_a") - perReg) < 1e-9)
   }
 
+  test("batched jointIvs equals sequential joint IV for all three tasks") {
+    val df = (1 to 600).map { i =>
+      ((i % 4).toDouble, (i % 3).toDouble, (i % 5).toDouble,
+       if ((i % 4) + (i % 3) > 3) 1.0 else 0.0,
+       (i % 4 + 0.1 * (i % 7)).toDouble,
+       (i % 3).toDouble)
+    }.toDF("b_a", "b_b", "b_c", "y_cls", "y_reg", "y_multi").cache()
+    // empty kept = single IVs
+    val s = IV.jointIvs(df, Nil, Seq("b_a", "b_b"), "y_cls", Task.Classification)
+    assert(math.abs(s("b_a") - IV.classification(df, Seq(col("b_a")), col("y_cls"))) < 1e-9)
+    // joint against a kept set, every candidate in one job
+    val j = IV.jointIvs(df, Seq("b_a"), Seq("b_b", "b_c"), "y_cls", Task.Classification)
+    assert(math.abs(j("b_b") - IV.classification(df, Seq(col("b_a"), col("b_b")), col("y_cls"))) < 1e-9)
+    assert(math.abs(j("b_c") - IV.classification(df, Seq(col("b_a"), col("b_c")), col("y_cls"))) < 1e-9)
+    val r = IV.jointIvs(df, Seq("b_a"), Seq("b_b"), "y_reg", Task.Regression)
+    assert(math.abs(r("b_b") - IV.regression(df, Seq(col("b_a"), col("b_b")), col("y_reg"))) < 1e-9)
+    val m = IV.jointIvs(df, Seq("b_a"), Seq("b_b"), "y_multi", Task.MultiClass)
+    assert(math.abs(m("b_b") - IV.multiclass(df, Seq(col("b_a"), col("b_b")), col("y_multi"))) < 1e-9)
+  }
+
   test("GreedySelector keeps the informative feature and orders by bin count") {
     val df = (1 to 600).map { i =>
       val y = if (i % 2 == 0) 1.0 else 0.0
