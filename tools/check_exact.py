@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Full-precision (bitwise) oracle compare — the DRIVER's standard.
+
+tools/check_oracle.py normalizes floats to 9 significant digits, which
+is what let an ulp-level f1 divergence (a7_confusion, rounds 1-2) pass
+locally while the driver's full-precision hash failed. This tool makes
+the strict comparison runnable locally: every value must be IDENTICAL
+(bitwise for floats, modulo NaN==NaN) between the Spark result parquet
+and the DuckDB oracle result.
+
+Usage: python3 tools/check_exact.py <sfDir> <verifyOutDir>
+"""
+import sys, json
+import duckdb
+
+TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']
+
+
+def main(sf: str, out: str) -> int:
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    n_pass, fails = 0, []
+    for name in sorted(oracle):
+        try:
+            sdf = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+            odf = con.execute(oracle[name]).df()
+            scols = sorted(sdf.columns)
+            if scols != sorted(odf.columns):
+                fails.append((name, f'COLS {scols} vs {sorted(odf.columns)}'))
+                continue
+            s = sdf[scols].sort_values(scols).reset_index(drop=True)
+            o = odf[scols].sort_values(scols).reset_index(drop=True)
+            if len(s) != len(o):
+                fails.append((name, f'ROWS {len(s)} vs {len(o)}'))
+                continue
+            bad = None
+            for c in scols:
+                for i, (a, b) in enumerate(zip(s[c].tolist(), o[c].tolist())):
+                    # NaN == NaN counts as equal; everything else bitwise
+                    if a != b and not (a != a and b != b):
+                        bad = f'col {c} row {i}: {a!r} != {b!r}'
+                        break
+                if bad:
+                    break
+            if bad:
+                fails.append((name, bad))
+            else:
+                n_pass += 1
+                print(f'  [exact]  {name}: {len(s)} rows x {len(scols)} cols')
+        except Exception as e:
+            fails.append((name, f'ERR {e}'))
+    for n, m in fails:
+        print(f'  [FAIL]   {n}: {m}')
+    print(f'EXACT_PASS={n_pass} FAIL={len(fails)}')
+    return 1 if fails else 0
+
+
+if __name__ == '__main__':
+    sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify'
+    sys.exit(main(sf, out))
