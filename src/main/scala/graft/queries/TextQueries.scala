@@ -185,8 +185,12 @@ object TextQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lab")).cache()
+      // round 0 fused into initialization: label(x) = min(x, neighbors)
+      // is exactly what the first propagation round would compute, so
+      // near-clique components start one round from the fixpoint
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("mn"), col("id")).as("lab")).cache()
       def labSum(df: org.apache.spark.sql.DataFrame): Long = {
         val v = df.agg(sum("lab")).head()
         if (v.isNullAt(0)) 0L else v.getLong(0) // null = no candidate pairs at all
