@@ -69,7 +69,14 @@ object Bench {
         .filter(col("prediction") > sel)
         .groupBy("ship_month")
         .agg(count(lit(1)).as("cnt"), sum("charge").as("rev")))
-    val endToEnd = bestOf(2)(e2e(0.3))
+    // selectivity ladder (reference protocol: predicate on the
+    // prediction at 5 cut-offs like BASELINE.md's "Selectivity ladder");
+    // the 0.3 point doubles as the headline stage_end_to_end — timing
+    // the identical fused plan twice bought nothing
+    val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
+      sel -> bestOf(2)(e2e(sel))
+    }
+    val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
 
     // ---- every declared query, one timed pass (evalAll, not count():
     // projection-only queries would otherwise time a bare scan).
@@ -83,13 +90,7 @@ object Bench {
       name -> t
     }
 
-    // selectivity ladder (reference protocol: predicate on the
-    // prediction at several cut-offs; BASELINE.md "Selectivity ladder"
-    // runs 5 points — ours span the classification-score range the way
-    // the reference's 5 price thresholds span its regression target)
-    val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
-      s"stage_e2e_sel_$sel" -> bestOf(2)(e2e(sel))
-    }
+    val ladderRows = ladder.map { case (sel, t) => s"stage_e2e_sel_$sel" -> t }
 
     // single-row serve path: collect-once local scorer, µs per lookup
     // (the reference's standalone-trie point-query mode)
@@ -121,7 +122,7 @@ object Bench {
       "stage_score" -> score,
       "stage_end_to_end" -> endToEnd,
       "stage_point_lookup_us" -> pointLookupUs,
-      "ivf_kmeans_recall_at_1" -> ivfRecall) ++ ladder
+      "ivf_kmeans_recall_at_1" -> ivfRecall) ++ ladderRows
     val qs = (stages ++ queryTimes)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum

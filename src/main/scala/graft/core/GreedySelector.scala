@@ -34,11 +34,14 @@ object GreedySelector {
       maxFeatures: Int = Int.MaxValue,
       maxCandidates: Int = Int.MaxValue
   ): Result = {
+    // global target stats once — reused by the ranking and every
+    // walk round (they cannot change between rounds)
+    val totals = IV.totalsOf(encoded, target, task)
     // single-feature ranking: ONE batched job for every task
     // (IV.jointIvs with an empty kept set = single-feature IVs; it
     // also batches the multi-class one-vs-rest decomposition, which
     // used to pay per-feature jobs).
-    val singleMap = IV.jointIvs(encoded, Nil, candidates, target, task)
+    val singleMap = IV.jointIvs(encoded, Nil, candidates, target, task, totals)
     val single: Seq[(String, Double)] = candidates.map(f => f -> singleMap(f))
     // stable sort: descending IV, ties keep candidate order; at MNIST
     // width the ranked list is capped to the `maxCandidates` best.
@@ -57,7 +60,7 @@ object GreedySelector {
     while (kept.size < maxFeatures && remaining.nonEmpty) {
       val joint =
         if (kept.isEmpty) singleMap // round 0's joints ARE the single IVs
-        else IV.jointIvs(encoded, kept, remaining, target, task)
+        else IV.jointIvs(encoded, kept, remaining, target, task, totals)
       val idx = remaining.indexWhere(f =>
         kept.isEmpty || joint(f) > tolerance * current)
       if (idx < 0) remaining = Nil // nothing improves: the walk is done

@@ -63,6 +63,31 @@ object IV {
     }.sum
   }
 
+  /** Walk-invariant global target statistics, computed ONCE per
+    * selection and reused by every [[jointIvs]] round (they cannot
+    * change between rounds — recomputing them cost one extra
+    * driver-blocking job per accepted feature). */
+  sealed trait Totals
+  final case class ClsTotals(nEv: Double, nNonEv: Double) extends Totals
+  final case class RegTotals(gMean: Double, nTot: Double) extends Totals
+  final case class McTotals(counts: Map[Long, Double]) extends Totals
+
+  def totalsOf(df: DataFrame, target: String, task: Task): Totals = {
+    val y = col(target).cast("double")
+    task match {
+      case Task.Regression =>
+        val t = df.agg(avg(y), count(lit(1)).cast("double")).head()
+        RegTotals(t.getDouble(0), t.getDouble(1))
+      case Task.Classification =>
+        val t = df.agg(sum(y).as("s"), count(lit(1)).cast("double").as("n")).head()
+        ClsTotals(t.getDouble(0), t.getDouble(1) - t.getDouble(0))
+      case Task.MultiClass =>
+        McTotals(df.groupBy(col(target).cast("long").as("c"))
+          .agg(count(lit(1)).cast("double").as("n")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    }
+  }
+
   /** Joint IV of (kept ++ candidate) for EVERY candidate in ONE
     * aggregation job (all three tasks): explode (candidateIdx, bin)
     * pairs alongside the kept-bin tuple, aggregate per
@@ -78,7 +103,16 @@ object IV {
       kept: Seq[String],
       candidates: Seq[String],
       target: String,
-      task: Task): Map[String, Double] = {
+      task: Task): Map[String, Double] =
+    jointIvs(df, kept, candidates, target, task, totalsOf(df, target, task))
+
+  def jointIvs(
+      df: DataFrame,
+      kept: Seq[String],
+      candidates: Seq[String],
+      target: String,
+      task: Task,
+      totals: Totals): Map[String, Double] = {
     val y = col(target).cast("double")
     val keptKey: Column =
       if (kept.isEmpty) lit(0L) else struct(kept.map(col): _*)
@@ -86,24 +120,17 @@ object IV {
       posexplode(array(candidates.map(c => col(c).cast("long")): _*)).as(Seq("fi", "bin")) ,
       keptKey.as("kk"), y.as("y"))
 
-    val (perBinAggs: Seq[Column], ivSum: Column) = task match {
-      case Task.Regression =>
-        val tot = df.agg(avg(y), count(lit(1)).cast("double")).head()
-        val (gMean, nTot) = (tot.getDouble(0), tot.getDouble(1))
+    val (perBinAggs: Seq[Column], ivSum: Column) = totals match {
+      case RegTotals(gMean, nTot) =>
         (Seq(count(lit(1)).cast("double").as("n"), avg("y").as("m")),
           abs(col("m") - gMean) * col("n") / nTot)
-      case Task.Classification =>
-        val tot = df.agg(sum(y).as("s"), count(lit(1)).cast("double").as("n")).head()
-        val nEv = tot.getDouble(0); val nNonEv = tot.getDouble(1) - nEv
+      case ClsTotals(nEv, nNonEv) =>
         if (nEv == 0 || nNonEv == 0) return candidates.map(_ -> 0.0).toMap.withDefaultValue(0.0)
         (Seq(count(lit(1)).cast("double").as("n"), sum("y").as("s")),
           classificationIvTerm(col("n"), col("s"), nEv, nNonEv))
-      case Task.MultiClass =>
+      case McTotals(counts) =>
         // one-vs-rest per class, summed: the per-class bin sums are
         // extra agg columns and the per-class terms one summed column
-        val counts = df.groupBy(col(target).cast("long").as("c"))
-          .agg(count(lit(1)).cast("double").as("n")).collect()
-          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         val classes = counts.keys.toSeq.sorted
         val nTot = counts.values.sum
         val terms = classes.flatMap { c =>
@@ -112,8 +139,11 @@ object IV {
           else Some(classificationIvTerm(col("n"), col(s"s_$c"), nEv, nNonEv))
         }
         if (terms.isEmpty) return candidates.map(_ -> 0.0).toMap.withDefaultValue(0.0)
+        // truncating match (y.cast(long) === c), the SAME normalization
+        // the class counts above use — an exact-double match would
+        // silently drop non-integral labels from the bin sums only
         (count(lit(1)).cast("double").as("n") +:
-           classes.map(c => sum(when(col("y") === c.toDouble, 1.0).otherwise(0.0)).as(s"s_$c")),
+           classes.map(c => sum(when(col("y").cast("long") === c, 1.0).otherwise(0.0)).as(s"s_$c")),
           terms.reduce(_ + _))
     }
     pairs.groupBy("fi", "kk", "bin")
@@ -125,49 +155,4 @@ object IV {
       .withDefaultValue(0.0)
   }
 
-  /** ALL single-feature IVs in ONE aggregation job (classification /
-    * regression): the per-(feature, bin) stats for every candidate are
-    * computed in a single pass by exploding (featureIdx, bin) pairs —
-    * O(1) jobs instead of O(#features), which is what makes greedy
-    * selection viable at MNIST width (784 candidates) on 100 TB. The
-    * driver finishes the tiny per-bin arithmetic (#features × #bins
-    * rows).
-    */
-  def singleFeatureIvs(
-      df: DataFrame,
-      features: Seq[String],
-      target: String,
-      task: Task): Map[String, Double] = {
-    val tot = df.agg(
-      sum(col(target).cast("double")).as("s"),
-      count(lit(1)).cast("double").as("n"),
-      avg(col(target).cast("double")).as("m")).head()
-    val (totS, totN, totM) = (tot.getDouble(0), tot.getDouble(1), tot.getDouble(2))
-
-    val pairs = df.select(
-      posexplode(array(features.map(f => col(f).cast("long")): _*)).as(Seq("fi", "bin")),
-      col(target).cast("double").as("y"))
-    val stats = pairs.groupBy("fi", "bin")
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum("y").as("s"), avg("y").as("m"))
-      .collect()
-      .map(r => (r.getInt(0), (r.getDouble(2), r.getDouble(3), r.getDouble(4))))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-
-    features.zipWithIndex.map { case (f, i) =>
-      val bins = stats.getOrElse(i, Seq.empty)
-      val iv = task match {
-        case Task.Regression =>
-          bins.map { case (n, _, m) => math.abs(m - totM) * n / totN }.sum
-        case _ =>
-          val nEv = totS; val nNonEv = totN - totS
-          if (nEv == 0 || nNonEv == 0) 0.0
-          else bins.map { case (n, s, _) =>
-            ((math.log(n - s + 0.5) - math.log(nNonEv)) - (math.log(s + 0.5) - math.log(nEv))) *
-              ((n - s) / nNonEv - s / nEv)
-          }.sum
-      }
-      f -> iv
-    }.toMap
-  }
 }

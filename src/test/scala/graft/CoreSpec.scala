@@ -107,16 +107,16 @@ class CoreSpec extends AnyFunSuite {
     assert(good > 1.0)
   }
 
-  test("batched singleFeatureIvs equals per-feature IV jobs") {
+  test("batched single-feature ranking (jointIvs, empty kept) equals per-feature IV jobs") {
     val df = (1 to 500).map { i =>
       ((i % 4).toDouble, (i % 7).toDouble, if (i % 2 == 0) 1.0 else 0.0)
     }.toDF("b_a", "b_b", "y").cache()
-    val batched = IV.singleFeatureIvs(df, Seq("b_a", "b_b"), "y", Task.Classification)
+    val batched = IV.jointIvs(df, Nil, Seq("b_a", "b_b"), "y", Task.Classification)
     val perA = IV.classification(df, Seq(col("b_a")), col("y"))
     val perB = IV.classification(df, Seq(col("b_b")), col("y"))
     assert(math.abs(batched("b_a") - perA) < 1e-9)
     assert(math.abs(batched("b_b") - perB) < 1e-9)
-    val reg = IV.singleFeatureIvs(df, Seq("b_a"), "y", Task.Regression)
+    val reg = IV.jointIvs(df, Nil, Seq("b_a"), "y", Task.Regression)
     val perReg = IV.regression(df, Seq(col("b_a")), col("y"))
     assert(math.abs(reg("b_a") - perReg) < 1e-9)
   }
@@ -139,6 +139,12 @@ class CoreSpec extends AnyFunSuite {
     assert(math.abs(r("b_b") - IV.regression(df, Seq(col("b_a"), col("b_b")), col("y_reg"))) < 1e-9)
     val m = IV.jointIvs(df, Seq("b_a"), Seq("b_b"), "y_multi", Task.MultiClass)
     assert(math.abs(m("b_b") - IV.multiclass(df, Seq(col("b_a"), col("b_b")), col("y_multi"))) < 1e-9)
+    // non-integral labels: both paths must TRUNCATE consistently (an
+    // exact-double class match would drop 2.25 from class 2's bin sums
+    // while the class counts still include it)
+    val frac = df.withColumn("y_frac", col("y_multi") + lit(0.25))
+    val mf = IV.jointIvs(frac, Seq("b_a"), Seq("b_b"), "y_frac", Task.MultiClass)
+    assert(math.abs(mf("b_b") - IV.multiclass(frac, Seq(col("b_a"), col("b_b")), col("y_frac"))) < 1e-9)
   }
 
   test("GreedySelector keeps the informative feature and orders by bin count") {

@@ -10,18 +10,31 @@ and the DuckDB oracle result.
 
 Usage: python3 tools/check_exact.py <sfDir> <verifyOutDir>
 """
-import sys, json
+import os, sys, json, math, struct
 import duckdb
 
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
 
+def same(a, b) -> bool:
+    """Bitwise-equal for floats (so -0.0 != 0.0, any NaN == any NaN);
+    plain equality for everything else."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return struct.pack('<d', a) == struct.pack('<d', b)
+    return a == b
+
+
 def main(sf: str, out: str) -> int:
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # guard like check_oracle.py: a missing table must not abort the
+        # whole run before any comparison happens
+        if os.path.exists(f'{sf}/{t}.parquet'):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     n_pass, fails = 0, []
     for name in sorted(oracle):
@@ -40,8 +53,7 @@ def main(sf: str, out: str) -> int:
             bad = None
             for c in scols:
                 for i, (a, b) in enumerate(zip(s[c].tolist(), o[c].tolist())):
-                    # NaN == NaN counts as equal; everything else bitwise
-                    if a != b and not (a != a and b != b):
+                    if not same(a, b):
                         bad = f'col {c} row {i}: {a!r} != {b!r}'
                         break
                 if bad:
