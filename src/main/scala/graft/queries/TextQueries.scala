@@ -456,8 +456,113 @@ object TextQueries {
         .select(col("event_id"), col("event_type"), col("user_id"))
       requireBroadcastOnly(res, "t_balanced_sample")
       res
+    }),
+
+    // Deterministic train/val/test split (the reproducible-split pass
+    // every training pipeline needs): assignment is a pure function of
+    // doc_id — an integer hash bucket cut at 80/10/10 — so it is stable
+    // under retries, AQE re-plans, repartitioning and incremental
+    // re-runs (a random() split is none of those). Scale shape: one
+    // projection + one map-side-combined aggregation; no shuffle of
+    // document content, no driver state.
+    "t_split_assign" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      assertHashSafe(docs, d, "t_split_assign")
+      val split = when(idBucket < 800000L, "train")
+        .when(idBucket < 900000L, "val")
+        .otherwise("test")
+      docs.select(split.as("split"), col("n_chars"), col("doc_id"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+    }),
+
+    // Source-weighted mixture sampling (the multilingual-T5-style
+    // temperature rule, alpha = 0.5: keep ~ sqrt(n_s)·K docs of each
+    // source, so dominant sources are downsampled hard and tail
+    // sources barely at all). Per-source quotas come from ONE tiny
+    // aggregation collected to the driver; membership is the same
+    // integer hash-threshold Bernoulli as t_balanced_sample,
+    // cross-multiplied into exact BIGINT arithmetic. sqrt is the one
+    // FP op and it is IEEE-correctly-rounded on both engines, so
+    // floor(sqrt(n)) is bit-identical. Scale shape: one scan + a
+    // broadcast of the ~|sources| quota table.
+    "t_mix_sources" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val countRows = docs.groupBy("source").agg(
+        count(lit(1)).as("cnt"), max(col("doc_id")).as("max_id")).collect()
+      val maxId = countRows.map(_.getLong(2)).max
+      require(maxId <= Long.MaxValue / HashMult,
+        s"t_mix_sources: max doc_id $maxId would overflow the Long " +
+          "hash multiply — rescale the hash constant first")
+      import s.implicits._
+      val quotas = countRows.map { r =>
+        val n = r.getLong(1)
+        (r.getString(0), n, math.sqrt(n.toDouble).toLong * 4L)
+      }.toSeq.toDF("source", "cnt", "quota")
+      val kept = docs.join(broadcast(quotas), "source")
+        .filter(idBucket * col("cnt") < lit(1000000L) * col("quota"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val res = quotas.join(broadcast(kept), Seq("source"), "left")
+        .select(col("source"), col("cnt").as("n_docs"), col("quota"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      requireBroadcastOnly(res, "t_mix_sources")
+      res
+    }),
+
+    // PII redaction (the scrub pass a corpus runs before training):
+    // email / phone / IPv4 patterns replaced with typed placeholders,
+    // plus per-type match counts. The corpus is synthetic tokens with
+    // no PII, so each document's contact line is DERIVED from
+    // (doc_id, source) identically on both engines — the oracle then
+    // checks the actual redaction logic, not a row of zeros. Patterns
+    // stay inside the Java-regex/RE2 common subset (character classes,
+    // bounded repetition, \b) so Spark and DuckDB agree. Scale shape:
+    // fused projection, embarrassingly parallel, zero shuffle.
+    "t_pii_redact" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val contact = concat(
+        lit("user"), idStr, lit("@"), col("source"), lit(".org tel +1-555-"),
+        lpad((col("doc_id") * 7919L % 10000L).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256L).cast("string"), lit("."),
+        (col("doc_id") * 31L % 256L).cast("string"), lit(".7 "),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3L === 0L, lit(" alt bob@mail.net")).otherwise(lit("")))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(contact, lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(contact, lit(phone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(contact, lit(ip), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(contact, email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>").as("redacted"))
     })
   )
+
+  /** Shared integer Bernoulli-hash pieces for the sampling/split
+    * family: bucket(doc_id) in [0, 1e6) from a Knuth-multiply mod-P
+    * hash — pure integer ops, bit-identical on any engine. */
+  private val HashMult = 2654435761L
+  private def idBucket: Column =
+    pmod((col("doc_id") * lit(HashMult)) % lit(TextHash.P), lit(1000000L))
+  // overflow guard memoized per (session, corpus) so timed bench
+  // re-invocations don't re-pay the max() scan
+  private val hashSafe =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  private def assertHashSafe(docs: DataFrame, d: String, name: String): Unit =
+    hashSafe.getOrElseUpdate((docs.sparkSession, d), {
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId <= Long.MaxValue / HashMult,
+        s"$name: max doc_id $maxId would overflow the Long hash " +
+          "multiply — rescale the hash constant first")
+    })
 
   // ------------------------- oracle SQL ------------------------------
 
@@ -662,6 +767,46 @@ object TextQueries {
         |SELECT e.event_id, e.event_type, e.user_id
         |FROM events e JOIN c ON e.event_type = c.event_type CROSS JOIN t
         |WHERE (((e.event_id * 2654435761) % 1000000007) % 1000000) * c.cnt
-        |      < 1000000 * t.target""".stripMargin
+        |      < 1000000 * t.target""".stripMargin,
+
+    "t_split_assign" ->
+      """SELECT CASE WHEN ((doc_id * 2654435761) % 1000000007) % 1000000 < 800000 THEN 'train'
+        |            WHEN ((doc_id * 2654435761) % 1000000007) % 1000000 < 900000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "t_mix_sources" ->
+      """WITH c AS (SELECT source, count(*) AS cnt,
+        |                  CAST(floor(sqrt(count(*))) AS BIGINT) * 4 AS quota
+        |           FROM documents GROUP BY source),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |      FROM documents d JOIN c USING (source)
+        |      WHERE (((d.doc_id * 2654435761) % 1000000007) % 1000000) * c.cnt
+        |            < 1000000 * c.quota
+        |      GROUP BY d.source)
+        |SELECT c.source, c.cnt AS n_docs, c.quota,
+        |       coalesce(k.n_kept, 0)::BIGINT AS n_kept
+        |FROM c LEFT JOIN k USING (source)""".stripMargin,
+
+    "t_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'user' || doc_id::VARCHAR || '@' || source || '.org tel +1-555-' ||
+        |         lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') ||
+        |         ' ip 10.' || (doc_id % 256)::VARCHAR || '.' ||
+        |         ((doc_id * 31) % 256)::VARCHAR || '.7 ' || substr(text, 1, 40) ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' alt bob@mail.net' ELSE '' END AS contact
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(contact, '\+1-555-[0-9]{4}')) AS n_phones,
+        |       len(regexp_extract_all(contact, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |       regexp_replace(regexp_replace(regexp_replace(contact,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM raw""".stripMargin
   )
 }

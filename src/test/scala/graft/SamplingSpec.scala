@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deterministic sampling/split/scrub family over `documents`:
+  * t_split_assign, t_mix_sources, t_pii_redact. These all rely on
+  * engine-exact arithmetic (integer hash buckets, floor(sqrt), Java/RE2
+  * common-subset regexes) — the specs pin the invariants the oracle
+  * hash can't express directly.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t_split_assign partitions the corpus and is deterministic") {
+    val res = TextQueries.defs("t_split_assign")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(res.values.sum == total, s"splits must partition the corpus: $res")
+    // hash buckets are uniform enough that train is the large split at
+    // any corpus size
+    assert(res.getOrElse("train", 0L) > res.getOrElse("val", 0L))
+    assert(res.getOrElse("train", 0L) > res.getOrElse("test", 0L))
+    val again = TextQueries.defs("t_split_assign")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == res, "split assignment must be run-to-run identical")
+  }
+
+  test("t_mix_sources keeps at most the source count and near the quota") {
+    val rows = TextQueries.defs("t_mix_sources")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, quota, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= n, s"kept $kept > docs $n for ${r.getString(0)}")
+      // Bernoulli with rate quota/n: kept is within noise of
+      // min(quota, n); allow the full +-n slack only for tiny sources
+      val expected = math.min(quota, n)
+      assert(math.abs(kept - expected) <= math.max(4L, n / 2),
+        s"kept $kept far from expected $expected (n=$n quota=$quota)")
+    }
+  }
+
+  test("t_pii_redact scrubs every injected email/phone/IP") {
+    val rows = TextQueries.defs("t_pii_redact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, emails, phones, ips, red) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      assert(emails == (if (id % 3 == 0) 2 else 1), s"doc $id emails=$emails")
+      assert(phones == 1 && ips == 1, s"doc $id phones=$phones ips=$ips")
+      assert(!red.contains("@"), s"doc $id leaked an email: $red")
+      assert(!red.contains("+1-555-"), s"doc $id leaked a phone: $red")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+        red.contains("<IP>"), s"doc $id missing placeholders: $red")
+    }
+  }
+
+  test("pii patterns agree between Spark (Java regex) and the RE2 subset") {
+    // the one construct with cross-engine risk is \b: pin its behavior
+    // on boundary-adjacent digits and dots
+    import spark.implicits._
+    val probe = Seq(
+      "ip 10.1.2.3 end", "x10.1.2.3", "10.1.2.3.4", "v1.2", "999.999.999.999")
+      .toDF("s")
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val got = probe.select(size(regexp_extract_all(col("s"), lit(ip), lit(0))))
+      .collect().map(_.getInt(0)).toSeq
+    // "x10..." still matches after the non-word 'x'? no — 'x' is a word
+    // char so \b fails before '1'... it holds between x and 1? both word
+    // chars -> no boundary -> no match start there; RE2 agrees.
+    assert(got == Seq(1, 0, 1, 0, 1), s"ip regex semantics drifted: $got")
+  }
+}
