@@ -131,7 +131,9 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
-  val defs: Map[String, Q] = Map(
+  lazy val defs: Map[String, Q] = defsA ++ defsB
+
+  private val defsA: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on full content, canonical = min id.
     "t_dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
@@ -178,7 +180,37 @@ object TextQueries {
     // halves the diameter per round, but near-dup components are
     // near-cliques (band collisions), so plain propagation converges
     // in 2-3 rounds. Deterministic: cluster id = min doc_id reachable.
-    "t_dedup_clusters" -> ((s, d) => {
+    "t_dedup_clusters" -> ((s, d) => clusterLabels(s, d)),
+
+    // Canonical selection per near-dup cluster — the "which copy do we
+    // keep" decision dedup exists to make: each LSH cluster keeps its
+    // most informative member (max DISTINCT-token count, ties broken by
+    // min doc_id). Both ranking keys are exact integers, so the choice
+    // is bit-identical across engines and partitionings — a float
+    // quality score could flip the argmax in the last ulp. Scale shape:
+    // cluster labels (tiny: only near-dup members) joined to a per-doc
+    // projection on doc_id, then ONE map-side-combinable aggregation
+    // (max_by merges partially); no all-pairs work beyond the banded
+    // LSH join itself.
+    "t_dedup_keep_best" -> ((s, d) => {
+      val info = Tables.documents(s, d).select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+      clusterLabels(s, d).join(info, "doc_id")
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("n_distinct"), (-col("doc_id")).as("inv"))).as("keep_doc"),
+          max("n_distinct").as("keep_distinct"))
+        .select(col("cluster"), col("keep_doc"), col("keep_distinct"),
+          col("n_members"))
+    })
+  )
+
+  /** LSH near-dup connected components: (doc_id, cluster = min doc_id
+    * reachable) for every document that appears in at least one LSH
+    * candidate pair. Shared by t_dedup_clusters / t_dedup_keep_best. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
       // cache the pairs BEFORE symmetrizing: the union's two branches
       // would otherwise each run the full LSH band join
       val pairs = lshPairs(s, d).cache()
@@ -213,8 +245,9 @@ object TextQueries {
       require(converged, s"label propagation did not converge in $rounds rounds")
       edges.unpersist(); pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
-    }),
+  }
 
+  private val defsB: Map[String, Q] = Map(
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
     "t_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -604,6 +637,21 @@ object TextQueries {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** LSH connected-components CTE chain ending in
+    * `clu(doc_id, cluster)` — shared by the cluster and keep-best
+    * oracles so they can never check different graphs. Requires
+    * `WITH RECURSIVE $minhashCte` upstream. */
+  private val clusterCte =
+    s"""$bandsPairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |clu AS (SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2]::DOUBLE FOR z IN list_zip($a, $b)]), (acc, v) -> acc + v)"
 
@@ -641,15 +689,23 @@ object TextQueries {
     // reachable from id; min over them = the component representative.
     "t_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
-         |$bandsPairsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach(id, lab) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+         |$clusterCte
+         |SELECT doc_id, cluster FROM clu""".stripMargin,
+    "t_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |$clusterCte,
+         |info AS (SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |         FROM documents),
+         |j AS (SELECT c.cluster, c.doc_id, i.n_distinct
+         |      FROM clu c JOIN info i USING (doc_id)),
+         |r AS (SELECT cluster, doc_id, n_distinct,
+         |             row_number() OVER (PARTITION BY cluster
+         |                                ORDER BY n_distinct DESC, doc_id) AS rn
+         |      FROM j),
+         |agg AS (SELECT cluster, count(*) AS n_members FROM j GROUP BY cluster)
+         |SELECT r.cluster, r.doc_id AS keep_doc, r.n_distinct AS keep_distinct,
+         |       a.n_members
+         |FROM r JOIN agg a USING (cluster) WHERE rn = 1""".stripMargin,
     "t_dedup_simhash" -> {
       val bitSums = (0 until 16)
         .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")

@@ -57,6 +57,30 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("t_dedup_keep_best picks the max-distinct member of each cluster") {
+    val d = "/root/testdata/sf0.001"
+    val clusters = TextQueries.defs("t_dedup_clusters")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val distinctCnt = Tables.documents(spark, d)
+      .select(col("doc_id"), size(array_distinct(split(col("text"), " "))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = TextQueries.defs("t_dedup_keep_best")(spark, d).collect()
+    assert(rows.length == byCluster.size, "one keep decision per cluster")
+    rows.foreach { r =>
+      val (cluster, keep, keepN, members) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      val mem = byCluster(cluster)
+      assert(mem.contains(keep), s"kept doc $keep not in cluster $cluster")
+      assert(members == mem.size)
+      val best = mem.map(distinctCnt).max
+      assert(keepN == best, s"cluster $cluster kept n_distinct $keepN != max $best")
+      // tie-break: min doc_id among the max-distinct members
+      val expected = mem.filter(distinctCnt(_) == best).min
+      assert(keep == expected, s"cluster $cluster kept $keep, expected $expected")
+    }
+  }
+
   test("pii patterns agree between Spark (Java regex) and the RE2 subset") {
     // the one construct with cross-engine risk is \b: pin its behavior
     // on boundary-adjacent digits and dots
