@@ -81,6 +81,27 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("t_filter_pipeline verdicts partition the corpus with dup priority") {
+    val rows = TextQueries.defs("t_filter_pipeline")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "verdicts must partition the corpus")
+    val verdicts = rows.map(_.getString(1)).toSet
+    assert(verdicts.subsetOf(
+      Set("dup", "near_dup", "lang_mismatch", "low_quality", "repetitive", "kept")))
+    // the exact-dup rule fires first, so dup count == docs minus
+    // distinct contents (a (fp,len) hash collision would surface here)
+    val nDup = rows.filter(_.getString(1) == "dup").map(_.getLong(2)).sum
+    val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(nDup == total - distinctTexts, s"dup=$nDup total=$total distinct=$distinctTexts")
+    // testdata has no exact dups, so near_dup must equal the cluster
+    // query's non-canonical member count — the pipeline and the
+    // standalone dedup can never disagree
+    val nNear = rows.filter(_.getString(1) == "near_dup").map(_.getLong(2)).sum
+    val nonCanonical = TextQueries.defs("t_dedup_clusters")(spark, sf)
+      .filter(col("doc_id") =!= col("cluster")).count()
+    assert(nNear == nonCanonical, s"near_dup=$nNear cluster non-canon=$nonCanonical")
+  }
+
   test("pii patterns agree between Spark (Java regex) and the RE2 subset") {
     // the one construct with cross-engine risk is \b: pin its behavior
     // on boundary-adjacent digits and dots
