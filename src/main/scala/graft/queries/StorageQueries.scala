@@ -135,9 +135,50 @@ object StorageQueries {
     res
   }
 
+  /** Balanced shard export — the training-data write path: documents
+    * are hash-assigned to [[NumShards]] shards (shard = integer hash
+    * bucket of doc_id, the same Knuth-multiply family as the sampling
+    * queries), written ONCE as hive-partitioned parquet, read back, and
+    * summarized per shard. At 100 TB this is how a corpus ships to the
+    * trainer: the assignment is a pure function of the row (stable
+    * under retries/AQE re-plans, unlike rand() round-robin or
+    * monotonically_increasing_id), every shard writes in parallel, and
+    * the result IS the per-shard balance sheet, so the oracle checks
+    * the sharding arithmetic end-to-end. The directory layout is
+    * asserted (one partition dir per shard), and token counts are
+    * computed BEFORE the write so the exported files carry them.
+    */
+  private val NumShards = 8
+  private def shardedExport(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "shard_export") { p =>
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId <= Long.MaxValue / 2654435761L,
+        s"s3_sharded_export: max doc_id $maxId would overflow the Long " +
+          "hash multiply — rescale the hash constant first")
+      docs
+        .withColumn("shard",
+          pmod((col("doc_id") * lit(2654435761L)) % lit(1000000007L), lit(NumShards.toLong)))
+        .withColumn("bpe_tokens",
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+        .write.mode("overwrite").partitionBy("shard").parquet(p)
+    }
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("shard="))
+    require(dirs.length == NumShards,
+      s"s3_sharded_export: expected $NumShards shard dirs, found " +
+        dirs.sorted.mkString("[", ", ", "]"))
+    s.read.parquet(tmp)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe_tokens").as("sum_tokens"),
+        sum("n_chars").as("sum_chars"))
+  }
+
   val defs: Map[String, Q] = Map(
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
     "s2_bucketed_smb_join" -> bucketedSmbJoin,
+    "s3_sharded_export" -> shardedExport,
     "j_skew_salted" -> skewSaltedJoin
   )
 
@@ -151,6 +192,12 @@ object StorageQueries {
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey""".stripMargin,
+    "s3_sharded_export" ->
+      """SELECT ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
+        |       count(*) AS n_docs,
+        |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_tokens,
+        |       sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "j_skew_salted" ->
       """SELECT e.event_id, e.event_type, t.type_freq
         |FROM events e JOIN (

@@ -36,6 +36,18 @@ class StorageQueriesSpec extends AnyFunSuite {
     assert(res.join(direct, Seq("event_id", "event_type", "type_freq")).count() == direct.count())
   }
 
+  test("s3_sharded_export: all shards written, balanced, totals preserved") {
+    val rows = StorageQueries.defs("s3_sharded_export")(spark, sf).collect()
+    assert(rows.length == 8, "one summary row per shard")
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.sum == Tables.documents(spark, sf).count())
+    assert(counts.max <= counts.min * 3 / 2,
+      s"shards unbalanced: ${counts.mkString(",")}")
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum("n_chars")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_chars")).sum == totalChars)
+  }
+
   test("s2_bucketed_smb_join: shuffle-free result equals plain join") {
     val res = StorageQueries.defs("s2_bucketed_smb_join")(spark, sf)
     val o = Tables.orders(spark, sf)
