@@ -323,6 +323,41 @@ object TextQueries {
       res
     }),
 
+    // Streaming benchmark decontamination — the arriving-corpus variant
+    // of t_decontaminate: new training documents replayed as 4 file
+    // micro-batches, each batch's distinct shingle hashes joined against
+    // the BROADCAST benchmark set, flagged counts appended to the sink.
+    // The per-batch plan is stateless (projection + broadcast join +
+    // doc-keyed count; each doc is one row, so no doc spans batches) —
+    // no watermark, no state store — so the union of batch outputs
+    // equals the one-shot batch query, which is exactly the oracle.
+    // This is the shape of continuous ingest hygiene at 100 TB: the
+    // benchmark side stays resident, arriving shards stream through.
+    "x_stream_decontaminate" -> ((s, d) => {
+      assertCapMemo(s, d) // oracle reuses the capped shingle CTE
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 50)
+        .select(explode(shingles(col("text"))).as("shingle"))
+        .select(charHash(col("shingle")).as("h")).distinct()
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val stageDir = graft.core.TmpDirs.scratch("stream_decon_src", d)
+      raw.filter(col("doc_id") >= 50).repartition(4)
+        .write.mode("overwrite").parquet(stageDir)
+      val outDir = graft.core.TmpDirs.scratch("stream_decon_out", d)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val q = graft.streaming.StreamOps.foreachBatchSink(
+        stream,
+        batch => batch
+          .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+          .select(col("doc_id"), charHash(col("shingle")).as("h"))
+          .join(broadcast(bench), Seq("h"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
+        (flagged, _) => flagged.write.mode("append").parquet(outDir))
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outDir)
+    }),
+
     // Repetition filter (the Gopher-rule family: drop documents
     // dominated by one repeated token). top_ratio is a SINGLE division
     // of two exact integers, so the verdict threshold compares the
@@ -818,6 +853,17 @@ object TextQueries {
          |FROM hs t JOIN bench b ON t.h = b.h
          |WHERE t.doc_id >= 50
          |GROUP BY t.doc_id""".stripMargin,
+    // stateless per-batch plan == batch plan, so the streaming variant
+    // shares the batch oracle verbatim
+    "x_stream_decontaminate" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 50)
+         |SELECT t.doc_id, count(*) AS n_shared
+         |FROM hs t JOIN bench b ON t.h = b.h
+         |WHERE t.doc_id >= 50
+         |GROUP BY t.doc_id""".stripMargin,
+
     "t_lang_id" ->
       s"""SELECT doc_id, ${stopSql(enStop)} AS s_en, ${stopSql(deStop)} AS s_de,
          |  $langCaseSql AS pred_lang,

@@ -102,6 +102,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(nNear == nonCanonical, s"near_dup=$nNear cluster non-canon=$nonCanonical")
   }
 
+  test("x_stream_decontaminate equals the one-shot batch decontamination") {
+    val stream = TextQueries.defs("x_stream_decontaminate")(spark, sf)
+    val batch = TextQueries.defs("t_decontaminate")(spark, sf)
+    assert(stream.count() == batch.count())
+    assert(stream.join(batch, Seq("doc_id", "n_shared")).count() == batch.count(),
+      "per-doc shared-shingle counts must match the batch run exactly")
+  }
+
   test("pii patterns agree between Spark (Java regex) and the RE2 subset") {
     // the one construct with cross-engine risk is \b: pin its behavior
     // on boundary-adjacent digits and dots
