@@ -152,13 +152,11 @@ object StorageQueries {
   private def shardedExport(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "shard_export") { p =>
       val docs = Tables.documents(s, d)
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId <= Long.MaxValue / 2654435761L,
-        s"s3_sharded_export: max doc_id $maxId would overflow the Long " +
-          "hash multiply — rescale the hash constant first")
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s3_sharded_export")
       docs
         .withColumn("shard",
-          pmod((col("doc_id") * lit(2654435761L)) % lit(1000000007L), lit(NumShards.toLong)))
+          graft.functions.Hashing.bucket(col("doc_id"), NumShards.toLong))
         .withColumn("bpe_tokens",
           size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
         .write.mode("overwrite").partitionBy("shard").parquet(p)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Fns, TextHash}
+import graft.functions.{Fns, Hashing, TextHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -226,9 +226,13 @@ object TextQueries {
     * reachable) for every document that appears in at least one LSH
     * candidate pair. Shared by t_dedup_clusters / t_dedup_keep_best /
     * t_filter_pipeline — memoized per (session, corpus) with the final
-    * labels cached, so the three consumers (and repeated bench
-    * invocations) pay the iterative propagation ONCE; the fixpoint is
-    * deterministic, so reuse cannot change any result. */
+    * labels cached, so the three consumers pay the iterative
+    * propagation ONCE; the fixpoint is deterministic, so reuse cannot
+    * change any result. Bench timing stays honest because Bench times
+    * t_* rows with ONE invocation and alphabetical order makes
+    * t_dedup_clusters the first consumer — its row pays the full
+    * propagation; keep_best/filter_pipeline rows measure their own
+    * marginal work (as with the memoized learned fits). */
   private val clusterMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
@@ -336,15 +340,17 @@ object TextQueries {
     "x_stream_decontaminate" -> ((s, d) => {
       assertCapMemo(s, d) // oracle reuses the capped shingle CTE
       val docs = Tables.documents(s, d)
+      // cached: each of the 4 micro-batches runs an independent batch
+      // job, so an uncached bench side would re-shingle + re-broadcast
+      // the benchmark corpus per batch
       val bench = docs.filter(col("doc_id") < 50)
         .select(explode(shingles(col("text"))).as("shingle"))
-        .select(charHash(col("shingle")).as("h")).distinct()
-      val raw = s.read.parquet(s"$d/documents.parquet")
+        .select(charHash(col("shingle")).as("h")).distinct().cache()
       val stageDir = graft.core.TmpDirs.scratch("stream_decon_src", d)
-      raw.filter(col("doc_id") >= 50).repartition(4)
+      docs.filter(col("doc_id") >= 50).repartition(4)
         .write.mode("overwrite").parquet(stageDir)
       val outDir = graft.core.TmpDirs.scratch("stream_decon_out", d)
-      val stream = s.readStream.schema(raw.schema)
+      val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val q = graft.streaming.StreamOps.foreachBatchSink(
         stream,
@@ -354,7 +360,7 @@ object TextQueries {
           .join(broadcast(bench), Seq("h"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
         (flagged, _) => flagged.write.mode("append").parquet(outDir))
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); q.stop(); bench.unpersist()
       s.read.parquet(outDir)
     }),
 
@@ -522,18 +528,12 @@ object TextQueries {
       // re-running the scan as the join's build side.
       val countRows = e.groupBy("event_type").agg(
         count(lit(1)).as("cnt"), max(col("event_id")).as("max_id")).collect()
-      // event_id * 2654435761 must stay in Long: Spark would wrap
-      // silently (and pmod would "rescue" the negative) while DuckDB's
-      // checked BIGINT multiply throws — fail loudly on both instead
-      val maxId = countRows.map(_.getLong(2)).max
-      require(maxId <= Long.MaxValue / 2654435761L,
-        s"t_balanced_sample: max event_id $maxId would overflow the " +
-          "Long hash multiply — rescale the hash constant first")
+      Hashing.requireNoOverflow(countRows.map(_.getLong(2)).max, "t_balanced_sample")
       val target = countRows.map(_.getLong(1)).min
       import s.implicits._
       val counts = countRows.map(r => (r.getString(0), r.getLong(1))).toSeq
         .toDF("event_type", "cnt")
-      val bucket = pmod((col("event_id") * lit(2654435761L)) % lit(1000000007L), lit(1000000L))
+      val bucket = Hashing.bucket(col("event_id"), 1000000L)
       // keep iff bucket < M*target/cnt, cross-multiplied to stay in
       // exact BIGINT arithmetic (no division, no FP, no floor-vs-div
       // disagreement between engines)
@@ -579,10 +579,7 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val countRows = docs.groupBy("source").agg(
         count(lit(1)).as("cnt"), max(col("doc_id")).as("max_id")).collect()
-      val maxId = countRows.map(_.getLong(2)).max
-      require(maxId <= Long.MaxValue / HashMult,
-        s"t_mix_sources: max doc_id $maxId would overflow the Long " +
-          "hash multiply — rescale the hash constant first")
+      Hashing.requireNoOverflow(countRows.map(_.getLong(2)).max, "t_mix_sources")
       import s.implicits._
       val quotas = countRows.map { r =>
         val n = r.getLong(1)
@@ -676,23 +673,17 @@ object TextQueries {
     })
   )
 
-  /** Shared integer Bernoulli-hash pieces for the sampling/split
-    * family: bucket(doc_id) in [0, 1e6) from a Knuth-multiply mod-P
-    * hash — pure integer ops, bit-identical on any engine. */
-  private val HashMult = 2654435761L
-  private def idBucket: Column =
-    pmod((col("doc_id") * lit(HashMult)) % lit(TextHash.P), lit(1000000L))
+  /** Sampling/split family bucket: [[graft.functions.Hashing]] over
+    * doc_id, mod 1e6. */
+  private def idBucket: Column = Hashing.bucket(col("doc_id"), 1000000L)
   // overflow guard memoized per (session, corpus) so timed bench
   // re-invocations don't re-pay the max() scan
   private val hashSafe =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
   private def assertHashSafe(docs: DataFrame, d: String, name: String): Unit =
-    hashSafe.getOrElseUpdate((docs.sparkSession, d), {
-      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      require(maxId <= Long.MaxValue / HashMult,
-        s"$name: max doc_id $maxId would overflow the Long hash " +
-          "multiply — rescale the hash constant first")
-    })
+    hashSafe.getOrElseUpdate((docs.sparkSession, d),
+      Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), name))
 
   // ------------------------- oracle SQL ------------------------------
 
