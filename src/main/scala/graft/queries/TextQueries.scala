@@ -628,6 +628,34 @@ object TextQueries {
           ip, "<IP>").as("redacted"))
     }),
 
+    // Sequence packing (the concat-then-chunk step that turns a cleaned
+    // corpus into fixed-budget training sequences): documents are
+    // hash-split into 8 independent streams, each stream concatenated
+    // in deterministic doc_id order, and chunked at a 2048-token
+    // budget — pack_id = (cumulative_tokens - 1) div budget, pure
+    // integer arithmetic over a per-shard running sum. Scale shape: the
+    // window is PARTITIONED BY shard, so the inherently-sequential
+    // running sum parallelizes across shards (one shuffle on the shard
+    // key) — the per-shard order is the only sequential dependency, by
+    // construction of the packing semantics. Result = per-pack manifest
+    // (doc count, token sum, id range), the thing a trainer's data
+    // loader actually consumes.
+    "t_seq_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      assertHashSafe(docs, d, "t_seq_packing")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      docs.select(col("doc_id"),
+          Hashing.bucket(col("doc_id"), 8L).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - 1) div 2048"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+    }),
+
     // The full corpus-cleaning pass as ONE Spark plan — the shape a
     // real 100 TB pipeline runs nightly: exact-dup canonicalization,
     // language mismatch, low-distinctness, and Gopher-repetition
@@ -964,6 +992,19 @@ object TextQueries {
         |         '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
         |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
         |FROM raw""".stripMargin,
+
+    "t_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
+        |       sum(n_tok)::BIGINT AS sum_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "t_filter_pipeline" ->
       s"""WITH RECURSIVE $minhashCte,

@@ -102,6 +102,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(nNear == nonCanonical, s"near_dup=$nNear cluster non-canon=$nonCanonical")
   }
 
+  test("t_seq_packing: contiguous packs, budget-bounded, totals preserved") {
+    val rows = TextQueries.defs("t_seq_packing")(spark, sf).collect()
+    val totalTok = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == totalTok,
+      "every token lands in exactly one pack")
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(size(split(col("text"), " ")))).head().getInt(0)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, packs) =>
+      val ids = packs.map(_.getAs[Long]("pack_id")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"shard $shard pack ids not contiguous from 0: $ids")
+      packs.foreach { p =>
+        assert(p.getAs[Long]("sum_tokens") <= 2048L + maxDoc,
+          s"shard $shard pack ${p.getAs[Long]("pack_id")} exceeds budget+straddle")
+      }
+    }
+  }
+
   test("x_stream_decontaminate equals the one-shot batch decontamination") {
     val stream = TextQueries.defs("x_stream_decontaminate")(spark, sf)
     val batch = TextQueries.defs("t_decontaminate")(spark, sf)
