@@ -129,6 +129,29 @@ class SamplingSpec extends AnyFunSuite {
       "per-doc shared-shingle counts must match the batch run exactly")
   }
 
+  test("Hashing.bucket: in-range, deterministic, near-uniform on dense ids") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    val ids = (0L until 10000L).toDF("id")
+    val buckets = ids.select(Hashing.bucket(col("id"), 8L).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet.forall(b => b >= 0 && b < 8), s"out of range: $buckets")
+    assert(buckets.size == 8, s"empty buckets on 10k dense ids: $buckets")
+    // near-uniform: every bucket within 10% of the expected 1250
+    buckets.values.foreach(c => assert(math.abs(c - 1250L) <= 125L, buckets.toString))
+    // the engine-side expression must equal the reference arithmetic
+    val probe = Seq(0L, 1L, 42L, 999999L).toDF("id")
+      .select(col("id"), Hashing.bucket(col("id"), 1000000L).as("b")).collect()
+    probe.foreach { r =>
+      val id = r.getLong(0)
+      val expect = ((id * Hashing.Mult) % graft.functions.TextHash.P) % 1000000L
+      assert(r.getLong(1) == expect, s"id $id")
+    }
+    intercept[IllegalArgumentException] {
+      Hashing.requireNoOverflow(Long.MaxValue / 2, "spec")
+    }
+  }
+
   test("pii patterns agree between Spark (Java regex) and the RE2 subset") {
     // the one construct with cross-engine risk is \b: pin its behavior
     // on boundary-adjacent digits and dots
