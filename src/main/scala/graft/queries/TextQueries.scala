@@ -628,6 +628,32 @@ object TextQueries {
           ip, "<IP>").as("redacted"))
     }),
 
+    // Document chunking with overlap (the RAG / long-context
+    // preprocessing step): each document split into 32-token windows at
+    // stride 24 (8-token overlap), emitting per-chunk start, length and
+    // an integer fingerprint of the chunk text. Entirely row-local —
+    // sequence + explode + slice never leave the row, so the operator
+    // is embarrassingly parallel at any scale; chunk identity is the
+    // same polynomial hash the dedup family uses, so downstream
+    // chunk-level dedup composes directly. Token-capped oracle (same
+    // generate_series cap + fail-loud guard as the shingle CTE).
+    "t_doc_chunking" -> ((s, d) => {
+      assertCapMemo(s, d)
+      val W = 32; val S = 24
+      val nTok = size(col("w"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), nTok.as("n_tok"),
+          explode(sequence(lit(0), greatest(nTok - 1, lit(0)), lit(S))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / S).cast("long").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          least(lit(W), col("n_tok") - col("start")).cast("long").as("chunk_tokens"),
+          charHash(array_join(
+            slice(col("w"), col("start") + 1, least(lit(W), col("n_tok") - col("start"))),
+            " ")).as("chunk_fp"))
+    }),
+
     // Sequence packing (the concat-then-chunk step that turns a cleaned
     // corpus into fixed-budget training sequences): documents are
     // hash-split into 8 independent streams, each stream concatenated
@@ -992,6 +1018,14 @@ object TextQueries {
         |         '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
         |         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
         |FROM raw""".stripMargin,
+
+    "t_doc_chunking" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, (i // 24)::BIGINT AS chunk_id, i::BIGINT AS start_tok,
+         |       least(32, len(w) - i)::BIGINT AS chunk_tokens,
+         |       ${chSql("array_to_string(w[i + 1 : i + least(32, len(w) - i)], ' ')")} AS chunk_fp
+         |FROM words, generate_series(0, $OracleTokenCap, 24) t(i)
+         |WHERE i <= len(w) - 1""".stripMargin,
 
     "t_seq_packing" ->
       """WITH t AS (

@@ -121,6 +121,31 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("t_doc_chunking: chunk count formula holds; whole-doc chunks = fingerprint") {
+    val chunks = TextQueries.defs("t_doc_chunking")(spark, sf).cache()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_id").as("max_id")).collect()
+    assert(perDoc.length == nTok.size, "every doc must produce chunks")
+    perDoc.foreach { r =>
+      val expected = (nTok(r.getLong(0)) - 1) / 24 + 1
+      assert(r.getLong(1) == expected && r.getLong(2) == expected - 1,
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} chunks, expected $expected")
+    }
+    // a doc shorter than one window has exactly one chunk = the whole
+    // text, so its chunk_fp must equal t_fingerprint's doc fp
+    val whole = chunks.filter(col("start_tok") === 0)
+      .join(TextQueries.defs("t_fingerprint")(spark, sf), "doc_id")
+      .filter(lit(32) >= col("chunk_tokens") &&
+        col("doc_id").isin(nTok.filter(_._2 <= 32).keys.toSeq: _*))
+    assert(whole.count() > 0, "need at least one sub-window doc in testdata")
+    assert(whole.filter(col("chunk_fp") =!= col("fp")).count() == 0,
+      "whole-doc chunk fingerprint must equal the document fingerprint")
+    chunks.unpersist()
+  }
+
   test("x_stream_decontaminate equals the one-shot batch decontamination") {
     val stream = TextQueries.defs("x_stream_decontaminate")(spark, sf)
     val batch = TextQueries.defs("t_decontaminate")(spark, sf)
