@@ -99,6 +99,27 @@ object TextQueries {
   private def stopCount(w: Column, stop: Seq[String]): Column =
     size(filter(w, t => t.isin(stop: _*)))
 
+  /** RAG-style chunk frame: 32-token windows at stride 24 per
+    * document — (doc_id, chunk_id, start_tok, chunk_tokens, chunk_fp).
+    * Row-local (sequence + explode + slice); shared by t_doc_chunking
+    * and t_chunk_dedup. */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame = {
+    assertCapMemo(s, d)
+    val W = 32; val S = 24
+    val nTok = size(col("w"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), nTok.as("n_tok"),
+        explode(sequence(lit(0), greatest(nTok - 1, lit(0)), lit(S))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(W), col("n_tok") - col("start")).cast("long").as("chunk_tokens"),
+        charHash(array_join(
+          slice(col("w"), col("start") + 1, least(lit(W), col("n_tok") - col("start"))),
+          " ")).as("chunk_fp"))
+  }
+
   /** Stopword-argmax language prediction with alphabetical ties —
     * ONE definition shared by t_lang_id and t_filter_pipeline (the
     * pipeline's lang-mismatch rule must agree with the standalone
@@ -637,22 +658,22 @@ object TextQueries {
     // same polynomial hash the dedup family uses, so downstream
     // chunk-level dedup composes directly. Token-capped oracle (same
     // generate_series cap + fail-loud guard as the shingle CTE).
-    "t_doc_chunking" -> ((s, d) => {
-      assertCapMemo(s, d)
-      val W = 32; val S = 24
-      val nTok = size(col("w"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("w"), nTok.as("n_tok"),
-          explode(sequence(lit(0), greatest(nTok - 1, lit(0)), lit(S))).as("start"))
-        .select(col("doc_id"),
-          (col("start") / S).cast("long").as("chunk_id"),
-          col("start").cast("long").as("start_tok"),
-          least(lit(W), col("n_tok") - col("start")).cast("long").as("chunk_tokens"),
-          charHash(array_join(
-            slice(col("w"), col("start") + 1, least(lit(W), col("n_tok") - col("start"))),
-            " ")).as("chunk_fp"))
-    }),
+    "t_doc_chunking" -> ((s, d) => chunkFrame(s, d)),
+
+    // Chunk-level dedup — the window-granular approximation of exact
+    // substring deduplication (the "repeated passages hurt LM quality"
+    // pass): chunks grouped by (fingerprint, length) across the whole
+    // corpus, groups appearing more than once reported with their copy
+    // and distinct-doc counts. Composes t_doc_chunking directly; scale
+    // shape is the exact-dedup one — the shuffle moves (hash, len) keys
+    // (~16 B/chunk), never chunk text.
+    "t_chunk_dedup" -> ((s, d) =>
+      chunkFrame(s, d)
+        .groupBy("chunk_fp", "chunk_tokens")
+        .agg(count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .filter(col("n_copies") > 1)),
 
     // Sequence packing (the concat-then-chunk step that turns a cleaned
     // corpus into fixed-budget training sequences): documents are
@@ -669,17 +690,7 @@ object TextQueries {
     "t_seq_packing" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       assertHashSafe(docs, d, "t_seq_packing")
-      val w = Window.partitionBy("shard").orderBy("doc_id")
-      docs.select(col("doc_id"),
-          Hashing.bucket(col("doc_id"), 8L).as("shard"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .withColumn("pack_id", expr("(cum - 1) div 2048"))
-        .groupBy("shard", "pack_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_tok").as("sum_tokens"),
-          min("doc_id").as("first_doc"),
-          max("doc_id").as("last_doc"))
+      packManifest(docs)
     }),
 
     // The full corpus-cleaning pass as ONE Spark plan — the shape a
@@ -694,38 +705,77 @@ object TextQueries {
     // content); the repetition stats are two map-side-combined keyed
     // aggs; lang/distinctness never leave their row; one final keyed
     // agg over (source, verdict).
-    "t_filter_pipeline" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val w = tokens(col("text"))
-      val sTotal = Seq(enStop, deStop, esStop, frStop, zhStop)
-        .map(stopCount(w, _)).reduce(_ + _)
-      val base = docs.select(col("doc_id"), col("source"), col("lang"),
-        TextHash.charHash(col("text")).as("fp"), length(col("text")).as("len"),
-        size(w).as("n_tok"), size(array_distinct(w)).as("n_uniq"),
-        sTotal.as("s_total"), predLangCol(w).as("pred_lang"))
-      val canon = base.groupBy("fp", "len").agg(min("doc_id").as("canonical_id"))
-      val rep = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(max("cnt").as("top_cnt"),
-          sum("cnt").as("n_tokens"))
-      val clusters = clusterLabels(s, d)
-        .select(col("doc_id"), col("cluster"))
-      val verdict = when(col("doc_id") =!= col("canonical_id"), "dup")
-        .when(col("cluster").isNotNull && col("doc_id") =!= col("cluster"),
-          "near_dup")
-        .when(col("s_total") > 0 && col("pred_lang") =!= col("lang"),
-          "lang_mismatch")
-        .when(col("n_uniq") * 2 < col("n_tok"), "low_quality")
-        .when(col("top_cnt") * 5 > col("n_tokens"), "repetitive")
-        .otherwise("kept")
-      base.join(canon, Seq("fp", "len"))
-        .join(rep, "doc_id")
-        .join(clusters, Seq("doc_id"), "left")
-        .groupBy(col("source"), verdict.as("verdict"))
-        .agg(count(lit(1)).as("n_docs"))
+    "t_filter_pipeline" -> ((s, d) =>
+      verdictFrame(s, d)
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_docs"))),
+
+    // The whole corpus-to-trainer path as ONE declared query: the
+    // cleaning pipeline's per-doc verdict selects the surviving
+    // documents, which are then sequence-packed into the per-pack
+    // manifest — corpus in, training manifest out. Every stage reuses
+    // the exact shared definitions (verdictFrame, packManifest), so
+    // this composite can never disagree with its component queries.
+    "x_pipeline_e2e" -> ((s, d) => {
+      val kept = verdictFrame(s, d)
+        .filter(col("verdict") === "kept").select("doc_id")
+      packManifest(Tables.documents(s, d).join(kept, "doc_id"))
     })
   )
+
+  /** Sequence-packing manifest over any (doc_id, text) frame: 8 hash
+    * shards, per-shard running token sum in deterministic doc_id order,
+    * chunked at a 2048-token budget — pack_id = (cum − 1) div budget,
+    * pure integer arithmetic. Shared by t_seq_packing and
+    * x_pipeline_e2e. */
+  private def packManifest(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs.select(col("doc_id"),
+        Hashing.bucket(col("doc_id"), 8L).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("pack_id", expr("(cum - 1) div 2048"))
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** Per-document cleaning verdict — (doc_id, source, verdict) with the
+    * fixed priority dup > near_dup > lang_mismatch > low_quality >
+    * repetitive > kept; every rule integer/string-exact. Shared by
+    * t_filter_pipeline and x_pipeline_e2e. */
+  private def verdictFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = tokens(col("text"))
+    val sTotal = Seq(enStop, deStop, esStop, frStop, zhStop)
+      .map(stopCount(w, _)).reduce(_ + _)
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      TextHash.charHash(col("text")).as("fp"), length(col("text")).as("len"),
+      size(w).as("n_tok"), size(array_distinct(w)).as("n_uniq"),
+      sTotal.as("s_total"), predLangCol(w).as("pred_lang"))
+    val canon = base.groupBy("fp", "len").agg(min("doc_id").as("canonical_id"))
+    val rep = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"),
+        sum("cnt").as("n_tokens"))
+    val clusters = clusterLabels(s, d)
+      .select(col("doc_id"), col("cluster"))
+    val verdict = when(col("doc_id") =!= col("canonical_id"), "dup")
+      .when(col("cluster").isNotNull && col("doc_id") =!= col("cluster"),
+        "near_dup")
+      .when(col("s_total") > 0 && col("pred_lang") =!= col("lang"),
+        "lang_mismatch")
+      .when(col("n_uniq") * 2 < col("n_tok"), "low_quality")
+      .when(col("top_cnt") * 5 > col("n_tokens"), "repetitive")
+      .otherwise("kept")
+    base.join(canon, Seq("fp", "len"))
+      .join(rep, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), verdict.as("verdict"))
+  }
 
   /** Sampling/split family bucket: [[graft.functions.Hashing]] over
     * doc_id, mod 1e6. */
@@ -807,6 +857,19 @@ object TextQueries {
 
   private def stopSql(stop: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${stop.map(x => s"'$x'").mkString(", ")})))"
+
+  /** Chunk CTE (`chunks`) — mirrors [[chunkFrame]]; shared by the
+    * t_doc_chunking and t_chunk_dedup oracles. Token-capped
+    * generate_series like the shingle CTE ([[assertUnderOracleTokenCap]]
+    * guards both). */
+  private lazy val chunkCteSql: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, (i // 24)::BIGINT AS chunk_id, i::BIGINT AS start_tok,
+       |         least(32, len(w) - i)::BIGINT AS chunk_tokens,
+       |         ${chSql("array_to_string(w[i + 1 : i + least(32, len(w) - i)], ' ')")} AS chunk_fp
+       |  FROM words, generate_series(0, $OracleTokenCap, 24) t(i)
+       |  WHERE i <= len(w) - 1)""".stripMargin
 
   /** Stopword-argmax language CASE — one definition shared by the
     * t_lang_id and t_filter_pipeline oracles (mirrors predLangCol). */
@@ -1020,12 +1083,14 @@ object TextQueries {
         |FROM raw""".stripMargin,
 
     "t_doc_chunking" ->
-      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         |SELECT doc_id, (i // 24)::BIGINT AS chunk_id, i::BIGINT AS start_tok,
-         |       least(32, len(w) - i)::BIGINT AS chunk_tokens,
-         |       ${chSql("array_to_string(w[i + 1 : i + least(32, len(w) - i)], ' ')")} AS chunk_fp
-         |FROM words, generate_series(0, $OracleTokenCap, 24) t(i)
-         |WHERE i <= len(w) - 1""".stripMargin,
+      s"""WITH $chunkCteSql
+         |SELECT doc_id, chunk_id, start_tok, chunk_tokens, chunk_fp FROM chunks""".stripMargin,
+
+    "t_chunk_dedup" ->
+      s"""WITH $chunkCteSql
+         |SELECT chunk_fp, chunk_tokens, count(*) AS n_copies,
+         |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         |FROM chunks GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
 
     "t_seq_packing" ->
       """WITH t AS (
@@ -1043,27 +1108,49 @@ object TextQueries {
     "t_filter_pipeline" ->
       s"""WITH RECURSIVE $minhashCte,
          |$clusterCte,
-         |base AS (
-         |  SELECT doc_id, source, lang, ${chSql("text")} AS fp, length(text) AS len,
-         |         len(string_split(text, ' ')) AS n_tok,
-         |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
-         |         ${Seq(enStop, deStop, esStop, frStop, zhStop).map(stopSql).mkString(" + ")} AS s_total,
-         |         $langCaseSql AS pred_lang
-         |  FROM documents),
-         |canon AS (SELECT fp, len, min(doc_id) AS canonical_id FROM base GROUP BY fp, len),
-         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |rep AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tokens FROM tc GROUP BY doc_id)
-         |SELECT b.source,
-         |       CASE WHEN b.doc_id <> c.canonical_id THEN 'dup'
-         |            WHEN cl.cluster IS NOT NULL AND b.doc_id <> cl.cluster THEN 'near_dup'
-         |            WHEN b.s_total > 0 AND b.pred_lang <> b.lang THEN 'lang_mismatch'
-         |            WHEN b.n_uniq * 2 < b.n_tok THEN 'low_quality'
-         |            WHEN r.top_cnt * 5 > r.n_tokens THEN 'repetitive'
-         |            ELSE 'kept' END AS verdict,
-         |       count(*) AS n_docs
-         |FROM base b JOIN canon c USING (fp, len) JOIN rep r USING (doc_id)
-         |     LEFT JOIN clu cl USING (doc_id)
-         |GROUP BY 1, 2""".stripMargin
+         |$verdictCteSql
+         |SELECT source, verdict, count(*) AS n_docs
+         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    "x_pipeline_e2e" ->
+      s"""WITH RECURSIVE $minhashCte,
+         |$clusterCte,
+         |$verdictCteSql,
+         |t AS (SELECT d.doc_id, ((d.doc_id * 2654435761) % 1000000007) % 8 AS shard,
+         |             len(string_split(d.text, ' '))::BIGINT AS n_tok
+         |      FROM documents d JOIN (SELECT doc_id FROM v WHERE verdict = 'kept') k
+         |           USING (doc_id)),
+         |cc AS (SELECT doc_id, shard, n_tok,
+         |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |       FROM t)
+         |SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
+         |       sum(n_tok)::BIGINT AS sum_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM cc GROUP BY 1, 2""".stripMargin
   )
+
+  /** Per-doc verdict CTE (`v`) — mirrors [[verdictFrame]]; requires the
+    * minhash + cluster CTEs upstream. Shared by the t_filter_pipeline
+    * and x_pipeline_e2e oracles. */
+  private lazy val verdictCteSql: String =
+    s"""base AS (
+       |  SELECT doc_id, source, lang, ${chSql("text")} AS fp, length(text) AS len,
+       |         len(string_split(text, ' ')) AS n_tok,
+       |         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       |         ${Seq(enStop, deStop, esStop, frStop, zhStop).map(stopSql).mkString(" + ")} AS s_total,
+       |         $langCaseSql AS pred_lang
+       |  FROM documents),
+       |canon AS (SELECT fp, len, min(doc_id) AS canonical_id FROM base GROUP BY fp, len),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tokens FROM tc GROUP BY doc_id),
+       |v AS (SELECT b.doc_id, b.source,
+       |             CASE WHEN b.doc_id <> c.canonical_id THEN 'dup'
+       |                  WHEN cl.cluster IS NOT NULL AND b.doc_id <> cl.cluster THEN 'near_dup'
+       |                  WHEN b.s_total > 0 AND b.pred_lang <> b.lang THEN 'lang_mismatch'
+       |                  WHEN b.n_uniq * 2 < b.n_tok THEN 'low_quality'
+       |                  WHEN r.top_cnt * 5 > r.n_tokens THEN 'repetitive'
+       |                  ELSE 'kept' END AS verdict
+       |      FROM base b JOIN canon c USING (fp, len) JOIN rep r USING (doc_id)
+       |           LEFT JOIN clu cl USING (doc_id))""".stripMargin
 }

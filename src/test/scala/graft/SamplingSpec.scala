@@ -146,6 +146,28 @@ class SamplingSpec extends AnyFunSuite {
     chunks.unpersist()
   }
 
+  test("t_chunk_dedup reports only repeated chunks with consistent counts") {
+    val rows = TextQueries.defs("t_chunk_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata's planted near-dups must share chunks")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
+    }
+  }
+
+  test("x_pipeline_e2e packs exactly the pipeline's kept documents") {
+    val packs = TextQueries.defs("x_pipeline_e2e")(spark, sf).collect()
+    val keptDocs = TextQueries.defs("t_filter_pipeline")(spark, sf)
+      .filter(col("verdict") === "kept").agg(sum("n_docs")).head().getLong(0)
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == keptDocs,
+      "every kept doc lands in exactly one pack")
+    packs.groupBy(_.getAs[Long]("shard")).foreach { case (shard, ps) =>
+      val ids = ps.map(_.getAs[Long]("pack_id")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"shard $shard pack ids not contiguous: $ids")
+    }
+  }
+
   test("x_stream_decontaminate equals the one-shot batch decontamination") {
     val stream = TextQueries.defs("x_stream_decontaminate")(spark, sf)
     val batch = TextQueries.defs("t_decontaminate")(spark, sf)
