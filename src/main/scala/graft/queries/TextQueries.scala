@@ -297,6 +297,52 @@ object TextQueries {
   }
 
   private val defsB: Map[String, Q] = Map(
+    // LSH candidate VERIFICATION — the step production LSH dedup runs
+    // after banding: candidate pairs carry false positives by design,
+    // so each pair's exact shingle-set Jaccard is computed (row-local
+    // codegen'd IntersectSize over the two cached sets) and only pairs
+    // at >= 0.5 survive. Composes lshPairs + the shingle sets; the only
+    // non-candidate work is the candidate-keyed join itself — never
+    // all-pairs.
+    "t_dedup_verified" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .cache()
+      val pairs = lshPairs(s, d)
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).as("inter"),
+          size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+        .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+          (col("na") + col("nb") - col("inter")).cast("long").as("uni"))
+        // 2*inter >= uni is the integer form of jaccard >= 0.5: the
+        // threshold never touches FP
+        .filter(col("inter") * 2 >= col("uni"))
+      pairs
+    }),
+
+    // Incremental ingest dedup — the daily-crawl shape: a NEW batch
+    // (doc_id >= 250) checked against the EXISTING corpus index
+    // (doc_id < 250) by 32-token-prefix fingerprint (prefix
+    // fingerprinting catches the retransmitted-with-appendix near-dups
+    // that exact content hashing misses). At 100 TB the historical
+    // side is a materialized pfp->min_id index that is NOT rescanned
+    // per batch; here it is built in-query from the split. Only new
+    // docs that collide with history are reported — the anti-join
+    // complement is the accept list.
+    "t_incremental_dedup" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val pfp = Tables.documents(s, d).select(col("doc_id"),
+        charHash(array_join(slice(w, lit(1), least(lit(32), size(w))), " ")).as("pfp"))
+      val history = pfp.filter(col("doc_id") < 250)
+        .groupBy("pfp").agg(min("doc_id").as("existing_id"))
+      pfp.filter(col("doc_id") >= 250)
+        .join(history, Seq("pfp"))
+        .select(col("doc_id").as("new_doc"), col("existing_id"))
+    }),
+
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
     "t_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -961,6 +1007,28 @@ object TextQueries {
          |FROM hs t JOIN bench b ON t.h = b.h
          |WHERE t.doc_id >= 50
          |GROUP BY t.doc_id""".stripMargin,
+    "t_dedup_verified" ->
+      s"""WITH $minhashCte,
+         |$bandsPairsCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |          FROM pairs p
+         |          JOIN sh a ON a.doc_id = p.doc_a
+         |          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter::BIGINT AS inter,
+         |       (ca.n + cb.n - i.inter)::BIGINT AS uni
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+         |     JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin,
+
+    "t_incremental_dedup" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |p AS (SELECT doc_id, ${chSql("array_to_string(w[1 : least(32, len(w))], ' ')")} AS pfp FROM words),
+         |h AS (SELECT pfp, min(doc_id) AS existing_id FROM p WHERE doc_id < 250 GROUP BY pfp)
+         |SELECT n.doc_id AS new_doc, h.existing_id
+         |FROM p n JOIN h USING (pfp) WHERE n.doc_id >= 250""".stripMargin,
+
     // stateless per-batch plan == batch plan, so the streaming variant
     // shares the batch oracle verbatim
     "x_stream_decontaminate" ->

@@ -168,6 +168,30 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("t_dedup_verified: surviving pairs are LSH candidates at jaccard >= 0.5") {
+    val d = "/root/testdata/sf0.001"
+    val verified = TextQueries.defs("t_dedup_verified")(spark, d).collect()
+    assert(verified.nonEmpty, "planted near-dups must survive verification")
+    val candidates = TextQueries.defs("t_dedup_minhash")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    verified.foreach { r =>
+      assert(candidates.contains((r.getLong(0), r.getLong(1))),
+        s"verified pair not an LSH candidate: $r")
+      val (inter, uni) = (r.getAs[Long]("inter"), r.getAs[Long]("uni"))
+      assert(inter * 2 >= uni && inter <= uni && uni > 0, s"bad counts: $r")
+    }
+    assert(verified.length <= candidates.size,
+      "verification can only discard candidates")
+  }
+
+  test("t_incremental_dedup flags only new docs against the history split") {
+    val rows = TextQueries.defs("t_incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty, "testdata's near-dups must produce prefix collisions")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_doc") >= 250 && r.getAs[Long]("existing_id") < 250, r.toString)
+    }
+  }
+
   test("x_stream_decontaminate equals the one-shot batch decontamination") {
     val stream = TextQueries.defs("x_stream_decontaminate")(spark, sf)
     val batch = TextQueries.defs("t_decontaminate")(spark, sf)
