@@ -108,6 +108,10 @@ object TextQueries {
     val W = 32; val S = 24
     val nTok = size(col("w"))
     Tables.documents(s, d)
+      // a NULL text must produce NO chunks (the oracle's
+      // `WHERE i <= len(w) - 1` is NULL-false); without this filter
+      // Spark's size(NULL) = -1 would fabricate a chunk_tokens = -1 row
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), nTok.as("n_tok"),
         explode(sequence(lit(0), greatest(nTok - 1, lit(0)), lit(S))).as("start"))
@@ -305,11 +309,18 @@ object TextQueries {
     // non-candidate work is the candidate-keyed join itself — never
     // all-pairs.
     "t_dedup_verified" -> ((s, d) => {
+      // shingle sets are materialized ONLY for candidate-pair members
+      // (semi-join first): at scale the candidate set is orders of
+      // magnitude smaller than the corpus, so caching full-corpus
+      // shingle arrays would pin memory for rows the verify never reads
+      val cand = lshPairs(s, d).cache()
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val sets = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .cache()
-      val pairs = lshPairs(s, d)
+      val pairs = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
@@ -763,9 +774,11 @@ object TextQueries {
     // the exact shared definitions (verdictFrame, packManifest), so
     // this composite can never disagree with its component queries.
     "x_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      assertHashSafe(docs, d, "x_pipeline_e2e") // same shard hash as t_seq_packing
       val kept = verdictFrame(s, d)
         .filter(col("verdict") === "kept").select("doc_id")
-      packManifest(Tables.documents(s, d).join(kept, "doc_id"))
+      packManifest(docs.join(kept, "doc_id"))
     })
   )
 
@@ -1160,18 +1173,7 @@ object TextQueries {
          |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
          |FROM chunks GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
 
-    "t_seq_packing" ->
-      """WITH t AS (
-        |  SELECT doc_id, ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
-        |         len(string_split(text, ' '))::BIGINT AS n_tok
-        |  FROM documents),
-        |c AS (SELECT doc_id, shard, n_tok,
-        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
-        |      FROM t)
-        |SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
-        |       sum(n_tok)::BIGINT AS sum_tokens,
-        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2""".stripMargin,
+    "t_seq_packing" -> s"WITH ${packCteSql("documents")} $packSelectSql",
 
     "t_filter_pipeline" ->
       s"""WITH RECURSIVE $minhashCte,
@@ -1184,18 +1186,27 @@ object TextQueries {
       s"""WITH RECURSIVE $minhashCte,
          |$clusterCte,
          |$verdictCteSql,
-         |t AS (SELECT d.doc_id, ((d.doc_id * 2654435761) % 1000000007) % 8 AS shard,
-         |             len(string_split(d.text, ' '))::BIGINT AS n_tok
-         |      FROM documents d JOIN (SELECT doc_id FROM v WHERE verdict = 'kept') k
-         |           USING (doc_id)),
-         |cc AS (SELECT doc_id, shard, n_tok,
-         |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
-         |       FROM t)
-         |SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
-         |       sum(n_tok)::BIGINT AS sum_tokens,
-         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM cc GROUP BY 1, 2""".stripMargin
+         |src AS (SELECT d.* FROM documents d
+         |        JOIN (SELECT doc_id FROM v WHERE verdict = 'kept') k USING (doc_id)),
+         |${packCteSql("src")} $packSelectSql""".stripMargin
   )
+
+  /** Packing CTE chain (`pk_t`, `pk_c`) + final SELECT — mirrors
+    * [[packManifest]]; parameterized by the doc-source relation so the
+    * t_seq_packing and x_pipeline_e2e oracles share one definition. */
+  private def packCteSql(src: String): String =
+    s"""pk_t AS (
+       |  SELECT doc_id, ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
+       |         len(string_split(text, ' '))::BIGINT AS n_tok
+       |  FROM $src),
+       |pk_c AS (SELECT doc_id, shard, n_tok,
+       |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |         FROM pk_t)""".stripMargin
+  private lazy val packSelectSql: String =
+    """SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
+      |       sum(n_tok)::BIGINT AS sum_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM pk_c GROUP BY 1, 2""".stripMargin
 
   /** Per-doc verdict CTE (`v`) — mirrors [[verdictFrame]]; requires the
     * minhash + cluster CTEs upstream. Shared by the t_filter_pipeline
