@@ -427,10 +427,12 @@ object InferDbQueries {
          |  SELECT round(${SqlGen.sigmoidRef(linearSql)}) AS p, $targetSql AS t
          |  FROM lineitem)
          |SELECT
-         |  sum(CASE WHEN p = 1 AND t = 1 THEN 1 ELSE 0 END) AS tp,
-         |  sum(CASE WHEN p = 0 AND t = 0 THEN 1 ELSE 0 END) AS tn,
-         |  sum(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END) AS fp,
-         |  sum(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END) AS fn,
+         |  -- ::BIGINT: DuckDB sum() yields HUGEINT, which pandas renders as
+         |  -- float64 and the driver's hash then sees 4521.0 vs Spark's 4521.
+         |  sum(CASE WHEN p = 1 AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN p = 0 AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+         |  sum(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
          |  (tp + tn)::DOUBLE / (tp + tn + fp + fn) AS accuracy,
          |  (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END) AS precision,
          |  (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) AS recall,

@@ -264,40 +264,83 @@ object TextQueries {
     clusterMemo.getOrElseUpdate((s, d), clusterLabelsUncached(s, d))
 
   private def clusterLabelsUncached(s: SparkSession, d: String): DataFrame = {
-      // cache the pairs BEFORE symmetrizing: the union's two branches
-      // would otherwise each run the full LSH band join
+      // cache the pairs once: connectedComponents consumes the edge
+      // frame repeatedly across contraction rounds
       val pairs = lshPairs(s, d).cache()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
-      // round 0 fused into initialization: label(x) = min(x, neighbors)
-      // is exactly what the first propagation round would compute, so
-      // near-clique components start one round from the fixpoint
-      var labels = edges.groupBy(col("src").as("id"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("id"), least(col("mn"), col("id")).as("lab")).cache()
-      def labSum(df: org.apache.spark.sql.DataFrame): Long = {
-        val v = df.agg(sum("lab")).head()
-        if (v.isNullAt(0)) 0L else v.getLong(0) // null = no candidate pairs at all
-      }
-      var current = labSum(labels)
-      var converged = current == 0L
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("lab"))
-        val next = labels.union(prop)
-          .groupBy("id").agg(min("lab").as("lab")).cache()
-        val nsum = labSum(next)
-        labels.unpersist()
-        labels = next
-        converged = nsum == current
-        current = nsum
-        rounds += 1
-      }
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      edges.unpersist(); pairs.unpersist()
+      val labels = connectedComponents(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): each round points nodes at the minimum of their
+    * 2-hop neighborhood, HALVING component diameter, so convergence is
+    * O(log diameter) rounds — a diameter-1000 boilerplate chain in
+    * crawl data converges in ~10 rounds where plain min-label
+    * propagation needs 1000. Input: undirected edges (u, v); output:
+    * (id, lab) for every node incident to an edge, lab = component
+    * minimum — the same fixpoint min-propagation computes, so consumers
+    * and oracles are unchanged. Each half-round is one window shuffle
+    * plus a distinct; the convergence check compares canonical edge
+    * sets exactly (count + one-sided except on deduplicated sets). */
+  private[queries] def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val wU = Window.partitionBy("u")
+    // large-star(u): for m = min(neighborhood(u) ∪ {u}), point every
+    // LARGER neighbor v > u at m. Strictly-larger keeps the star roots
+    // stable and guarantees monotone progress toward the component min.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star(u): orient edges high→low, point every SMALLER
+    // neighbor (and u itself) at the minimum small neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = or.withColumn("m", min(col("v")).over(wU))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // exact set equality on deduplicated canonical edges: equal counts
+    // plus empty one-sided difference
+    def sameEdges(a: DataFrame, b: DataFrame, na: Long, nb: Long): Boolean =
+      na == nb && a.except(b).isEmpty
+    // eager localCheckpoint, not cache: a round's plan TREE embeds the
+    // previous round's subtree several times over (each union branch
+    // repeats its input), so un-truncated lineage grows exponentially
+    // and kills the analyzer after ~6 rounds. Checkpointing restarts
+    // the plan at the materialized edge set; the handful of superseded
+    // block sets are context-cleaned once unreferenced. Executor-local
+    // is fine on local[n]; a multi-executor deployment would use a
+    // reliable checkpoint dir.
+    var cur = edgesIn.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var curN = cur.count()
+    var converged = curN == 0L
+    var rounds = 0
+    // 64 rounds covers any graph a 2^63 id space can express
+    // (O(log diameter) convergence); the cap is fail-loud on principle
+    while (!converged && rounds < 64) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextN = next.count()
+      converged = sameEdges(next, cur, nextN, curN)
+      cur = next
+      curN = nextN
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // fixpoint is a forest of stars (child, root): children label as
+    // their root; roots (the distinct targets) label themselves
+    val out = cur.select(col("u").as("id"), col("v").as("lab"))
+      .union(cur.select(col("v").as("id"), col("v").as("lab")).distinct())
+    out
   }
 
   private val defsB: Map[String, Q] = Map(
@@ -331,7 +374,15 @@ object TextQueries {
         // 2*inter >= uni is the integer form of jaccard >= 0.5: the
         // threshold never touches FP
         .filter(col("inter") * 2 >= col("uni"))
-      pairs
+      // materialize eagerly so cand/sets can be unpersisted HERE: the
+      // verified-pair output (dup pairs only) is orders of magnitude
+      // smaller than the candidate shingle sets, so pinning it instead
+      // of them is the right retention at any scale. localCheckpoint is
+      // executor-local (fine on local[n]; a multi-executor deployment
+      // would point this at a reliable checkpoint dir).
+      val out = pairs.localCheckpoint(true)
+      cand.unpersist(); sets.unpersist()
+      out
     }),
 
     // Incremental ingest dedup — the daily-crawl shape: a NEW batch
@@ -439,7 +490,15 @@ object TextQueries {
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
         (flagged, _) => flagged.write.mode("append").parquet(outDir))
       q.processAllAvailable(); q.stop(); bench.unpersist()
-      s.read.parquet(outDir)
+      // explicit schema: if every micro-batch flagged zero rows the
+      // sink dir has no parquet files and schema inference would throw
+      // instead of degrading to an empty frame
+      val flaggedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          docs.schema("doc_id").dataType),
+        org.apache.spark.sql.types.StructField("n_shared",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(flaggedSchema).parquet(outDir)
     }),
 
     // Repetition filter (the Gopher-rule family: drop documents
@@ -782,15 +841,25 @@ object TextQueries {
     })
   )
 
-  /** Sequence-packing manifest over any (doc_id, text) frame: 8 hash
-    * shards, per-shard running token sum in deterministic doc_id order,
-    * chunked at a 2048-token budget — pack_id = (cum − 1) div budget,
-    * pure integer arithmetic. Shared by t_seq_packing and
-    * x_pipeline_e2e. */
-  private def packManifest(docs: DataFrame): DataFrame = {
+  /** Sequence-packing manifest over any (doc_id, text) frame:
+    * `numShards` hash shards, per-shard running token sum in
+    * deterministic doc_id order, chunked at a 2048-token budget —
+    * pack_id = (cum − 1) div budget, pure integer arithmetic. Shared by
+    * t_seq_packing and x_pipeline_e2e (both pin numShards = 8 for
+    * oracle stability). The shard count IS the reducer parallelism of
+    * the running sum: at 100 TB size it so each shard's token stream
+    * fits one task comfortably (corpus_tokens / numShards ≲ 10^9;
+    * e.g. a 25-trillion-token corpus wants numShards ≳ 25k). Any value
+    * keeps determinism — shard membership is a pure hash of doc_id and
+    * pack boundaries are per-shard. */
+  private[queries] def packManifest(docs: DataFrame, numShards: Long = 8L): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    docs.select(col("doc_id"),
-        Hashing.bucket(col("doc_id"), 8L).as("shard"),
+    // NULL-text guard: Spark size(split(NULL)) = -1 would feed the
+    // running sum while the oracle's len(string_split(NULL)) is NULL —
+    // same defense chunkFrame carries
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        Hashing.bucket(col("doc_id"), numShards).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("pack_id", expr("(cum - 1) div 2048"))
@@ -1198,12 +1267,12 @@ object TextQueries {
     s"""pk_t AS (
        |  SELECT doc_id, ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
        |         len(string_split(text, ' '))::BIGINT AS n_tok
-       |  FROM $src),
+       |  FROM $src WHERE text IS NOT NULL),
        |pk_c AS (SELECT doc_id, shard, n_tok,
        |              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
        |         FROM pk_t)""".stripMargin
   private lazy val packSelectSql: String =
-    """SELECT shard, (cum - 1) // 2048 AS pack_id, count(*) AS n_docs,
+    """SELECT shard, ((cum - 1) // 2048)::BIGINT AS pack_id, count(*) AS n_docs,
       |       sum(n_tok)::BIGINT AS sum_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM pk_c GROUP BY 1, 2""".stripMargin

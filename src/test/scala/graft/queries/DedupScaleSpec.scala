@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.Tables
+import graft.functions.{Hashing, TextHash}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape guarantees for the dedup/packing family that the oracle
+  * hash can't express: log-round connected-component convergence on
+  * high-diameter graphs (the adversarial chained-boilerplate shape)
+  * and shard-count-independent determinism of the packing manifest.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("connectedComponents converges on a diameter-50 chain") {
+    import spark.implicits._
+    // 1-2-3-...-51: min-label propagation needs 50 rounds; star
+    // contraction must finish in O(log 50)
+    val edges = (1L to 50L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = TextQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (1L to 51L).toSet, "every chain node labeled")
+    assert(labels.values.forall(_ == 1L), s"component min is 1: $labels")
+  }
+
+  test("connectedComponents separates components and handles shuffled ids") {
+    import spark.implicits._
+    // two components: a chain given in descending order (worst case for
+    // min-first heuristics) and a triangle, plus a duplicate +
+    // reversed edge to exercise canonicalization
+    val edges = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (20L, 22L), (22L, 21L)
+    ).toDF("u", "v")
+    val labels = TextQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((5L to 9L).forall(labels(_) == 5L), s"chain labels: $labels")
+    assert((20L to 22L).forall(labels(_) == 20L), s"triangle labels: $labels")
+    assert(labels.size == 8, "exactly the incident nodes are labeled")
+  }
+
+  test("connectedComponents on empty edges yields empty labels") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("u", "v")
+    assert(TextQueries.connectedComponents(edges).count() == 0L)
+  }
+
+  test("packManifest at 64 shards is bitwise-stable vs per-shard recompute") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextQueries.packManifest(docs, 64L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // independent recompute: shard hash, per-shard doc_id-ordered
+    // running sum, integer pack chunking — all in driver-side Scala
+    val raw = docs.select(col("doc_id"), col("text")).collect()
+      .filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val expected = raw.toSeq
+      .map { case (id, n) => (((id * Hashing.Mult) % TextHash.P) % 64, id, n) }
+      .groupBy(_._1)
+      .flatMap { case (shard, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, id, n) =>
+          cum += n
+          (shard, (cum - 1) / 2048, id, n)
+        }
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) =>
+        (k, (g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max))
+      }
+    assert(got == expected,
+      s"64-shard manifest must equal the per-shard recompute (got ${got.size} packs, expected ${expected.size})")
+    assert(got.keys.map(_._1).toSet.size > 8, "docs actually spread over >8 shards")
+  }
+}

@@ -17,6 +17,24 @@ TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
 
+def dtype_clash(s_dtype, o_dtype):
+    """int-vs-float divergence between Spark parquet and oracle .df() dtypes.
+
+    This is the exact lens the driver applies: DuckDB renders HUGEINT /
+    DECIMAL aggregate outputs as float64 in pandas, so an oracle column
+    that *is* numerically integer still hashes as `4521.0` against
+    Spark's `4521`. Value comparison via tolist() cannot see it (Python
+    `4521 == 4521.0`), so the dtype kinds are compared directly.
+    Returns a message when one side is integer-kind and the other
+    float-kind; None otherwise.
+    """
+    sk, ok = s_dtype.kind, o_dtype.kind
+    ints, floats = set('iu'), set('f')
+    if (sk in ints and ok in floats) or (sk in floats and ok in ints):
+        return f'spark {s_dtype} vs oracle {o_dtype} (cast the oracle, e.g. ::BIGINT)'
+    return None
+
+
 def same(a, b) -> bool:
     """Bitwise-equal for floats (so -0.0 != 0.0, any NaN == any NaN);
     plain equality for everything else."""
@@ -52,6 +70,11 @@ def main(sf: str, out: str) -> int:
                 continue
             bad = None
             for c in scols:
+                clash = dtype_clash(s[c].dtype, o[c].dtype)
+                if clash:
+                    bad = f'col {c} DTYPE {clash}'
+                    break
+            for c in scols if not bad else []:
                 for i, (a, b) in enumerate(zip(s[c].tolist(), o[c].tolist())):
                     if not same(a, b):
                         bad = f'col {c} row {i}: {a!r} != {b!r}'
@@ -71,7 +94,26 @@ def main(sf: str, out: str) -> int:
     return 1 if fails else 0
 
 
+def selftest() -> int:
+    """Deliberate-failure check for the dtype guard: an uncast DuckDB
+    sum() output (HUGEINT -> float64 under .df()) against an int64
+    Spark-side column MUST be flagged, and the ::BIGINT-cast form must
+    pass clean."""
+    con = duckdb.connect()
+    spark_side = con.execute("SELECT 4521::BIGINT AS n").df()
+    uncast = con.execute("SELECT sum(x) AS n FROM (SELECT 4521::INT AS x) t").df()
+    cast = con.execute("SELECT sum(x)::BIGINT AS n FROM (SELECT 4521::INT AS x) t").df()
+    assert dtype_clash(spark_side['n'].dtype, uncast['n'].dtype), \
+        'uncast HUGEINT sum NOT flagged — guard is broken'
+    assert dtype_clash(spark_side['n'].dtype, cast['n'].dtype) is None, \
+        '::BIGINT-cast sum wrongly flagged'
+    print('SELFTEST_PASS: uncast HUGEINT flagged, ::BIGINT-cast clean')
+    return 0
+
+
 if __name__ == '__main__':
+    if len(sys.argv) > 1 and sys.argv[1] == '--selftest':
+        sys.exit(selftest())
     sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
     out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify'
     sys.exit(main(sf, out))
