@@ -14,6 +14,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** CSV ingest (S1 parity with the reference's standalone readers,
+    * the experiments/standalone python scripts lines 25-32, which read
+    * CSV): header
+    * row + explicit schema. Never schema-infer at scale — inference is
+    * a full extra pass over the data; callers pass the DDL they expect
+    * and malformed rows fail loud (FAILFAST) instead of silently
+    * nulling. CSV is row-oriented so column pruning cannot reach the
+    * reader the way parquet's does — treat CSV as an ingest format and
+    * convert to parquet for anything queried twice. */
+  def loadCsv(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .schema(schemaDdl)
+      .csv(path)
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see [[graft.Sessions]]) so it arrives as epoch-nanos LongType and

@@ -702,6 +702,19 @@ object TextQueries {
           max("doc_id").as("max_doc"))
     }),
 
+    // Deterministic corpus shuffle (the pre-training global
+    // permutation: decorrelate crawl order before packing). Every doc
+    // gets a reproducible global rank under the order
+    // (hash(doc_id), doc_id) — stable across retries/AQE like every
+    // hash in this family. Declared at 32 range shards; the permutation
+    // is shard-count-INDEPENDENT (spec-pinned), so a 100 TB run simply
+    // raises the shard count.
+    "t_corpus_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      assertHashSafe(docs, d, "t_corpus_shuffle")
+      corpusShuffle(docs, 32L)
+    }),
+
     // Source-weighted mixture sampling (the multilingual-T5-style
     // temperature rule, alpha = 0.5: keep ~ sqrt(n_s)·K docs of each
     // source, so dominant sources are downsampled hard and tail
@@ -903,6 +916,33 @@ object TextQueries {
       .join(rep, "doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), verdict.as("verdict"))
+  }
+
+  /** Deterministic global shuffle rank, computed the scale-correct way
+    * (the canonical distributed total-order sort, with deterministic
+    * boundaries instead of sampled ones): shuffle key = integer hash of
+    * doc_id; RANGE shards over the key space ((skey * n) div P, so
+    * shard-major order IS key order); per-shard local ranks from one
+    * keyed window; global rank = shard offset + local rank, offsets
+    * from an n-row aggregate. No global window, no single reducer —
+    * reducer parallelism is `nShards`, a free parameter: concatenating
+    * contiguous key ranges reproduces the SAME permutation at any
+    * shard count (DedupScaleSpec pins 8 vs 64). */
+  private[queries] def corpusShuffle(docs: DataFrame, nShards: Long): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+        Hashing.bucket(col("doc_id"), TextHash.P).as("skey"))
+      .withColumn("shard", expr(s"(skey * $nShards) div ${TextHash.P}"))
+    // nShards rows: the offset table is driver-tiny at any corpus size,
+    // so the unpartitioned window is fine — and it broadcasts.
+    val offsets = keyed.groupBy("shard").agg(count(lit(1)).as("n"))
+      .withColumn("off", sum("n").over(Window.orderBy("shard")) - col("n"))
+      .select(col("shard"), col("off"))
+    keyed
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("shard").orderBy("skey", "doc_id")))
+      .join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("skey"),
+        (col("off") + col("lr")).cast("long").as("shuffle_rank"))
   }
 
   /** Sampling/split family bucket: [[graft.functions.Hashing]] over
@@ -1199,6 +1239,17 @@ object TextQueries {
         |       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "t_corpus_shuffle" ->
+      """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS skey FROM documents),
+        |t2 AS (SELECT doc_id, skey, (skey * 32) // 1000000007 AS shard FROM t),
+        |c AS (SELECT shard, count(*) AS n FROM t2 GROUP BY 1),
+        |o AS (SELECT shard, (sum(n) OVER (ORDER BY shard) - n)::BIGINT AS off FROM c),
+        |l AS (SELECT doc_id, skey, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS lr
+        |      FROM t2)
+        |SELECT l.doc_id, l.skey, (o.off + l.lr)::BIGINT AS shuffle_rank
+        |FROM l JOIN o USING (shard)""".stripMargin,
 
     "t_mix_sources" ->
       """WITH c AS (SELECT source, count(*) AS cnt,

@@ -19,10 +19,8 @@ class SourcesSpec extends AnyFunSuite {
       .filter(col("l_orderkey") < 500)
       .select("l_orderkey", "l_quantity", "l_returnflag")
     src.write.mode("overwrite").option("header", "true").csv(dir)
-    val back = spark.read
-      .option("header", "true")
-      .schema("l_orderkey LONG, l_quantity DOUBLE, l_returnflag STRING")
-      .csv(dir)
+    val back = Tables.loadCsv(spark, dir,
+      "l_orderkey LONG, l_quantity DOUBLE, l_returnflag STRING")
     assert(back.count() == src.count())
     val a = src.agg(sum("l_quantity"), sum("l_orderkey")).head()
     val b = back.agg(sum("l_quantity"), sum("l_orderkey")).head()

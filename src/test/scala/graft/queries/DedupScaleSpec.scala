@@ -48,6 +48,20 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(TextQueries.connectedComponents(edges).count() == 0L)
   }
 
+  test("corpusShuffle is a permutation and shard-count independent") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val r8 = TextQueries.corpusShuffle(docs, 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r64 = TextQueries.corpusShuffle(docs, 64L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(r8.values.toSeq.sorted == (1L to n).toSeq,
+      "shuffle ranks must be a permutation of 1..N")
+    // contiguous key ranges concatenate to the same total order at any
+    // shard count — the property that lets a 100 TB run raise the count
+    assert(r8 == r64, "global permutation must be shard-count independent")
+  }
+
   test("packManifest at 64 shards is bitwise-stable vs per-shard recompute") {
     val docs = Tables.documents(spark, sf)
     val got = TextQueries.packManifest(docs, 64L)
