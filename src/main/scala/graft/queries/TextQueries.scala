@@ -456,6 +456,29 @@ object TextQueries {
       res
     }),
 
+    // N-gram novelty / boilerplate score (a CCNet-style LM proxy in
+    // exact arithmetic): a document's signal is the mean corpus-wide
+    // document frequency of its distinct 3-gram shingles —
+    // boilerplate-heavy docs (nav chrome, license headers) score high,
+    // novel text scores near 1. Counts are exact integers; the mean is
+    // ONE division of two exact integers (IEEE-correctly-rounded on
+    // both engines), so the score is bit-identical — no ln/perplexity
+    // FP chain to diverge. Scale shape: per-row shingle explode →
+    // 8-byte-hash keyed count (map-side combined) → hash-keyed join
+    // back → doc-keyed agg; strings never leave their row.
+    "t_ngram_novelty" -> ((s, d) => {
+      assertCapMemo(s, d) // oracle reuses the capped shingle CTE
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), charHash(col("shingle")).as("h"))
+      val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+        .select(col("doc_id"), col("n_shingles"), col("sum_df"),
+          (col("sum_df").cast("double") / col("n_shingles")).as("mean_df"))
+    }),
+
     // Streaming benchmark decontamination — the arriving-corpus variant
     // of t_decontaminate: new training documents replayed as 4 file
     // micro-batches, each batch's distinct shingle hashes joined against
@@ -1239,6 +1262,15 @@ object TextQueries {
         |       count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "t_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |hh AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
+         |dfreq AS (SELECT h, count(*) AS df FROM hh GROUP BY h)
+         |SELECT hh.doc_id, count(*) AS n_shingles, sum(df)::BIGINT AS sum_df,
+         |       (sum(df)::DOUBLE / count(*)) AS mean_df
+         |FROM hh JOIN dfreq USING (h)
+         |GROUP BY hh.doc_id""".stripMargin,
 
     "t_corpus_shuffle" ->
       """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS skey FROM documents),

@@ -42,10 +42,44 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(labels.size == 8, "exactly the incident nodes are labeled")
   }
 
+  test("connectedComponents handles hub-and-spoke and bridged chains") {
+    import spark.implicits._
+    // hub 100 with 400 spokes (the LSH near-clique shape, worst case
+    // for per-node neighbor lists) bridged to a chain by one edge
+    val hub = (101L to 500L).map(i => (100L, i))
+    val chain = (501L to 520L).map(i => (i, i + 1))
+    val edges = (hub ++ chain ++ Seq((500L, 501L))).toDF("u", "v")
+    val labels = TextQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 422 && labels.values.forall(_ == 100L),
+      s"one component rooted at 100: size ${labels.size}")
+  }
+
   test("connectedComponents on empty edges yields empty labels") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("u", "v")
     assert(TextQueries.connectedComponents(edges).count() == 0L)
+  }
+
+  test("t_ngram_novelty: duplicated docs score as boilerplate") {
+    // sf0.1: the smallest corpus that contains exact-duplicate texts
+    val dupSf = "/root/testdata/sf0.1"
+    val res = TextQueries.defs("t_ngram_novelty")(spark, dupSf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    assert(res.forall { case (_, n, s2, m) => n >= 1 && s2 >= n && m >= 1.0 },
+      "df >= 1 per shingle bounds every stat from below")
+    // sharp invariant: an exact-duplicate doc's every shingle occurs in
+    // >= 2 documents, so its mean document frequency is >= 2
+    val docs = Tables.documents(spark, dupSf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dupIds = docs.groupBy(_._2).values.filter(_.size >= 2)
+      .flatMap(_.map(_._1)).toSet
+    val byId = res.map(t => t._1 -> t._4).toMap
+    val checked = dupIds.filter(byId.contains)
+    assert(checked.nonEmpty, "testdata must contain duplicated docs with shingles")
+    assert(checked.forall(id => byId(id) >= 2.0),
+      "every duplicated doc's mean_df must be >= 2")
   }
 
   test("corpusShuffle is a permutation and shard-count independent") {
