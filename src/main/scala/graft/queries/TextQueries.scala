@@ -405,6 +405,52 @@ object TextQueries {
         .select(col("doc_id").as("new_doc"), col("existing_id"))
     }),
 
+    // Incremental NEAR-dup ingest — the LSH-band complement of
+    // t_incremental_dedup's prefix-fingerprint check: the arriving
+    // batch (doc_id >= 250) probes the EXISTING corpus's band index
+    // (doc_id < 250) with a band-keyed equi-join, and candidates are
+    // verified by exact shingle-set Jaccard at the integer >= 0.5
+    // threshold. At 100 TB the history side is a materialized
+    // (band, bsig) -> doc_id index maintained incrementally (append
+    // per batch, no rescans); here it is built in-query from the
+    // split. Only verified near-dup links are reported — the anti-join
+    // complement is the accept list.
+    "t_incremental_lsh" -> ((s, d) => {
+      val sig = minhashSig(s, d).cache()
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
+        }: _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bsig"))
+      val hist = bands.filter(col("doc_id") < 250)
+        .select(col("band"), col("bsig"), col("doc_id").as("existing_id"))
+      val cand = bands.filter(col("doc_id") >= 250)
+        .select(col("band"), col("bsig"), col("doc_id").as("new_doc"))
+        .join(hist, Seq("band", "bsig"))
+        .select("new_doc", "existing_id").distinct()
+      // shingle sets only for candidate members (semi-join first), the
+      // same retention discipline as t_dedup_verified
+      val ids = cand.select(col("new_doc").as("doc_id"))
+        .union(cand.select(col("existing_id").as("doc_id"))).distinct()
+      val sets = Tables.documents(s, d)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .cache()
+      val verified = cand
+        .join(sets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+        .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
+        .select(col("new_doc"), col("existing_id"),
+          graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).cast("long").as("inter"),
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ns"))
+        .select(col("new_doc"), col("existing_id"), col("inter"),
+          (col("ns") - col("inter")).as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+      val out = verified.localCheckpoint(true)
+      sig.unpersist(); sets.unpersist()
+      out
+    }),
+
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
     "t_dedup_simhash" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1165,6 +1211,25 @@ object TextQueries {
          |       (ca.n + cb.n - i.inter)::BIGINT AS uni
          |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
          |     JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin,
+
+    "t_incremental_lsh" ->
+      s"""WITH $minhashCte,
+         |$bandsPairsCte,
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS existing_id
+         |  FROM bands n JOIN bands h ON n.band = h.band AND n.bsig = h.bsig
+         |  WHERE n.doc_id >= 250 AND h.doc_id < 250),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.new_doc, c.existing_id, count(*) AS inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.new_doc
+         |          JOIN sh b ON b.doc_id = c.existing_id AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.new_doc, i.existing_id, i.inter::BIGINT AS inter,
+         |       (ca.n + cb.n - i.inter)::BIGINT AS uni
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.new_doc
+         |     JOIN cnt cb ON cb.doc_id = i.existing_id
          |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin,
 
     "t_incremental_dedup" ->
