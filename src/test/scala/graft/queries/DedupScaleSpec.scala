@@ -55,6 +55,40 @@ class DedupScaleSpec extends AnyFunSuite {
       s"one component rooted at 100: size ${labels.size}")
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(31)
+      val ids = new scala.util.Random(trial)
+        .shuffle((1L to 200L).toList).take(n) // sparse non-contiguous ids
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // component label = min id in the component
+        val expected = nodes.map { v =>
+          val root = find(v)
+          v -> nodes.filter(u => find(u) == root).min
+        }.toMap
+        val got = TextQueries.connectedComponents(edges.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: n=$n m=${edges.size}")
+      }
+    }
+  }
+
   test("connectedComponents on empty edges yields empty labels") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("u", "v")
