@@ -168,6 +168,31 @@ object IvfQueries {
       assigned.groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    // SemDeDup-shaped semantic dedup: embeddings partition by nearest
+    // coarse cell and near-duplicate pairs (cosine >= 0.45, the same
+    // threshold as the brute baseline) are found WITHIN cells only —
+    // the cell-keyed equi-join bounds pair work to Σ cell² instead of
+    // n², which is what makes embedding dedup tractable at corpus
+    // scale. Cells come from the deterministic grid so the whole path
+    // is oracle-checkable; the fitted quantizer drops in identically.
+    // Output keeps the smaller id as the canonical document.
+    "t_semantic_dedup" -> ((s, d) => {
+      val e = cachedEmb(s, d)
+      val inv = e.select(col("vec_id"), col("embedding"), col("nsq"),
+        array_min(array((0 until K).map { k =>
+          struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
+        }: _*)).getField("cell").as("cell"))
+      val a = inv.select(col("cell"), col("vec_id").as("id_keep"),
+        col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+      val b = inv.select(col("cell"), col("vec_id").as("id_drop"),
+        col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+      a.join(b, Seq("cell")).filter(col("id_keep") < col("id_drop"))
+        .select(col("cell"), col("id_keep"), col("id_drop"),
+          (Fns.dotProduct(col("emb_a"), col("emb_b"))
+            / (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("cos"))
+        .filter(col("cos") >= 0.45)
+    }),
+
     // The IVF search: queries (vec_id < 100) probe their 4 nearest
     // cells; candidates come from a cell-keyed equi-join; top-1 via
     // single-pass min_by. Exact same cosine arithmetic as t_embed_knn.
@@ -354,6 +379,19 @@ object IvfQueries {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    "t_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |cells AS (${cellsUnion("e", "vec_id")}),
+         |inv AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cells) WHERE rn = 1)
+         |SELECT ia.cell, a.vec_id AS id_keep, b.vec_id AS id_drop,
+         |  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
+         |FROM inv ia JOIN inv ib ON ia.cell = ib.cell AND ia.vec_id < ib.vec_id
+         |JOIN e a ON a.vec_id = ia.vec_id
+         |JOIN e b ON b.vec_id = ib.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.45""".stripMargin,
     "t_ann_ivf_assign" ->
       s"""WITH cells AS (${cellsUnion("embeddings", "vec_id")}),
          |assigned AS (
