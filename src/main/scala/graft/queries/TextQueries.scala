@@ -891,6 +891,35 @@ object TextQueries {
       packManifest(docs)
     }),
 
+    // The trainer-facing pack PAYLOAD (t_seq_packing emits the
+    // manifest; this emits the sequences): each pack's member docs
+    // concatenated in doc_id order (single space standing in for the
+    // EOS separator), shipped as a fingerprint + token length so the
+    // oracle checks payload INTEGRITY without hashing megabytes
+    // through the driver. Order inside the aggregate is pinned by
+    // array_sort on (doc_id, text) structs — collect_list alone is
+    // partition-order-dependent and would break run-to-run
+    // determinism. Scale shape: same (shard)-keyed window as the
+    // manifest, then one keyed agg; payload strings move once, to
+    // their reducer — exactly the shuffle the real payload write pays.
+    "t_pack_payload" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      assertHashSafe(docs, d, "t_pack_payload")
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      val staged = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          Hashing.bucket(col("doc_id"), 8L).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - 1) div 2048"))
+      staged.groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("payload_tokens"),
+          charHash(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")), " ")).as("payload_fp"))
+    }),
+
     // The full corpus-cleaning pass as ONE Spark plan — the shape a
     // real 100 TB pipeline runs nightly: exact-dup canonicalization,
     // language mismatch, low-distinctness, and Gopher-repetition
@@ -1212,6 +1241,18 @@ object TextQueries {
          |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
          |     JOIN cnt cb ON cb.doc_id = i.doc_b
          |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin,
+
+    "t_pack_payload" ->
+      s"""WITH t AS (SELECT doc_id, text, ((doc_id * 2654435761) % 1000000007) % 8 AS shard,
+         |                  len(string_split(text, ' '))::BIGINT AS n_tok
+         |           FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, text, shard, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |      FROM t),
+         |p AS (SELECT shard, ((cum - 1) // 2048)::BIGINT AS pack_id, doc_id, text, n_tok FROM c)
+         |SELECT shard, pack_id, count(*) AS n_docs, sum(n_tok)::BIGINT AS payload_tokens,
+         |       ${chSql("string_agg(text, ' ' ORDER BY doc_id)")} AS payload_fp
+         |FROM p GROUP BY shard, pack_id""".stripMargin,
 
     "t_incremental_lsh" ->
       s"""WITH $minhashCte,
