@@ -130,6 +130,16 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(r8 == r64, "global permutation must be shard-count independent")
   }
 
+  test("pack payload agrees with the packing manifest") {
+    val manifest = TextQueries.defs("t_seq_packing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val payload = TextQueries.defs("t_pack_payload")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(payload.keySet == manifest.keySet, "same (shard, pack) universe")
+    assert(payload.forall { case (k, v) => manifest(k) == v },
+      "n_docs and token counts agree pack-by-pack")
+  }
+
   test("packManifest at 64 shards is bitwise-stable vs per-shard recompute") {
     val docs = Tables.documents(spark, sf)
     val got = TextQueries.packManifest(docs, 64L)
