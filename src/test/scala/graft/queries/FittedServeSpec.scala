@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.Tables
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fitted-model serve paths (w3b_kmeans_fitted_assign,
+  * x_pca_serve) are oracle-checked bitwise against SQL generated from
+  * the fitted literals — this spec closes the OTHER side of the
+  * triangle: the literal-embedded column expressions must reproduce
+  * what MLlib's own transform computes. Exactness differs by design
+  * (MLlib KMeans uses the norm-trick distance, BLAS gemv for PCA; our
+  * expressions use sequential folds), so agreement is asserted up to
+  * FP-tie looseness, not bitwise.
+  */
+class FittedServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("w3b fitted-centroid assignment matches MLlib KMeans predictions") {
+    val fv = Tables.embeddings(spark, sf).select(
+      col("vec_id"), array_to_vector(col("embedding")).as("fv"))
+    // same config as the query's fit: K=16, seed 42, maxIter 20
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(20)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val mllib = model.fit(fv).transform(fv)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val served = IvfQueries.defs("w3b_kmeans_fitted_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(served.keySet == mllib.keySet)
+    val agree = served.count { case (id, c) => mllib(id) == c }.toDouble / served.size
+    // norm-trick vs sequential-fold distances can flip exact FP ties;
+    // anything below ~1.0 here would mean a real serve bug
+    assert(agree >= 0.99, s"assignment agreement $agree")
+  }
+
+  test("x_pca_serve projection matches MLlib PCA transform") {
+    val fv = Tables.embeddings(spark, sf).select(
+      col("vec_id"), array_to_vector(col("embedding")).as("fv"))
+    val model = new PCA().setK(4).setInputCol("fv").setOutputCol("pc").fit(fv)
+    val mllib = model.transform(fv)
+      .select(col("vec_id"), vector_to_array(col("pc")).as("pc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val served = IvfQueries.defs("x_pca_serve")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(served.keySet == mllib.keySet)
+    // BLAS gemv vs sequential dot: same math, different summation
+    // order — bound the divergence at numerical noise, sign-aligned
+    // per component (PCA component sign is arbitrary PER FIT, but both
+    // sides here read fits of the same data in the same session; a
+    // sign flip would blow the tolerance and fail loudly)
+    val maxDiff = served.map { case (id, s) =>
+      s.zip(mllib(id)).map { case (a, b) => math.abs(a - b) }.max
+    }.max
+    assert(maxDiff < 1e-9, s"max |serve - mllib| = $maxDiff")
+  }
+}
