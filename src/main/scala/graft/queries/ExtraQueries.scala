@@ -106,6 +106,21 @@ object ExtraQueries {
           round(col("macro_f1"), 6).as("macro_f1"))
     }),
 
+    // Beyond parity: single-pass column profiling — the ANALYZE /
+    // table-statistics op every warehouse runs before planning (row
+    // count, exact distincts, null counts, min/max) in ONE aggregation
+    // with map-side partials. Exact count_distinct shuffles by value;
+    // at 100 TB the sketch path is a12_approx_distinct — this is the
+    // exact form the optimizer trusts for small dimensions.
+    "a13_profile" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("l_orderkey")).as("orderkey_distinct"),
+        count_distinct(col("l_returnflag")).as("rflag_distinct"),
+        sum(col("l_quantity").isNull.cast("long")).as("qty_nulls"),
+        min("l_quantity").as("qty_min"), max("l_quantity").as("qty_max"),
+        min("l_shipdate").as("ship_min"), max("l_shipdate").as("ship_max"))),
+
     // Beyond parity: rollup aggregation (reporting cubes at scale).
     "a12_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -160,6 +175,14 @@ object ExtraQueries {
     "a12_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a13_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS orderkey_distinct,
+        |  count(DISTINCT l_returnflag) AS rflag_distinct,
+        |  sum((l_quantity IS NULL)::BIGINT)::BIGINT AS qty_nulls,
+        |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max
+        |FROM lineitem""".stripMargin,
     "t3_wide_bins" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  ${SqlGen.binCase("l_extendedprice", wideSplits)} AS price_bin
