@@ -33,6 +33,9 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contended-machine escape hatch: re-shoot with ITERS=3+ without a
+    // code change (round-4 noise protocol; best-of-2 is the default).
+    val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2)
     val spark = Sessions.local("graft-bench", defaultCpus = "32")
     import spark.implicits._
 
@@ -59,9 +62,9 @@ object Bench {
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pred"))
     val kv = KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification)
 
-    val featurize = bestOf(2)(evalAll(featurized(li)))
-    val translate = bestOf(2)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
-    val score     = bestOf(2)(evalAll(kv.probe(li, keyCol, "prediction")))
+    val featurize = bestOf(iters)(evalAll(featurized(li)))
+    val translate = bestOf(iters)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
+    val score     = bestOf(iters)(evalAll(kv.probe(li, keyCol, "prediction")))
     // query-integration shape: featurize + translate + probe + predicate
     // + aggregate, one fused plan end to end (also the ladder body).
     def e2e(sel: Double): Long =
@@ -74,7 +77,7 @@ object Bench {
     // the 0.3 point doubles as the headline stage_end_to_end — timing
     // the identical fused plan twice bought nothing
     val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
-      sel -> bestOf(2)(e2e(sel))
+      sel -> bestOf(iters)(e2e(sel))
     }
     val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
 
@@ -90,7 +93,7 @@ object Bench {
     // the comparable quantity round-over-round. Queries re-invoke
     // cleanly: scratch dirs clear on entry (TmpDirs.scratch).
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try bestOf(2)(evalAll(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val t = try bestOf(iters)(evalAll(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       name -> t
     }
 
@@ -127,11 +130,16 @@ object Bench {
       "stage_end_to_end" -> endToEnd,
       "stage_point_lookup_us" -> pointLookupUs,
       "ivf_kmeans_recall_at_1" -> ivfRecall) ++ ladderRows
-    val qs = (stages ++ queryTimes)
+    // Key order is load-bearing: the driver archives only the TAIL of
+    // this line (~2.2 KB), so the big per-query map goes FIRST and the
+    // stage decomposition + headline keys go LAST — truncation then
+    // drops individual query rows, never the graded stage_* numbers
+    // (rounds 3-4 lost them the other way around).
+    val qs = (queryTimes ++ stages)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
     println(
-      f"""{"metric":"inferdb_serve_end_to_end","value":$endToEnd%.4f,"unit":"sec","rows":$rows,"total_query_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
+      f"""{"queries":$qs,"sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"metric":"inferdb_serve_end_to_end","unit":"sec","value":$endToEnd%.4f}""")
     spark.stop()
   }
 }
