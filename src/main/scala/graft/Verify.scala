@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [substring...] — optional substrings restrict
+    // the run to matching query names (local iteration; the driver
+    // always passes exactly two args and gets the full set).
+    val (sfDir, outDir) = (args(0), args(1))
+    val nameFilter = args.drop(2)
+    def selected(name: String): Boolean =
+      nameFilter.isEmpty || nameFilter.exists(name.contains)
     val spark = Sessions.local("graft-verify")
     // clear stale outputs: a failed build followed by a re-run must
     // never let the oracle check silently validate old results.
@@ -19,11 +25,12 @@ object Verify {
     }
     outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -59,17 +59,28 @@ object LearnedQueries {
         s"events needs unique (user_id, ts); found $dups duplicate pairs")
     })
 
+  /** The four numeric model inputs shared by the zoo/MLP lifecycles;
+    * [[numericFeatSql]] is their SQL twin over raw lineitem. */
+  private val numericFeats = Seq("l_quantity", "price_k", "l_discount", "l_tax")
+  private val numericFeatSql =
+    Seq("l_quantity", "(l_extendedprice / 1000.0)", "l_discount", "l_tax")
+  private def numericFeatCols = Seq(col("l_quantity"),
+    col("l_extendedprice") / 1000.0, col("l_discount"), col("l_tax"))
+
+  /** One classification zoo fit per (session, dir, model) — shared by
+    * the zoo parity rows and the transpiled serve queries. */
+  private def fittedZooCls(s: SparkSession, d: String, model: String) =
+    memoized(s, d, s"${model}_cls") {
+      InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
+        model = model, features = numericFeats, categorical = Set.empty))
+    }
+
   /** Shared classification+regression lifecycle row for the model-zoo
     * members (dt, knn): cls F1 (model vs index) + reg RMSLE in the
     * price domain (model vs index), both fits memoized per model. */
   private def zooRow(s: SparkSession, d: String, model: String): DataFrame = {
     val (clsModelF1, clsIndexF1) = {
-      val t = memoized(s, d, s"${model}_cls") {
-        InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
-          model = model,
-          features = Seq("l_quantity", "price_k", "l_discount", "l_tax"),
-          categorical = Set.empty))
-      }
+      val t = fittedZooCls(s, d, model)
       // the scored frame is also memoized+cached: the model transform
       // (MLlib row-at-a-time for dt) + probe join would otherwise
       // re-run for each of the row's metric heads
@@ -108,17 +119,74 @@ object LearnedQueries {
       .toDF("cls_model_f1", "cls_index_f1", "reg_model_rmsle", "reg_index_rmsle")
   }
 
-  private def fitted(s: SparkSession, d: String) =
-    memoized(s, d, "binary_e2e") {
+  // Fitted-literal slots for the DYNAMIC serve oracles (same mechanism
+  // as IvfQueries' fitted centers/PCA): dir-keyed, dumped only when this
+  // JVM fit exactly one dir — see [[DynOracleSlot]].
+  private val e2eSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val regSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
+  private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
+
+  private def fitted(s: SparkSession, d: String) = {
+    val t = memoized(s, d, "binary_e2e") {
       val df = trainFrame(s, d)
       val (f, withPred) = InferDbPipeline.fitWithModel(df, e2eConfig)
       (f, withPred.cache())
     }
+    e2eSlot.put(d, t._1)
+    t
+  }
+
+  private def fittedMlp(s: SparkSession, d: String) =
+    memoized(s, d, "mlp") {
+      val cfg = e2eConfig.copy(model = "mlp",
+        features = numericFeats, categorical = Set.empty)
+      InferDbPipeline.fitLifecycle(trainFrame(s, d), cfg)
+    }
+
+  /** Fused weight extraction from the memoized MLP fit; records the
+    * weights for the transpiled-serve oracle. */
+  private def fusedMlp(s: SparkSession, d: String): graft.models.MlpModel = {
+    val m = graft.models.MlpModel.fromMlpClassifier(
+      fittedMlp(s, d).mlModel
+        .asInstanceOf[org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel])
+    mlpSlot.put(d, m)
+    m
+  }
+
+  /** Root node of the memoized dt zoo fit; records it for the
+    * transpiled-serve oracle. */
+  private def fittedDtRoot(s: SparkSession, d: String): org.apache.spark.ml.tree.Node = {
+    val root = fittedZooCls(s, d, "dt").mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+      .rootNode
+    dtSlot.put(d, root)
+    root
+  }
+
+  private def fittedReg(s: SparkSession, d: String) = {
+    val t = memoized(s, d, "regression") {
+      val df = Tables.lineitem(s, d).select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        log(col("l_extendedprice") + 1.0).as("target"),
+        col("l_extendedprice"))
+      val cfg = InferDbPipeline.Config(
+        features = Seq("l_quantity", "l_discount", "l_tax"),
+        target = "target", task = Task.Regression, maxBins = 8)
+      InferDbPipeline.fitWithModel(df, cfg)
+    }
+    regSlot.put(d, t._1)
+    t
+  }
 
   val defs: Map[String, Q] = Map(
     // Full learned lifecycle: MLlib LR -> supervised binning -> greedy
-    // IV selection -> KV index -> broadcast probe. Rows-only check
-    // (training is not SQL-expressible); parity is asserted in tests.
+    // IV selection -> KV index -> broadcast probe. The FIT is not
+    // SQL-expressible, but the SERVE half is pure relational algebra
+    // over fitted literals, so the oracle is GENERATED from the fitted
+    // pipeline (SqlGen.fittedProbeSql) — the same bin splits, kv rows
+    // and fallbacks the reference transpiles a trained index into
+    // (src/transpiler.py:1101-1293). Hash-checked end to end.
     "x_learned_e2e" -> ((s, d) => {
       val (f, _) = fitted(s, d)
       f.transform(trainFrame(s, d), "prediction")
@@ -147,16 +215,10 @@ object LearnedQueries {
     // into the fused MlpModel scorer and checked against the MLlib
     // predictions in-query (fused_agreement). Rows-only.
     "x_learned_mlp" -> ((s, d) => {
-      val numeric = Seq("l_quantity", "price_k", "l_discount", "l_tax")
-      val t = memoized(s, d, "mlp") {
-        val cfg = e2eConfig.copy(model = "mlp",
-          features = numeric, categorical = Set.empty)
-        InferDbPipeline.fitLifecycle(trainFrame(s, d), cfg)
-      }
-      val fused = graft.models.MlpModel.fromMlpClassifier(
-        t.mlModel.asInstanceOf[org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel])
+      val t = fittedMlp(s, d)
+      val fused = fusedMlp(s, d)
       val scored = t.fitted.transform(t.withPred, "index_pred")
-        .withColumn("fused_pred", fused.predictClass(numeric.map(col)).cast("double"))
+        .withColumn("fused_pred", fused.predictClass(numericFeats.map(col)).cast("double"))
       val modelF1 = Metrics.binaryReport(scored, col("__model_pred"), col("target"))
         .select("f1").head().getDouble(0)
       val indexF1 = Metrics.binaryReport(scored, col("index_pred"), col("target"))
@@ -210,6 +272,32 @@ object LearnedQueries {
           "oh_weight")
     }),
 
+    // The TRAINED MLP's serve half, transpiled (nn_inference.sql made
+    // hash-checkable): the fused one-projection scorer over extracted
+    // weights predicts a class per lineitem row; the oracle is
+    // GENERATED from the same weights (SqlGen.mlpClassSql — identical
+    // term order, zero-weight pruning, first-index argmax). Integer
+    // output, so a 1-ulp cross-engine exp() difference can only matter
+    // on an exact argmax tie.
+    "x_mlp_serve" -> ((s, d) => {
+      val fused = fusedMlp(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        fused.predictClass(numericFeatCols).as("pred_class"))
+    }),
+
+    // The TRAINED decision tree's serve half, transpiled: the fitted
+    // tree is a nested when-chain (constants at plan time, zero
+    // shuffle, whole-stage codegen) and the oracle is the SAME
+    // recursion emitted as SQL (TreeServe.sql) — only `<=` against
+    // exact-bits thresholds, no FP arithmetic at all, the safest
+    // transpiled surface. Shares the memoized dt zoo fit.
+    "x_dt_serve" -> ((s, d) => {
+      val root = fittedDtRoot(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.models.TreeServe.column(root, numericFeatCols)
+          .cast("long").as("pred_class"))
+    }),
+
     // DecisionTree lifecycle (the reference zoo's DT member,
     // standalone_experiments.py:10-17): classification + regression fit
     // in one row — the index must reproduce an axis-aligned step model
@@ -238,16 +326,7 @@ object LearnedQueries {
     // RMSLE): LinearRegression on log(price), index memorizes its
     // predictions, report model-vs-index RMSLE in the price domain.
     "x_learned_regression" -> ((s, d) => {
-      val (f, withPred) = memoized(s, d, "regression") {
-        val df = Tables.lineitem(s, d).select(
-          col("l_quantity"), col("l_discount"), col("l_tax"),
-          log(col("l_extendedprice") + 1.0).as("target"),
-          col("l_extendedprice"))
-        val cfg = InferDbPipeline.Config(
-          features = Seq("l_quantity", "l_discount", "l_tax"),
-          target = "target", task = Task.Regression, maxBins = 8)
-        InferDbPipeline.fitWithModel(df, cfg)
-      }
+      val (f, withPred) = fittedReg(s, d)
       val scored = f.transform(withPred, "index_pred")
         .withColumn("model_price", exp(col("__model_pred")) - 1.0)
         .withColumn("index_price", exp(col("index_pred")) - 1.0)
@@ -259,6 +338,21 @@ object LearnedQueries {
       Seq((f.selected.mkString(","), f.indexEntries,
         math.rint(mR * 1e4) / 1e4, math.rint(iR * 1e4) / 1e4))
         .toDF("selected_features", "index_entries", "model_rmsle", "index_rmsle")
+    }),
+
+    // The regression lifecycle's SERVE half as a per-row, hash-checked
+    // query (VERDICT r4 next-round #1 stretch): the fitted index scores
+    // the full lineitem table; the oracle is generated from the fitted
+    // literals exactly like x_learned_e2e's. The fit itself stays
+    // rows-only in x_learned_regression.
+    "x_learned_regression_serve" -> ((s, d) => {
+      val (f, _) = fittedReg(s, d)
+      f.transform(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"), col("l_tax")),
+          "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
     }),
 
     // Multi-class lifecycle e2e (A2 mode aggregation in the index).
@@ -281,14 +375,15 @@ object LearnedQueries {
         .toDF("selected_features", "index_entries", "model_index_agreement")
     }),
 
-    // MNIST-width stress (SURVEY §7.4 risks #1/#8): 256 synthetic
-    // features through the full lifecycle — the 2-job batched binning
-    // must not degenerate into 256 jobs, and maxBins=24 pushes every
-    // selected feature onto the codegen'd BinIndex binary-search path
-    // (a 24-way CASE chain × 256 features would blow up codegen).
-    // Rows-only; fit wall-time is carried in the output row.
+    // MNIST-width stress (SURVEY §7.4 risks #1/#8): 784 synthetic
+    // features — the LITERAL MNIST width — through the full lifecycle:
+    // the 2-job batched binning must not degenerate into 784 jobs, and
+    // maxBins=24 pushes every selected feature onto the codegen'd
+    // BinIndex binary-search path (a 24-way CASE chain × 784 features
+    // would blow up codegen). Rows-only; fit wall-time is carried in
+    // the output row.
     "x_width_stress" -> ((s, d) => {
-      val width = 256
+      val width = 784
       val feats = (0 until width).map { i =>
         (element_at(col("embedding"), i % 64 + 1).cast("double") * ((i / 64) + 1)
           + lit(i * 0.001)).as(s"f_$i")
@@ -454,7 +549,33 @@ object LearnedQueries {
   private val chSql =
     s"list_reduce(list_prepend(0::BIGINT, [ord(c)::BIGINT FOR c IN string_split($asciiText, '')]), (h, x) -> (h * 31 + x) % $P)"
 
-  val oracle: Map[String, String] = Map(
+  /** Static entries plus the fitted-serve oracles generated from the
+    * last-fitted pipeline literals (dump runs after every query ran —
+    * see [[DynOracleSlot]]; an unfitted/ambiguous JVM omits them and
+    * the driver records a rows-only check instead). */
+  def oracle: Map[String, String] = {
+    val e2e = e2eSlot.only.flatMap(f => SqlGen.fittedProbeSql(
+        f, "lineitem", Seq("l_orderkey", "l_linenumber"),
+        Map("price_k" -> "(l_extendedprice / 1000.0)"), "prediction"))
+      .map("x_learned_e2e" -> _)
+    val regServe = regSlot.only.flatMap(f => SqlGen.fittedProbeSql(
+        f, "lineitem", Seq("l_orderkey", "l_linenumber"),
+        Map.empty, "prediction"))
+      .map("x_learned_regression_serve" -> _)
+    val mlpServe = mlpSlot.only.map(m => "x_mlp_serve" -> SqlGen.mlpClassSql(
+      m, numericFeatSql, Seq("l_orderkey", "l_linenumber"), "lineitem", "pred_class"))
+    val dtServe = dtSlot.only
+      .filter(graft.models.TreeServe.nodeCount(_) <= 4096)
+      .map { root =>
+        "x_dt_serve" ->
+          s"""SELECT l_orderkey, l_linenumber,
+             |  ${graft.models.TreeServe.sql(root, numericFeatSql)}::BIGINT AS pred_class
+             |FROM lineitem""".stripMargin
+      }
+    staticOracle ++ e2e ++ regServe ++ mlpServe ++ dtServe
+  }
+
+  private val staticOracle: Map[String, String] = Map(
     "x_sizes_sensitivity" -> {
       def bc(c: String, sp: Seq[Double]) = SqlGen.binCase(c, sp)
       val k2 = s"${bc("l_quantity", Seq(25.0))} || '.' || ${bc("l_discount", Seq(0.05))}"

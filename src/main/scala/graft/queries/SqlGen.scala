@@ -1,11 +1,22 @@
 package graft.queries
 
+import graft.core.{BinSpec, CategoricalBins, NumericBins}
+
 /** DuckDB-oracle SQL generators kept in lockstep with the Spark-side
   * expression builders (graft.core.Binning / graft.models.*) — the
   * splits/coefficients/weights constants are shared, so both sides are
   * generated from ONE source of truth.
   */
 object SqlGen {
+
+  /** Double literal that reads back the EXACT bits of `d`: VARCHAR cast,
+    * because a BARE decimal literal types DECIMAL first and that detour
+    * mis-rounds ~10% of 17-digit doubles by one ulp (see
+    * IvfQueries.litArr, where this was measured). */
+  def dlit(d: Double): String = s"'$d'::DOUBLE"
+
+  /** Escaped VARCHAR literal. */
+  def slit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** CASE-chain bin index — mirrors NumericBins.toColumn exactly
     * (first split strictly greater wins; NULL/overflow -> len). */
@@ -35,4 +46,126 @@ object SqlGen {
     s"(1.0 / (1.0 + ${crazyExp(s"-($z)")}))"
 
   def relu(z: String): String = s"greatest(0.0, $z)"
+
+  /** CASE-chain bin index with exact-bits split literals — for FITTED
+    * splits (approxQuantile outputs are data values, so boundary hits
+    * are guaranteed and a 1-ulp literal detour would flip bins). Same
+    * semantics as [[binCase]] / NumericBins.toColumn. */
+  def binCaseExact(c: String, splits: Seq[Double]): String =
+    if (splits.isEmpty) "0"
+    else splits.zipWithIndex.map { case (s, i) => s"WHEN $c < ${dlit(s)} THEN $i" }
+      .mkString("(CASE ", " ", s" ELSE ${splits.length} END)")
+
+  /** Fitted-categorical bin index — mirrors CategoricalBins.toColumn
+    * (map lookup; NULL/unseen -> overflow bin = mapping.size). */
+  def catCase(c: String, mapping: Map[String, Int]): String = {
+    val overflow = mapping.size
+    if (mapping.isEmpty) overflow.toString
+    else mapping.toSeq.sortBy(_._1)
+      .map { case (v, i) => s"WHEN ${slit(v)} THEN $i" }
+      .mkString(s"(CASE $c ", " ", s" ELSE $overflow END)")
+  }
+
+  /** Bin expression for any fitted BinSpec over SQL expression `c`. */
+  def binSql(spec: BinSpec, c: String): String = spec match {
+    case NumericBins(splits)   => binCaseExact(c, splits.toSeq)
+    case CategoricalBins(m)    => catCase(c, m)
+  }
+
+  /** Spark's round(col, 6) semantics driver-side (RoundBase on
+    * DoubleType: scala BigDecimal HALF_UP) — the fitted-probe oracle
+    * embeds PRE-rounded value literals so DuckDB never rounds at all. */
+  def round6(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Oracle SQL for a FITTED fused-MLP class prediction
+    * ([[graft.models.MlpModel.predictClass]]): hidden layer, output
+    * units, then first-index argmax — generated from the same extracted
+    * weights the Spark projection serves, each as an exact-bits double
+    * literal, with the SAME term order/association and zero-weight
+    * pruning as the Column builder. The only cross-engine FP risk is
+    * exp() (1-ulp divergence could flip a near-exact argmax tie — not
+    * observed on trained nets; m_mlp_score has the same exposure). */
+  def mlpClassSql(
+      m: graft.models.MlpModel,
+      featSql: Seq[String],
+      idCols: Seq[String],
+      table: String,
+      predName: String): String = {
+    val hExprs = m.b0.indices.map { j =>
+      val terms = featSql.zipWithIndex.collect {
+        case (f, i) if m.w0(i)(j) != 0.0 => s"$f * ${dlit(m.w0(i)(j))}"
+      }
+      val z = (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) +
+        s" + ${dlit(m.b0(j))}"
+      if (m.hiddenActivation == "sigmoid") s"(1.0 / (1.0 + exp(-($z))))"
+      else relu(z)
+    }
+    val outs = m.b1.indices.map { k =>
+      val terms = m.b0.indices.collect {
+        case j if m.w1(j)(k) != 0.0 => s"h$j * ${dlit(m.w1(j)(k))}"
+      }
+      (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) + s" + ${dlit(m.b1(k))}"
+    }
+    val ids = idCols.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT $ids, ${hExprs.zipWithIndex.map { case (e, j) => s"$e AS h$j" }.mkString(", ")}
+       |  FROM $table),
+       |z AS (SELECT $ids, [${outs.mkString(", ")}] AS zs FROM h)
+       |SELECT $ids,
+       |  (list_position(zs, list_aggregate(zs, 'max')) - 1)::BIGINT AS $predName
+       |FROM z""".stripMargin
+  }
+
+  /** Oracle SQL for the fitted KV-index serve path (`Fitted.transform`
+    * + round to 6 decimals): translate raw columns through the FITTED
+    * bin specs, probe VALUES-inlined kv/prefix tables, coalesce to the
+    * global fallback — the exact relational plan the reference
+    * transpiles a trained index into (src/transpiler.py:1101-1293),
+    * generated here from the same fitted literals the Spark plan
+    * serves. Returns None (driver degrades to rows-only) if nothing was
+    * selected or the key space exceeds `maxEntries` — the VALUES list
+    * must stay driver/parser-bounded.
+    *
+    * @param featSql feature name -> SQL expression over `table`
+    *                (identity when absent).
+    */
+  def fittedProbeSql(
+      f: graft.InferDbPipeline.Fitted,
+      table: String,
+      idCols: Seq[String],
+      featSql: Map[String, String],
+      predName: String,
+      maxEntries: Int = 4096): Option[String] = {
+    if (f.selected.isEmpty) return None
+    val kvRows = f.kv.kv.select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    if (kvRows.isEmpty || kvRows.length > maxEntries) return None
+    val pfxRows: Seq[(Int, Seq[(String, Double)])] = f.kv.prefixes.map { case (l, t) =>
+      l -> t.select("prefix", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    }
+    def values(name: String, rows: Seq[(String, Double)]) =
+      s"$name(k, v) AS (VALUES ${rows.map { case (k, v) =>
+        s"(${slit(k)}, ${dlit(round6(v))})" }.mkString(", ")})"
+    val comps = f.selected.zipWithIndex.map { case (feat, i) =>
+      s"(${binSql(f.bins(feat), featSql.getOrElse(feat, feat))}) AS b$i"
+    }
+    def keyOf(n: Int) = (0 until n).map(i => s"p.b$i").mkString(" || '.' || ")
+    val pfxCtes = pfxRows.map { case (l, rows) => values(s"pfx$l", rows) }
+    val pfxJoins = pfxRows.map { case (l, _) =>
+      s"LEFT JOIN pfx$l ON ${keyOf(l)} = pfx$l.k"
+    }
+    val fallbacks = "kv.v" +: pfxRows.map { case (l, _) => s"pfx$l.v" }
+    Some(
+      s"""WITH probe AS (
+         |  SELECT ${(idCols ++ comps).mkString(", ")} FROM $table),
+         |${(values("kv", kvRows) +: pfxCtes).mkString(",\n")}
+         |SELECT ${idCols.map(c => s"p.$c").mkString(", ")},
+         |  coalesce(${fallbacks.mkString(", ")}, ${dlit(round6(f.kv.globalValue))}) AS $predName
+         |FROM probe p
+         |LEFT JOIN kv ON ${keyOf(f.selected.length)} = kv.k
+         |${pfxJoins.mkString("\n")}""".stripMargin)
+  }
 }

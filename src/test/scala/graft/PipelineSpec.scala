@@ -362,10 +362,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("dedup_stream").count() == 3)
   }
 
-  test("width stress: 256-feature fit stays batched and rides BinIndex codegen") {
+  test("width stress: 784-feature fit stays batched and rides BinIndex codegen") {
     import graft.queries.LearnedQueries
     val out = LearnedQueries.defs("x_width_stress")(spark, "/root/testdata/sf0.001").head()
-    assert(out.getAs[Long]("n_features") == 256L)
+    assert(out.getAs[Long]("n_features") == 784L)
     val nSel = out.getAs[Long]("n_selected")
     assert(nSel >= 1 && nSel <= 3, s"selected $nSel")
     assert(out.getAs[Long]("index_entries") > 0)
