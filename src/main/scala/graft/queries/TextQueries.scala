@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Declared shard count for t_corpus_shuffle — interpolated into BOTH
+    * the Scala call and the oracle SQL so the two sides cannot drift. */
+  private val ShuffleShards = 32L
   import TextHash._
 
   /** The minhash ORACLE's generate_series bound (DuckDB can't
@@ -159,16 +163,56 @@ object TextQueries {
     // cache: the signature is cheap now (codegen'd kernel) but still
     // worth materializing once for the two band-join sides.
     val sig = minhashSig(s, d).cache()
-    val bands = sig.select(col("doc_id"), explode(array(
+    val bands = bandsOf(sig)
+    val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The (doc_id, band, bsig) band-index rows of a signature frame —
+    * ONE definition for the pair join, the incremental probe, and the
+    * persisted-index lifecycle. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
       }: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bsig"))
-    val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+
+  /** Batch boundaries for the incremental/lifecycle LSH queries —
+    * interpolated into BOTH the Scala filters and the oracle SQL. */
+  private val LshBase = 250L   // history: doc_id < LshBase
+  private val LshBatch2 = 375L // lifecycle batch 1 = [LshBase, LshBatch2)
+
+  private val lshLifecycleMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Exact-Jaccard verification of (new_doc, existing_id) candidate
+    * links at the integer >= 0.5 threshold — shingle sets fetched for
+    * candidate MEMBERS only (semi-join first, the t_dedup_verified
+    * retention discipline). Returns an eagerly-materialized frame so
+    * the candidate/set intermediates can be unpersisted here. */
+  private def verifyLinks(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val ids = cand.select(col("new_doc").as("doc_id"))
+      .union(cand.select(col("existing_id").as("doc_id"))).distinct()
+    val sets = Tables.documents(s, d)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .cache()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
+      .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
+      .select(col("new_doc"), col("existing_id"),
+        graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ns"))
+      .select(col("new_doc"), col("existing_id"), col("inter"),
+        (col("ns") - col("inter")).as("uni"))
+      .filter(col("inter") * 2 >= col("uni"))
+    val out = verified.localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 
   lazy val defs: Map[String, Q] = defsA ++ defsB
@@ -313,24 +357,47 @@ object TextQueries {
     // plus empty one-sided difference
     def sameEdges(a: DataFrame, b: DataFrame, na: Long, nb: Long): Boolean =
       na == nb && a.except(b).isEmpty
-    // eager localCheckpoint, not cache: a round's plan TREE embeds the
+    // eager checkpoint, not cache: a round's plan TREE embeds the
     // previous round's subtree several times over (each union branch
     // repeats its input), so un-truncated lineage grows exponentially
     // and kills the analyzer after ~6 rounds. Checkpointing restarts
-    // the plan at the materialized edge set; the handful of superseded
-    // block sets are context-cleaned once unreferenced. Executor-local
-    // is fine on local[n]; a multi-executor deployment would use a
-    // reliable checkpoint dir.
-    var cur = edgesIn.where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // the plan at the materialized edge set. `spark.graft.checkpointDir`
+    // selects a RELIABLE checkpoint dir (HDFS/object store) for
+    // multi-executor deployments, where executor-local blocks die with
+    // their executor; unset falls back to localCheckpoint — correct on
+    // local[n]. Each superseded round's blocks are unpersisted
+    // explicitly right after the convergence comparison instead of
+    // waiting on the ContextCleaner, so at most two edge-set copies are
+    // ever live however many rounds a large graph takes.
+    def ckpt(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      spark.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          if (spark.sparkContext.getCheckpointDir.isEmpty)
+            spark.sparkContext.setCheckpointDir(dir)
+          df.checkpoint(eager = true)
+        case None => df.localCheckpoint(eager = true)
+      }
+    }
+    // handle to the materialized RDD behind a checkpointed frame, for
+    // the explicit unpersist (None on an unexpected plan shape — then
+    // the ContextCleaner path still applies)
+    def blocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
+    var cur = ckpt(edgesIn.where(col("u") =!= col("v")).distinct())
     var curN = cur.count()
     var converged = curN == 0L
     var rounds = 0
     // 64 rounds covers any graph a 2^63 id space can express
     // (O(log diameter) convergence); the cap is fail-loud on principle
     while (!converged && rounds < 64) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = ckpt(smallStar(largeStar(cur)))
       val nextN = next.count()
       converged = sameEdges(next, cur, nextN, curN)
+      blocks(cur).foreach(_.unpersist(blocking = false))
       cur = next
       curN = nextN
       rounds += 1
@@ -417,39 +484,51 @@ object TextQueries {
     // complement is the accept list.
     "t_incremental_lsh" -> ((s, d) => {
       val sig = minhashSig(s, d).cache()
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until NumBands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*).as("bsig"))
-        }: _*)).as("x"))
-        .select(col("doc_id"), col("x.band"), col("x.bsig"))
-      val hist = bands.filter(col("doc_id") < 250)
+      val bands = bandsOf(sig)
+      val hist = bands.filter(col("doc_id") < LshBase)
         .select(col("band"), col("bsig"), col("doc_id").as("existing_id"))
-      val cand = bands.filter(col("doc_id") >= 250)
+      val cand = bands.filter(col("doc_id") >= LshBase)
         .select(col("band"), col("bsig"), col("doc_id").as("new_doc"))
         .join(hist, Seq("band", "bsig"))
         .select("new_doc", "existing_id").distinct()
-      // shingle sets only for candidate members (semi-join first), the
-      // same retention discipline as t_dedup_verified
-      val ids = cand.select(col("new_doc").as("doc_id"))
-        .union(cand.select(col("existing_id").as("doc_id"))).distinct()
-      val sets = Tables.documents(s, d)
-        .join(ids, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .cache()
-      val verified = cand
-        .join(sets.select(col("doc_id").as("new_doc"), col("sh").as("sh_a")), "new_doc")
-        .join(sets.select(col("doc_id").as("existing_id"), col("sh").as("sh_b")), "existing_id")
-        .select(col("new_doc"), col("existing_id"),
-          graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).cast("long").as("inter"),
-          (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("ns"))
-        .select(col("new_doc"), col("existing_id"), col("inter"),
-          (col("ns") - col("inter")).as("uni"))
-        .filter(col("inter") * 2 >= col("uni"))
-      val out = verified.localCheckpoint(true)
-      sig.unpersist(); sets.unpersist()
+      val out = verifyLinks(s, d, cand)
+      sig.unpersist()
       out
     }),
+
+    // Persisted band-index LIFECYCLE — the maintained-index claim of
+    // t_incremental_lsh made real: the base corpus's (band, bsig,
+    // doc_id) index is WRITTEN to parquet once; batch 1 ([LshBase,
+    // LshBatch2)) probes the persisted files and its bands are
+    // APPENDED; batch 2 (>= LshBatch2) then probes the UPDATED index,
+    // so its links may hit batch-1 docs — history is never rescanned
+    // or rebuilt, only appended, which is the 100 TB maintenance
+    // story. The oracle recomputes both probes from scratch, so the
+    // hash check IS the probe-against-persisted ==
+    // probe-against-rebuilt equivalence. Memoized per (session, dir):
+    // a re-invocation must serve the same result, not re-append.
+    "t_lsh_index_lifecycle" -> ((s, d) => lshLifecycleMemo.getOrElseUpdate((s, d), {
+      val sig = minhashSig(s, d).cache()
+      val bands = bandsOf(sig)
+      val idxDir = graft.core.TmpDirs.scratch("lsh_band_index", d)
+      bands.filter(col("doc_id") < LshBase)
+        .write.mode("overwrite").parquet(idxDir)
+      def probePersisted(batch: DataFrame): DataFrame =
+        batch.select(col("band"), col("bsig"), col("doc_id").as("new_doc"))
+          .join(s.read.parquet(idxDir)
+            .select(col("band"), col("bsig"), col("doc_id").as("existing_id")),
+            Seq("band", "bsig"))
+          .select("new_doc", "existing_id").distinct()
+      val b1 = bands.filter(col("doc_id") >= LshBase && col("doc_id") < LshBatch2)
+      // eager: batch 1's probe must see the PRE-append file set
+      val cand1 = probePersisted(b1).localCheckpoint(true)
+      b1.write.mode("append").parquet(idxDir)
+      val cand2 = probePersisted(bands.filter(col("doc_id") >= LshBatch2))
+        .localCheckpoint(true)
+      val out = verifyLinks(s, d, cand1.union(cand2))
+      sig.unpersist()
+      out
+    })),
 
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
     "t_dedup_simhash" -> ((s, d) =>
@@ -504,7 +583,11 @@ object TextQueries {
 
     // N-gram novelty / boilerplate score (a CCNet-style LM proxy in
     // exact arithmetic): a document's signal is the mean corpus-wide
-    // document frequency of its distinct 3-gram shingles —
+    // OCCURRENCE count of its 3-gram shingle hashes (not true document
+    // frequency: a doc repeating a shingle contributes each occurrence,
+    // and two distinct shingles colliding into one 8-byte hash pool
+    // their counts — both effects are deterministic and identical on
+    // the oracle side, and neither moves a boilerplate signal) —
     // boilerplate-heavy docs (nav chrome, license headers) score high,
     // novel text scores near 1. Counts are exact integers; the mean is
     // ONE division of two exact integers (IEEE-correctly-rounded on
@@ -775,13 +858,14 @@ object TextQueries {
     // permutation: decorrelate crawl order before packing). Every doc
     // gets a reproducible global rank under the order
     // (hash(doc_id), doc_id) — stable across retries/AQE like every
-    // hash in this family. Declared at 32 range shards; the permutation
+    // hash in this family. Declared at [[ShuffleShards]] range shards
+    // (ONE constant, interpolated into the oracle too); the permutation
     // is shard-count-INDEPENDENT (spec-pinned), so a 100 TB run simply
     // raises the shard count.
     "t_corpus_shuffle" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       assertHashSafe(docs, d, "t_corpus_shuffle")
-      corpusShuffle(docs, 32L)
+      corpusShuffle(docs, ShuffleShards)
     }),
 
     // Source-weighted mixture sampling (the multilingual-T5-style
@@ -1084,6 +1168,23 @@ object TextQueries {
   /** The LSH band-join candidate pairs as SQL CTEs (`bands`, `pairs`)
     * over the minhash CTE's `m` — ONE definition shared by the pair
     * and cluster oracles so they can never check different graphs. */
+  /** Exact-Jaccard verification tail over a `cand(new_doc,
+    * existing_id)` CTE (requires the minhash CTE's `sh` upstream) —
+    * ONE definition shared by the incremental and lifecycle oracles,
+    * mirroring [[verifyLinks]]. */
+  private val verifyLinksCte =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT c.new_doc, c.existing_id, count(*) AS inter
+      |          FROM cand c
+      |          JOIN sh a ON a.doc_id = c.new_doc
+      |          JOIN sh b ON b.doc_id = c.existing_id AND b.shingle = a.shingle
+      |          GROUP BY 1, 2)
+      |SELECT i.new_doc, i.existing_id, i.inter::BIGINT AS inter,
+      |       (ca.n + cb.n - i.inter)::BIGINT AS uni
+      |FROM inter i JOIN cnt ca ON ca.doc_id = i.new_doc
+      |     JOIN cnt cb ON cb.doc_id = i.existing_id
+      |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin
+
   private val bandsPairsCte = {
     val bandSelects = (0 until NumBands).map { b =>
       val sig = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}").mkString(" || '-' || ")
@@ -1260,18 +1361,21 @@ object TextQueries {
          |cand AS (
          |  SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS existing_id
          |  FROM bands n JOIN bands h ON n.band = h.band AND n.bsig = h.bsig
-         |  WHERE n.doc_id >= 250 AND h.doc_id < 250),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.new_doc, c.existing_id, count(*) AS inter
-         |          FROM cand c
-         |          JOIN sh a ON a.doc_id = c.new_doc
-         |          JOIN sh b ON b.doc_id = c.existing_id AND b.shingle = a.shingle
-         |          GROUP BY 1, 2)
-         |SELECT i.new_doc, i.existing_id, i.inter::BIGINT AS inter,
-         |       (ca.n + cb.n - i.inter)::BIGINT AS uni
-         |FROM inter i JOIN cnt ca ON ca.doc_id = i.new_doc
-         |     JOIN cnt cb ON cb.doc_id = i.existing_id
-         |WHERE i.inter * 2 >= ca.n + cb.n - i.inter""".stripMargin,
+         |  WHERE n.doc_id >= $LshBase AND h.doc_id < $LshBase),
+         |$verifyLinksCte""".stripMargin,
+
+    // rebuilt-from-scratch twin of the persisted-index lifecycle: the
+    // hash match IS the probe-against-persisted == probe-against-
+    // rebuilt equivalence (batch 2's history includes batch 1)
+    "t_lsh_index_lifecycle" ->
+      s"""WITH $minhashCte,
+         |$bandsPairsCte,
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS existing_id
+         |  FROM bands n JOIN bands h ON n.band = h.band AND n.bsig = h.bsig
+         |  WHERE (n.doc_id >= $LshBase AND n.doc_id < $LshBatch2 AND h.doc_id < $LshBase)
+         |     OR (n.doc_id >= $LshBatch2 AND h.doc_id < $LshBatch2)),
+         |$verifyLinksCte""".stripMargin,
 
     "t_incremental_dedup" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1379,8 +1483,8 @@ object TextQueries {
          |GROUP BY hh.doc_id""".stripMargin,
 
     "t_corpus_shuffle" ->
-      """WITH t AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS skey FROM documents),
-        |t2 AS (SELECT doc_id, skey, (skey * 32) // 1000000007 AS shard FROM t),
+      s"""WITH t AS (SELECT doc_id, (doc_id * 2654435761) % ${TextHash.P} AS skey FROM documents),
+        |t2 AS (SELECT doc_id, skey, (skey * $ShuffleShards) // ${TextHash.P} AS shard FROM t),
         |c AS (SELECT shard, count(*) AS n FROM t2 GROUP BY 1),
         |o AS (SELECT shard, (sum(n) OVER (ORDER BY shard) - n)::BIGINT AS off FROM c),
         |l AS (SELECT doc_id, skey, shard,
