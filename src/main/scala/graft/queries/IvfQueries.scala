@@ -56,7 +56,7 @@ object IvfQueries {
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(fv).clusterCenters.map(_.toArray)
     })
-    lastCenters = Some(cs)
+    centersSlot.put(d, cs)
     cs
   }
 
@@ -77,17 +77,60 @@ object IvfQueries {
         .setK(PcaK).setInputCol("fv").setOutputCol("pc").fit(fv).pc
       Array.tabulate(PcaK)(j => Array.tabulate(Dim)(i => m(i, j)))
     })
-    lastPca = Some(pc)
+    pcaSlot.put(d, pc)
     pc
   }
 
-  // Last-fitted slots for the DYNAMIC oracles: Verify dumps oracle_sql
-  // AFTER every query ran, so by then these hold the exact literals the
-  // parquet outputs were computed from (memoized per session+dir; one
-  // dir per Verify/Bench process). Unset (query never ran) degrades to
-  // omitting the entry — the driver then records a rows-only check.
-  @volatile private var lastCenters: Option[Array[Array[Double]]] = None
-  @volatile private var lastPca: Option[Array[Array[Double]]] = None
+  // Fitted slots for the DYNAMIC oracles: Verify dumps oracle_sql AFTER
+  // every query ran, so by then these hold the exact literals the
+  // parquet outputs were computed from. Dir-keyed (DynOracleSlot): a
+  // JVM that fits two dirs, or never fit, omits the entry — the driver
+  // then records a rows-only check instead of comparing against the
+  // wrong dir's literals.
+  private val centersSlot = new DynOracleSlot[Array[Array[Double]]]
+  private val pcaSlot = new DynOracleSlot[Array[Array[Double]]]
+
+  /** Per-cell membership cap for the declared semantic dedup: far above
+    * any balanced-quantizer cell at test scale (no-op there), so its only
+    * effect is bounding the adversarial mega-cell. */
+  private val SemCellCap = 1 << 16
+
+  /** Cell-partitioned near-dup pair search with a per-cell size cap —
+    * the production SemDeDup rule: pair work within a cell of n members
+    * is n², fine for a balanced quantizer but quadratic in the one
+    * adversarial mega-cell (all-identical embeddings in crawl data is
+    * not hypothetical). Cells above `cellCap` members are split into
+    * ceil(n/cap) subcells by the deterministic Knuth hash of vec_id, so
+    * pair work is bounded by ~n·cap per cell (linear in n) at the
+    * documented cost of missing cross-subcell pairs inside oversized
+    * cells — near-dups cluster tightly, so a mega-cell is overwhelmingly
+    * exact-duplicate mass that still pairs within subcells. Under the
+    * cap the subcell is constant 0 and the output is exactly the
+    * uncapped pair set (DedupScaleSpec pins both properties).
+    */
+  private[queries] def semanticDedupPairs(e: DataFrame, cellCap: Int): DataFrame = {
+    val inv = e.select(col("vec_id"), col("embedding"), col("nsq"),
+      array_min(array((0 until K).map { k =>
+        struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
+      }: _*)).getField("cell").as("cell"))
+    // |cells| rows — broadcast-tiny at any corpus size
+    val sizes = inv.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    // integer ceil-div (`div`, not `/` — Spark's `/` is double division)
+    val nSub = greatest(lit(1L), expr(s"(cell_n + ${cellCap - 1}) div $cellCap"))
+    val invSub = inv.join(broadcast(sizes), Seq("cell"))
+      .withColumn("sub", pmod(
+        (col("vec_id") * lit(graft.functions.Hashing.Mult)) % lit(graft.functions.TextHash.P),
+        nSub))
+    val a = invSub.select(col("cell"), col("sub"), col("vec_id").as("id_keep"),
+      col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+    val b = invSub.select(col("cell"), col("sub"), col("vec_id").as("id_drop"),
+      col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
+    a.join(b, Seq("cell", "sub")).filter(col("id_keep") < col("id_drop"))
+      .select(col("cell"), col("id_keep"), col("id_drop"),
+        (Fns.dotProduct(col("emb_a"), col("emb_b"))
+          / (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("cos"))
+      .filter(col("cos") >= 0.45)
+  }
 
   /** argmin-cell over an explicit centroid matrix (codegen'd L2). */
   private def nearestCell(emb: Column, centers: Array[Array[Double]]): Column =
@@ -175,23 +218,13 @@ object IvfQueries {
     // n², which is what makes embedding dedup tractable at corpus
     // scale. Cells come from the deterministic grid so the whole path
     // is oracle-checkable; the fitted quantizer drops in identically.
+    // Cells above [[SemCellCap]] members split by a secondary hash
+    // (see [[semanticDedupPairs]]) so one adversarial mega-cell cannot
+    // go quadratic; no testdata cell is near the cap, so the declared
+    // output (and its oracle) is the uncapped pair set.
     // Output keeps the smaller id as the canonical document.
-    "t_semantic_dedup" -> ((s, d) => {
-      val e = cachedEmb(s, d)
-      val inv = e.select(col("vec_id"), col("embedding"), col("nsq"),
-        array_min(array((0 until K).map { k =>
-          struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
-        }: _*)).getField("cell").as("cell"))
-      val a = inv.select(col("cell"), col("vec_id").as("id_keep"),
-        col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
-      val b = inv.select(col("cell"), col("vec_id").as("id_drop"),
-        col("embedding").as("emb_b"), col("nsq").as("nsq_b"))
-      a.join(b, Seq("cell")).filter(col("id_keep") < col("id_drop"))
-        .select(col("cell"), col("id_keep"), col("id_drop"),
-          (Fns.dotProduct(col("emb_a"), col("emb_b"))
-            / (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("cos"))
-        .filter(col("cos") >= 0.45)
-    }),
+    "t_semantic_dedup" -> ((s, d) =>
+      semanticDedupPairs(cachedEmb(s, d), SemCellCap)),
 
     // The IVF search: queries (vec_id < 100) probe their 4 nearest
     // cells; candidates come from a cell-keyed equi-join; top-1 via
@@ -360,7 +393,7 @@ object IvfQueries {
     * query to its rows-only check rather than comparing against a
     * model the outputs never saw). */
   def oracle: Map[String, String] = {
-    val fittedAssign = lastCenters.map { cs =>
+    val fittedAssign = centersSlot.only.map { cs =>
       "w3b_kmeans_fitted_assign" ->
         s"""WITH cells AS (${cs.zipWithIndex.map { case (c, k) =>
              s"SELECT vec_id, $k AS cell, ${distSqLitSql("embedding", c)} AS dist FROM embeddings"
@@ -369,7 +402,7 @@ object IvfQueries {
            |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
            |  FROM cells) WHERE rn = 1""".stripMargin
     }
-    val pcaServe = lastPca.map { pc =>
+    val pcaServe = pcaSlot.only.map { pc =>
       "x_pca_serve" ->
         ("SELECT vec_id, " + pc.zipWithIndex.map { case (c, j) =>
           s"${dotSql("embedding", litArr(c))} AS pc${j + 1}"

@@ -26,6 +26,71 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 1L), s"component min is 1: $labels")
   }
 
+  test("connectedComponents uses a reliable checkpoint dir when configured") {
+    import spark.implicits._
+    // spark.graft.checkpointDir lifts star contraction off
+    // localCheckpoint (executor-local blocks die with their executor)
+    // onto a reliable dir — the multi-executor deployment path.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val edges = (1L to 20L).map(i => (i, i + 1)).toDF("u", "v")
+      val labels = TextQueries.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.keySet == (1L to 21L).toSet)
+      assert(labels.values.forall(_ == 1L))
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(new java.io.File(dir)).nonEmpty,
+        "configured checkpoint dir must actually receive checkpoint data")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("semantic-dedup cell cap bounds pair work on an adversarial mega-cell") {
+    import spark.implicits._
+    // 600 identical embeddings — every vector lands in ONE cell, the
+    // all-identical-crawl-boilerplate shape. Uncapped pair work would be
+    // n(n-1)/2 = 179,700; with cellCap=100 the cell splits into 6
+    // subcells, so emitted pairs (cos = 1.0 for every in-subcell pair)
+    // are exactly Σ n_g(n_g-1)/2 — bounded by ~n·cap, linear in n.
+    val n = 600
+    val cap = 100
+    val emb = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e = (0 until n).map(i => (i.toLong, emb)).toDF("vec_id", "embedding")
+      .withColumn("nsq", graft.functions.Fns.normSq(col("embedding")))
+    val pairs = IvfQueries.semanticDedupPairs(e, cap)
+    val got = pairs.count()
+    // exact expectation from the same subcell assignment arithmetic
+    val P = graft.functions.TextHash.P
+    val nSub = (n + cap - 1) / cap
+    val sizes = (0 until n).groupBy(i => ((i.toLong * graft.functions.Hashing.Mult) % P % nSub))
+      .values.map(_.size.toLong)
+    val expected = sizes.map(g => g * (g - 1) / 2).sum
+    assert(got == expected, s"capped pair count: got $got, expected $expected")
+    val uncappedPairs = n.toLong * (n - 1) / 2
+    assert(got < uncappedPairs / 4,
+      s"cap must bound quadratic pair work: $got vs uncapped $uncappedPairs")
+  }
+
+  test("semantic-dedup cap is a no-op when every cell is under the cap") {
+    import spark.implicits._
+    // vectors spread across distinct directions -> small cells; capped
+    // and effectively-uncapped (huge cap) runs must emit identical pairs
+    val vecs = (0 until 120).map { i =>
+      val a = Array.fill(64)(0.0f); a(i % 32) = 1.0f; a(32 + i % 16) = 0.5f
+      (i.toLong, a)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nsq", graft.functions.Fns.normSq(col("embedding")))
+    def pairSet(cap: Int) = IvfQueries.semanticDedupPairs(e, cap)
+      .select("id_keep", "id_drop").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(50) // cells hold ≤ ~dozen vectors each
+    val loose = pairSet(Int.MaxValue)
+    assert(capped == loose, "under-cap behavior must equal the uncapped pair set")
+    assert(loose.nonEmpty, "sanity: the synthetic corpus has near-dup pairs")
+  }
+
   test("connectedComponents separates components and handles shuffled ids") {
     import spark.implicits._
     // two components: a chain given in descending order (worst case for
