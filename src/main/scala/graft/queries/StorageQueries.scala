@@ -173,7 +173,28 @@ object StorageQueries {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** Declared CSV ingest (S1 literal parity: the reference's standalone
+    * entry points read CSV — experiments/standalone/pm25.py:25-26): the
+    * customer table is staged as CSV once, read back through
+    * [[Tables.loadCsv]] (header + explicit DDL + FAILFAST — never
+    * schema-infer at scale, that is a full extra pass), and served as a
+    * filtered projection. Doubles round-trip exactly (shortest-repr
+    * write, correctly-rounded read), so the oracle is the parquet twin
+    * of the same query — the adapter itself is what's under test.
+    */
+  private def csvScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "csv_customer") { p =>
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("header", "true").csv(p)
+    }
+    Tables.loadCsv(s, tmp,
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .filter(col("c_acctbal") > 0.0)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  }
+
   val defs: Map[String, Q] = Map(
+    "s1b_csv_scan" -> csvScan,
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
     "s2_bucketed_smb_join" -> bucketedSmbJoin,
     "s3_sharded_export" -> shardedExport,
@@ -181,6 +202,9 @@ object StorageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s1b_csv_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 0.0""".stripMargin,
     "s6_ctas_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
