@@ -68,8 +68,9 @@ object LearnedQueries {
     col("l_extendedprice") / 1000.0, col("l_discount"), col("l_tax"))
 
   /** One classification zoo fit per (session, dir, model) — shared by
-    * the zoo parity rows and the transpiled serve queries. */
-  private def fittedZooCls(s: SparkSession, d: String, model: String) =
+    * the zoo parity rows, the transpiled serve queries, and the
+    * extraction-fidelity specs (package-visible for the latter). */
+  private[queries] def fittedZooCls(s: SparkSession, d: String, model: String) =
     memoized(s, d, s"${model}_cls") {
       InferDbPipeline.fitLifecycle(trainFrame(s, d), e2eConfig.copy(
         model = model, features = numericFeats, categorical = Set.empty))
@@ -126,6 +127,9 @@ object LearnedQueries {
   private val regSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
+  private val lrSlot = new DynOracleSlot[(Array[Double], Double)]
+  private val gbtSlot =
+    new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
 
   private def fitted(s: SparkSession, d: String) = {
     val t = memoized(s, d, "binary_e2e") {
@@ -156,12 +160,56 @@ object LearnedQueries {
 
   /** Root node of the memoized dt zoo fit; records it for the
     * transpiled-serve oracle. */
-  private def fittedDtRoot(s: SparkSession, d: String): org.apache.spark.ml.tree.Node = {
+  private[queries] def fittedDtRoot(s: SparkSession, d: String): org.apache.spark.ml.tree.Node = {
     val root = fittedZooCls(s, d, "dt").mlModel
       .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
       .rootNode
     dtSlot.put(d, root)
     root
+  }
+
+  /** Binary-LR class from fitted coefficients: raw margin w·x + b > 0
+    * (MLlib's 0.5 probability threshold in raw form); zero-weight
+    * pruning and term order mirrored in the generated oracle. */
+  private[queries] def lrClassExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      coefs: Array[Double], b: Double): org.apache.spark.sql.Column = {
+    val raw = feats.zip(coefs).collect {
+      case (f, w) if w != 0.0 => f * lit(w)
+    }.reduceOption(_ + _).getOrElse(lit(0.0)) + lit(b)
+    when(raw > 0.0, 1L).otherwise(0L)
+  }
+
+  /** GBT class from fitted trees: margin Σ wᵢ·treeᵢ(x) > 0 — MLlib
+    * GBTClassifier's own decision rule over TreeServe CASE chains. */
+  private[queries] def gbtClassExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      roots: Seq[org.apache.spark.ml.tree.Node],
+      ws: Array[Double]): org.apache.spark.sql.Column = {
+    val raw = roots.zip(ws).map { case (r, w) =>
+      graft.models.TreeServe.column(r, feats) * lit(w)
+    }.reduce(_ + _)
+    when(raw > 0.0, 1L).otherwise(0L)
+  }
+
+  /** Fitted-LR coefficients from a numeric-feature zoo fit; recorded
+    * for the transpiled-serve oracle. */
+  private[queries] def fittedLr(s: SparkSession, d: String): (Array[Double], Double) = {
+    val m = fittedZooCls(s, d, "lr").mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val cb = (m.coefficients.toArray, m.intercept)
+    lrSlot.put(d, cb)
+    cb
+  }
+
+  /** Fitted-GBT trees + weights from the zoo fit; recorded for the
+    * transpiled-serve oracle. */
+  private[queries] def fittedGbt(s: SparkSession, d: String): (Seq[org.apache.spark.ml.tree.Node], Array[Double]) = {
+    val m = fittedZooCls(s, d, "gbt").mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val tw = (m.trees.map(_.rootNode).toSeq, m.treeWeights)
+    gbtSlot.put(d, tw)
+    tw
   }
 
   private def fittedReg(s: SparkSession, d: String) = {
@@ -283,6 +331,29 @@ object LearnedQueries {
       val fused = fusedMlp(s, d)
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         fused.predictClass(numericFeatCols).as("pred_class"))
+    }),
+
+    // The TRAINED LogisticRegression's serve half, transpiled: binary
+    // class = (w·x + b > 0), the raw-margin form of MLlib's 0.5
+    // probability threshold — one fused projection over exact-bits
+    // fitted coefficients; oracle generated from the same doubles.
+    // Comparison-only output, so the only FP surface is the dot
+    // product itself (same term order both sides).
+    "x_lr_serve" -> ((s, d) => {
+      val (coefs, b) = fittedLr(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        lrClassExpr(numericFeatCols, coefs, b).as("pred_class"))
+    }),
+
+    // The TRAINED gradient-boosted ensemble's serve half, transpiled:
+    // raw margin = Σ weight_i · tree_i(x) (each tree a TreeServe CASE
+    // chain), class = margin > 0 — MLlib GBTClassifier's own decision
+    // rule. This also gives the zoo's GBT member a declared query; the
+    // fit is paid once (memoized), the serve is one fused projection.
+    "x_gbt_serve" -> ((s, d) => {
+      val (roots, ws) = fittedGbt(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        gbtClassExpr(numericFeatCols, roots, ws).as("pred_class"))
     }),
 
     // The TRAINED decision tree's serve half, transpiled: the fitted
@@ -572,7 +643,26 @@ object LearnedQueries {
              |  ${graft.models.TreeServe.sql(root, numericFeatSql)}::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
-    staticOracle ++ e2e ++ regServe ++ mlpServe ++ dtServe
+    val lrServe = lrSlot.only.map { case (coefs, b) =>
+      "x_lr_serve" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           |  (CASE WHEN ${SqlGen.linearExact(numericFeatSql, coefs.toSeq, b)} > 0.0
+           |        THEN 1 ELSE 0 END)::BIGINT AS pred_class
+           |FROM lineitem""".stripMargin
+    }
+    val gbtServe = gbtSlot.only
+      .filter { case (roots, _) =>
+        roots.map(graft.models.TreeServe.nodeCount).sum <= 8192 }
+      .map { case (roots, ws) =>
+        val raw = roots.zip(ws).map { case (r, w) =>
+          s"${graft.models.TreeServe.sql(r, numericFeatSql)} * ${SqlGen.dlit(w)}"
+        }.mkString(" + ")
+        "x_gbt_serve" ->
+          s"""SELECT l_orderkey, l_linenumber,
+             |  (CASE WHEN $raw > 0.0 THEN 1 ELSE 0 END)::BIGINT AS pred_class
+             |FROM lineitem""".stripMargin
+      }
+    staticOracle ++ e2e ++ regServe ++ mlpServe ++ dtServe ++ lrServe ++ gbtServe
   }
 
   private val staticOracle: Map[String, String] = Map(

@@ -47,6 +47,14 @@ object SqlGen {
 
   def relu(z: String): String = s"greatest(0.0, $z)"
 
+  /** Linear combination with EXACT-BITS coefficient literals — for
+    * FITTED coefficients (see [[dlit]]); same zero-pruning and
+    * left-associated term order as the Column builders. */
+  def linearExact(terms: Seq[String], coefs: Seq[Double], intercept: Double): String = {
+    val ts = terms.zip(coefs).collect { case (t, w) if w != 0.0 => s"($t) * ${dlit(w)}" }
+    (if (ts.isEmpty) "0.0" else ts.mkString(" + ")) + s" + ${dlit(intercept)}"
+  }
+
   /** CASE-chain bin index with exact-bits split literals — for FITTED
     * splits (approxQuantile outputs are data values, so boundary hits
     * are guaranteed and a 1-ulp literal detour would flip bins). Same

@@ -60,4 +60,43 @@ class FittedServeSpec extends AnyFunSuite {
     }.max
     assert(maxDiff < 1e-9, s"max |serve - mllib| = $maxDiff")
   }
+
+  test("transpiled zoo serves (lr, dt, gbt) match their OWN model's predictions") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    // extraction fidelity against the SAME memoized model the serve
+    // queries read their constants from, compared IN-FRAME: the
+    // (l_orderkey, l_linenumber) pair is NOT unique in the synthetic
+    // corpus, so an id join would cross-match rows and poison the
+    // agreement (it did — 0.857 from join fan-out, 1.0 in-frame).
+    val train = Tables.lineitem(spark, sf).select(
+      col("l_quantity"), (col("l_extendedprice") / 1000.0).as("price_k"),
+      col("l_discount"), col("l_tax"))
+    val feats = Seq(col("l_quantity"), col("price_k"), col("l_discount"), col("l_tax"))
+    val av = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "price_k", "l_discount", "l_tax"))
+      .setOutputCol("__fv").transform(train).cache()
+
+    def agreement(model: String, served: org.apache.spark.sql.Column): Double = {
+      val m = LearnedQueries.fittedZooCls(spark, sf, model).mlModel
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      m.transform(av)
+        .select((col("__model_pred").cast("long") === served).cast("double").as("ok"))
+        .agg(avg(col("ok"))).head().getDouble(0)
+    }
+    val (coefs, b) = LearnedQueries.fittedLr(spark, sf)
+    val dtRoot = LearnedQueries.fittedDtRoot(spark, sf)
+    val (gbtRoots, gbtWs) = LearnedQueries.fittedGbt(spark, sf)
+    // raw-margin comparisons can flip on FP noise at the decision
+    // boundary (BLAS dot vs sequential column fold); a structural
+    // extraction bug (slot order, missing intercept, wrong tree
+    // orientation) would land far below these floors
+    val aLr = agreement("lr", LearnedQueries.lrClassExpr(feats, coefs, b))
+    assert(aLr >= 0.999, s"lr serve agreement $aLr")
+    val aDt = agreement("dt",
+      graft.models.TreeServe.column(dtRoot, feats).cast("long"))
+    assert(aDt >= 0.999, s"dt serve agreement $aDt")
+    val aGbt = agreement("gbt", LearnedQueries.gbtClassExpr(feats, gbtRoots, gbtWs))
+    assert(aGbt >= 0.999, s"gbt serve agreement $aGbt")
+    av.unpersist()
+  }
 }
