@@ -129,7 +129,12 @@ object RelationalQueries {
             struct(-col("o_totalprice"), col("o_orderkey"))).as("s"))
         .select(col("o_custkey"), col("s.best_order"), col("s.best_price"))),
 
-    // W1: row_number over an explicit total order.
+    // W1: row_number over an explicit total order. NOTE this is the
+    // literal W1 operator demo — an UNPARTITIONED window, i.e. a single
+    // reducer, fine at demo scale and wrong at 100 TB. For a global
+    // rank over a big table use the range-sharded form instead
+    // (TextQueries.corpusShuffle / t_corpus_shuffle): same permutation,
+    // reducer parallelism = shard count, no single-reducer stage.
     "w1_row_number" -> ((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"),
