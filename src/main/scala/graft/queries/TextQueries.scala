@@ -581,6 +581,49 @@ object TextQueries {
       res
     }),
 
+    // Bloom-filter decontamination — the shape for when even the
+    // benchmark's distinct shingle HASHES are too many to broadcast
+    // exactly (a full eval-suite sweep at 100 TB): the benchmark set
+    // aggregates into a bloom filter (16 bits/item ≈ 5e-4 fpp), whose
+    // bytes embed as a BINARY LITERAL, so the probe over the training
+    // corpus is a pure fused projection — no join, no shuffle, no
+    // broadcast exchange (asserted). Bloom merge is bitwise-OR, so the
+    // built filter (and every count below) is partition-layout
+    // independent. False positives only — the safe direction for
+    // decontamination — and the exact broadcast join rides along here
+    // to COUNT them: the row is (doc, bloom_hits, exact_hits), with a
+    // fail-loud no-false-negative check. Rows-only (the bloom's
+    // internal hashing is Spark-specific); specs pin fpp + determinism.
+    "t_decontaminate_bloom" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+        .select(col("doc_id"), charHash(col("shingle")).as("h"))
+      val bench = sh.filter(col("doc_id") < 50).select("h").distinct()
+      val n = math.max(1L, bench.count())
+      val bloom = graft.plans.BloomExprs.buildBloom(bench, col("h"), n, n * 16L)
+      val train = sh.filter(col("doc_id") >= 50)
+      // the production half: scan → projection → doc-keyed agg, proven
+      // join-free (the exact side below exists only to measure fpp)
+      val probeOnly = train.select(col("doc_id"),
+        graft.plans.BloomExprs.mightContain(bloom, col("h")).as("hit"))
+      require(!probeOnly.queryExecution.sparkPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        "bloom probe must be join-free:\n" + probeOnly.queryExecution.sparkPlan)
+      val perDoc = train
+        .join(broadcast(bench.withColumn("exact", lit(1L))), Seq("h"), "left")
+        .select(col("doc_id"),
+          graft.plans.BloomExprs.mightContain(bloom, col("h")).cast("long").as("b"),
+          coalesce(col("exact"), lit(0L)).as("e"))
+        .groupBy("doc_id")
+        .agg(sum("b").as("bloom_hits"), sum("e").as("exact_hits"))
+        .filter(col("bloom_hits") > 0)
+      val fneg = perDoc.filter(col("exact_hits") > col("bloom_hits")).count()
+      require(fneg == 0L,
+        s"bloom decontamination produced $fneg false-negative docs — impossible by construction")
+      perDoc
+    }),
+
     // N-gram novelty / boilerplate score (a CCNet-style LM proxy in
     // exact arithmetic): a document's signal is the mean corpus-wide
     // OCCURRENCE count of its 3-gram shingle hashes (not true document
