@@ -201,6 +201,31 @@ object IvfQueries {
         case (c, j) => Fns.dotProduct(col("embedding"), typedLit(c)).as(s"pc${j + 1}")
       }: _*)
     }),
+    // Vector mean-pool aggregate — per-cell centroids in EXACT
+    // arithmetic (the operator behind IVF centroid refresh / SemDeDup
+    // cluster centers / chunk→doc embedding pooling): each float
+    // component scales to integer micros (float24 × 1e6 fits a double
+    // mantissa EXACTLY, and no dyadic float lands on a .5 midpoint, so
+    // the round is deterministic on both engines), sums as BIGINT, and
+    // the mean is two IEEE divisions of exact integers — bitwise
+    // reproducible under any partitioning. Scale shape: posexplode →
+    // map-side-combined (cell, dim) partial sums → |cells|×|dims|
+    // result rows; the raw vectors never shuffle.
+    "t_cell_centroids" -> ((s, d) => {
+      val e = cachedEmb(s, d)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        array_min(array((0 until K).map { k =>
+          struct(distSq(col("embedding"), k).as("dist"), lit(k).as("cell"))
+        }: _*)).getField("cell").as("cell"))
+      assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * 1000000.0).cast("long")).as("sum_micros"))
+        .select(col("cell"), col("dim"), col("n"), col("sum_micros"),
+          (col("sum_micros").cast("double") / 1000000.0 / col("n")).as("mean"))
+    }),
+
     // Cell assignment (the "fit"/partitioning half): argmin centroid.
     "t_ann_ivf_assign" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -412,6 +437,20 @@ object IvfQueries {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    "t_cell_centroids" ->
+      s"""WITH cells AS (${cellsUnion("embeddings", "vec_id")}),
+         |inv AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM cells) WHERE rn = 1),
+         |comp AS (
+         |  SELECT i.cell, CAST(t.i - 1 AS INTEGER) AS dim, e.embedding[t.i]::DOUBLE AS v
+         |  FROM embeddings e JOIN inv i ON i.vec_id = e.vec_id,
+         |       generate_series(1, $Dim) t(i))
+         |SELECT cell, dim, count(*) AS n,
+         |  CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micros,
+         |  sum(CAST(round(v * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0 / count(*) AS mean
+         |FROM comp GROUP BY cell, dim""".stripMargin,
     "t_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
          |cells AS (${cellsUnion("e", "vec_id")}),
