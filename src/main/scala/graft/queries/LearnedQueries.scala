@@ -127,6 +127,7 @@ object LearnedQueries {
   private val regSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
+  private val mcSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val lrSlot = new DynOracleSlot[(Array[Double], Double)]
   private val gbtSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
@@ -190,6 +191,21 @@ object LearnedQueries {
       graft.models.TreeServe.column(r, feats) * lit(w)
     }.reduce(_ + _)
     when(raw > 0.0, 1L).otherwise(0L)
+  }
+
+  private def fittedMc(s: SparkSession, d: String) = {
+    val t = memoized(s, d, "multiclass") {
+      val df = Tables.orders(s, d).select(
+        col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod"),
+        when(col("o_orderstatus") === "F", 0.0)
+          .when(col("o_orderstatus") === "O", 1.0).otherwise(2.0).as("target"))
+      val cfg = InferDbPipeline.Config(
+        features = Seq("o_totalprice", "cust_mod"),
+        target = "target", task = Task.MultiClass, maxBins = 6)
+      InferDbPipeline.fitWithModel(df, cfg)
+    }
+    mcSlot.put(d, t._1)
+    t
   }
 
   /** Fitted-LR coefficients from a numeric-feature zoo fit; recorded
@@ -426,18 +442,24 @@ object LearnedQueries {
           round(col("prediction"), 6).as("prediction"))
     }),
 
+    // The multiclass index's SERVE half, hash-checked: probe the MODE-
+    // aggregated kv over orders with the oracle generated from the
+    // fitted literals — together with x_learned_e2e (binary avg) and
+    // x_learned_regression_serve this covers all three aggregation
+    // semantics the index can memorize.
+    "x_learned_multiclass_serve" -> ((s, d) => {
+      val (f, _) = fittedMc(s, d)
+      f.transform(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod")),
+          "prediction")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // Multi-class lifecycle e2e (A2 mode aggregation in the index).
     "x_learned_multiclass" -> ((s, d) => {
-      val (f, withPred) = memoized(s, d, "multiclass") {
-        val df = Tables.orders(s, d).select(
-          col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod"),
-          when(col("o_orderstatus") === "F", 0.0)
-            .when(col("o_orderstatus") === "O", 1.0).otherwise(2.0).as("target"))
-        val cfg = InferDbPipeline.Config(
-          features = Seq("o_totalprice", "cust_mod"),
-          target = "target", task = Task.MultiClass, maxBins = 6)
-        InferDbPipeline.fitWithModel(df, cfg)
-      }
+      val (f, withPred) = fittedMc(s, d)
       val scored = f.transform(withPred, "index_pred")
       val agree = scored.agg(
         avg((col("index_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
@@ -635,6 +657,10 @@ object LearnedQueries {
         f, "lineitem", Seq("l_orderkey", "l_linenumber"),
         Map.empty, "prediction"))
       .map("x_learned_regression_serve" -> _)
+    val mcServe = mcSlot.only.flatMap(f => SqlGen.fittedProbeSql(
+        f, "orders", Seq("o_orderkey", "o_custkey"),
+        Map("cust_mod" -> "(CAST(o_custkey % 50 AS DOUBLE))"), "prediction"))
+      .map("x_learned_multiclass_serve" -> _)
     val mlpServe = mlpSlot.only.map(m => "x_mlp_serve" -> SqlGen.mlpClassSql(
       m, numericFeatSql, Seq("l_orderkey", "l_linenumber"), "lineitem", "pred_class"))
     val dtServe = dtSlot.only
@@ -664,7 +690,7 @@ object LearnedQueries {
              |  (CASE WHEN $raw > 0.0 THEN 1 ELSE 0 END)::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
-    staticOracle ++ e2e ++ regServe ++ mlpServe ++ dtServe ++ lrServe ++ gbtServe
+    staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++ lrServe ++ gbtServe
   }
 
   private val staticOracle: Map[String, String] = Map(
