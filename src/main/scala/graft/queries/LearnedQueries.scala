@@ -76,6 +76,20 @@ object LearnedQueries {
         model = model, features = numericFeats, categorical = Set.empty))
     }
 
+  /** One regression zoo fit per (session, dir, model) — the log-target
+    * lineitem lifecycle; keeps the MLlib model for the transpiled
+    * regression serves. */
+  private[queries] def fittedZooReg(s: SparkSession, d: String, model: String) =
+    memoized(s, d, s"${model}_reg") {
+      val df = Tables.lineitem(s, d).select(
+        col("l_quantity"), col("l_discount"), col("l_tax"),
+        log(col("l_extendedprice") + 1.0).as("target"),
+        col("l_extendedprice"))
+      InferDbPipeline.fitLifecycle(df, InferDbPipeline.Config(
+        features = Seq("l_quantity", "l_discount", "l_tax"),
+        target = "target", task = Task.Regression, maxBins = 8, model = model))
+    }
+
   /** Shared classification+regression lifecycle row for the model-zoo
     * members (dt, knn): cls F1 (model vs index) + reg RMSLE in the
     * price domain (model vs index), both fits memoized per model. */
@@ -94,15 +108,8 @@ object LearnedQueries {
          .select("f1").head().getDouble(0))
     }
     val (regModelR, regIndexR) = {
-      val (f, withPred) = memoized(s, d, s"${model}_reg") {
-        val df = Tables.lineitem(s, d).select(
-          col("l_quantity"), col("l_discount"), col("l_tax"),
-          log(col("l_extendedprice") + 1.0).as("target"),
-          col("l_extendedprice"))
-        InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
-          features = Seq("l_quantity", "l_discount", "l_tax"),
-          target = "target", task = Task.Regression, maxBins = 8, model = model))
-      }
+      val t = fittedZooReg(s, d, model)
+      val (f, withPred) = (t.fitted, t.withPred)
       val scored = memoized(s, d, s"${model}_reg_scored") {
         f.transform(withPred, "index_pred")
           .withColumn("model_price", exp(col("__model_pred")) - 1.0)
@@ -128,6 +135,9 @@ object LearnedQueries {
   private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val mcSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val dtRegSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
+  private val gbtRegSlot =
+    new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
   private val lrSlot = new DynOracleSlot[(Array[Double], Double)]
   private val gbtSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
@@ -181,16 +191,43 @@ object LearnedQueries {
     when(raw > 0.0, 1L).otherwise(0L)
   }
 
-  /** GBT class from fitted trees: margin Σ wᵢ·treeᵢ(x) > 0 — MLlib
-    * GBTClassifier's own decision rule over TreeServe CASE chains. */
+  /** GBT raw margin / regression prediction Σ wᵢ·treeᵢ(x) over
+    * TreeServe CASE chains — constants-only arithmetic per row, so the
+    * value is bitwise identical to the generated SQL. */
+  private[queries] def gbtRawExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      roots: Seq[org.apache.spark.ml.tree.Node],
+      ws: Array[Double]): org.apache.spark.sql.Column =
+    roots.zip(ws).map { case (r, w) =>
+      graft.models.TreeServe.column(r, feats) * lit(w)
+    }.reduce(_ + _)
+
+  /** GBT class from fitted trees: margin > 0 — MLlib GBTClassifier's
+    * own decision rule. */
   private[queries] def gbtClassExpr(
       feats: Seq[org.apache.spark.sql.Column],
       roots: Seq[org.apache.spark.ml.tree.Node],
-      ws: Array[Double]): org.apache.spark.sql.Column = {
-    val raw = roots.zip(ws).map { case (r, w) =>
-      graft.models.TreeServe.column(r, feats) * lit(w)
-    }.reduce(_ + _)
-    when(raw > 0.0, 1L).otherwise(0L)
+      ws: Array[Double]): org.apache.spark.sql.Column =
+    when(gbtRawExpr(feats, roots, ws) > 0.0, 1L).otherwise(0L)
+
+  /** The regression zoo's three raw features; SQL twin is identity. */
+  private val regFeats = Seq("l_quantity", "l_discount", "l_tax")
+  private def regFeatCols = regFeats.map(col)
+
+  private[queries] def fittedDtRegRoot(s: SparkSession, d: String): org.apache.spark.ml.tree.Node = {
+    val root = fittedZooReg(s, d, "dt").mlModel
+      .asInstanceOf[org.apache.spark.ml.regression.DecisionTreeRegressionModel]
+      .rootNode
+    dtRegSlot.put(d, root)
+    root
+  }
+
+  private[queries] def fittedGbtReg(s: SparkSession, d: String): (Seq[org.apache.spark.ml.tree.Node], Array[Double]) = {
+    val m = fittedZooReg(s, d, "gbt").mlModel
+      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+    val tw = (m.trees.map(_.rootNode).toSeq, m.treeWeights)
+    gbtRegSlot.put(d, tw)
+    tw
   }
 
   private def fittedMc(s: SparkSession, d: String) = {
@@ -383,6 +420,26 @@ object LearnedQueries {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         graft.models.TreeServe.column(root, numericFeatCols)
           .cast("long").as("pred_class"))
+    }),
+
+    // REGRESSION tree serve, transpiled: the fitted DecisionTree
+    // regressor's prediction (log-price domain) as one CASE chain —
+    // comparisons + constant leaves only, emitted RAW (no rounding):
+    // both engines select and return the identical literal bits.
+    "x_dt_reg_serve" -> ((s, d) => {
+      val root = fittedDtRegRoot(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.models.TreeServe.column(root, regFeatCols).as("pred_log"))
+    }),
+
+    // REGRESSION GBT serve, transpiled: Σ wᵢ·treeᵢ(x) in the log-price
+    // domain — per row a sum of products of CONSTANTS selected by
+    // comparisons, so even the continuous output is bitwise identical
+    // to the generated SQL (same association, exact-bits literals).
+    "x_gbt_reg_serve" -> ((s, d) => {
+      val (roots, ws) = fittedGbtReg(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        gbtRawExpr(regFeatCols, roots, ws).as("pred_log"))
     }),
 
     // DecisionTree lifecycle (the reference zoo's DT member,
@@ -690,7 +747,27 @@ object LearnedQueries {
              |  (CASE WHEN $raw > 0.0 THEN 1 ELSE 0 END)::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
-    staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++ lrServe ++ gbtServe
+    val dtRegServe = dtRegSlot.only
+      .filter(graft.models.TreeServe.nodeCount(_) <= 4096)
+      .map { root =>
+        "x_dt_reg_serve" ->
+          s"""SELECT l_orderkey, l_linenumber,
+             |  ${graft.models.TreeServe.sql(root, regFeats)} AS pred_log
+             |FROM lineitem""".stripMargin
+      }
+    val gbtRegServe = gbtRegSlot.only
+      .filter { case (roots, _) =>
+        roots.map(graft.models.TreeServe.nodeCount).sum <= 8192 }
+      .map { case (roots, ws) =>
+        val raw = roots.zip(ws).map { case (r, w) =>
+          s"${graft.models.TreeServe.sql(r, regFeats)} * ${SqlGen.dlit(w)}"
+        }.mkString(" + ")
+        "x_gbt_reg_serve" ->
+          s"""SELECT l_orderkey, l_linenumber, $raw AS pred_log
+             |FROM lineitem""".stripMargin
+      }
+    staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
+      lrServe ++ gbtServe ++ dtRegServe ++ gbtRegServe
   }
 
   private val staticOracle: Map[String, String] = Map(
