@@ -135,6 +135,7 @@ object LearnedQueries {
   private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val mcSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val knnSlot = new DynOracleSlot[(Seq[(Seq[Double], Double)], Int)]
   private val dtRegSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val gbtRegSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
@@ -213,6 +214,16 @@ object LearnedQueries {
   /** The regression zoo's three raw features; SQL twin is identity. */
   private val regFeats = Seq("l_quantity", "l_discount", "l_tax")
   private def regFeatCols = regFeats.map(col)
+
+  /** Fitted-kNN reference sample from the zoo fit; recorded for the
+    * transpiled-serve oracle. */
+  private[queries] def fittedKnn(s: SparkSession, d: String): (Seq[(Seq[Double], Double)], Int) = {
+    val m = fittedZooCls(s, d, "knn").mlModel
+      .asInstanceOf[graft.models.KnnModel]
+    val sk = (m.sample, m.k)
+    knnSlot.put(d, sk)
+    sk
+  }
 
   private[queries] def fittedDtRegRoot(s: SparkSession, d: String): org.apache.spark.ml.tree.Node = {
     val root = fittedZooReg(s, d, "dt").mlModel
@@ -419,6 +430,29 @@ object LearnedQueries {
       val root = fittedDtRoot(s, d)
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         graft.models.TreeServe.column(root, numericFeatCols)
+          .cast("long").as("pred_class"))
+    }),
+
+    // The sample-kNN serve half, transpiled — the LAST zoo member, so
+    // every model family (LR, DT, GBT, MLP, kNN) now has a
+    // hash-checked serve: the bounded deterministic sample embeds in
+    // the plan (KnnRef, one codegen'd primitive top-k scan per row)
+    // and the oracle replays the same vote over the same sample as a
+    // list_sort + slice + majority count. Integer class output; the
+    // distance fold order matches the kernel exactly.
+    "x_knn_serve" -> ((s, d) => {
+      val (sample, k) = fittedKnn(s, d)
+      val ref = new graft.plans.KnnRef(
+        sample.map(_._1.toArray).toArray, sample.map(_._2).toArray, k,
+        regression = false)
+      // knn_vote requires array<double NOT NULL>; coalescing each
+      // (never-null in this corpus) feature to NaN satisfies the type
+      // while routing a hypothetical null through the kernel's
+      // documented NaN path instead of a null-element crash
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.plans.KnnVote.column(
+            array(numericFeatCols.map(c =>
+              coalesce(c.cast("double"), lit(Double.NaN))): _*), ref)
           .cast("long").as("pred_class"))
     }),
 
@@ -747,6 +781,18 @@ object LearnedQueries {
              |  (CASE WHEN $raw > 0.0 THEN 1 ELSE 0 END)::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
+    val knnServe = knnSlot.only
+      // the majority-count oracle form needs 0/1 labels, odd k (no
+      // vote ties), and a full sample (m == k always) — all true for
+      // this lifecycle; guard so a future re-config degrades to
+      // rows-only instead of a wrong oracle
+      .filter { case (sample, k) =>
+        sample.nonEmpty && sample.size >= k && k % 2 == 1 &&
+          sample.forall(p => p._2 == 0.0 || p._2 == 1.0) && sample.size <= 4096 }
+      .map { case (sample, k) =>
+        "x_knn_serve" -> SqlGen.knnClassSql(sample, k, numericFeatSql,
+          Seq("l_orderkey", "l_linenumber"), "lineitem", "pred_class")
+      }
     val dtRegServe = dtRegSlot.only
       .filter(graft.models.TreeServe.nodeCount(_) <= 4096)
       .map { root =>
@@ -767,7 +813,7 @@ object LearnedQueries {
              |FROM lineitem""".stripMargin
       }
     staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
-      lrServe ++ gbtServe ++ dtRegServe ++ gbtRegServe
+      lrServe ++ gbtServe ++ knnServe ++ dtRegServe ++ gbtRegServe
   }
 
   private val staticOracle: Map[String, String] = Map(

@@ -126,6 +126,38 @@ object SqlGen {
        |FROM z""".stripMargin
   }
 
+  /** Oracle SQL for the FITTED sample-kNN binary class vote
+    * ([[graft.plans.KnnRef]] semantics): per input row, the k nearest
+    * sample points by (squared distance asc, label asc) — `list_sort`
+    * over per-sample structs reproduces the insertion sort's top-k
+    * exactly (the boundary duplicate-skip is multiset-equivalent) —
+    * then a binary majority. Distances mirror the kernel's
+    * left-associated Σ diff² fold with exact-bits literals. Only valid
+    * for 0/1 labels and odd k (no vote ties); callers guard. */
+  def knnClassSql(
+      sample: Seq[(Seq[Double], Double)],
+      k: Int,
+      featSql: Seq[String],
+      idCols: Seq[String],
+      table: String,
+      predName: String): String = {
+    val structs = sample.map { case (f, l) =>
+      val dist = featSql.zip(f).map { case (fx, sv) =>
+        s"($fx - ${dlit(sv)}) * ($fx - ${dlit(sv)})"
+      }.mkString(" + ")
+      s"{'d': $dist, 'l': ${dlit(l)}}"
+    }
+    val ids = idCols.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT $ids,
+       |    list_sort([${structs.mkString(", ")}])[1:$k] AS top
+       |  FROM $table)
+       |SELECT $ids,
+       |  (CASE WHEN len([x FOR x IN top IF x.l = 1.0]) * 2 > $k
+       |        THEN 1 ELSE 0 END)::BIGINT AS $predName
+       |FROM t""".stripMargin
+  }
+
   /** Oracle SQL for the fitted KV-index serve path (`Fitted.transform`
     * + round to 6 decimals): translate raw columns through the FITTED
     * bin specs, probe VALUES-inlined kv/prefix tables, coalesce to the
