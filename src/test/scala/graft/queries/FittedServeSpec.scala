@@ -99,4 +99,32 @@ class FittedServeSpec extends AnyFunSuite {
     assert(aGbt >= 0.999, s"gbt serve agreement $aGbt")
     av.unpersist()
   }
+
+  test("transpiled REGRESSION serves (dt, gbt) match their OWN model's predictions") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val feats = Seq(col("l_quantity"), col("l_discount"), col("l_tax"))
+    val av = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("__fv")
+      .transform(Tables.lineitem(spark, sf)
+        .select(col("l_quantity"), col("l_discount"), col("l_tax")))
+      .cache()
+    def maxDiff(model: String, served: org.apache.spark.sql.Column): Double = {
+      val m = LearnedQueries.fittedZooReg(spark, sf, model).mlModel
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      m.transform(av)
+        .select(abs(col("__model_pred") - served).as("d"))
+        .agg(max(col("d"))).head().getDouble(0)
+    }
+    // a single tree replays the same thresholds and leaves — exact;
+    // the ensemble sum may differ from BLAS ddot by summation order
+    val dtDiff = maxDiff("dt",
+      graft.models.TreeServe.column(
+        LearnedQueries.fittedDtRegRoot(spark, sf), feats))
+    assert(dtDiff == 0.0, s"dt regression serve must be exact, diff $dtDiff")
+    val (roots, ws) = LearnedQueries.fittedGbtReg(spark, sf)
+    val gbtDiff = maxDiff("gbt", LearnedQueries.gbtRawExpr(feats, roots, ws))
+    assert(gbtDiff < 1e-9, s"gbt regression serve diff $gbtDiff")
+    av.unpersist()
+  }
 }
