@@ -136,6 +136,7 @@ object LearnedQueries {
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val mcSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val knnSlot = new DynOracleSlot[(Seq[(Seq[Double], Double)], Int)]
+  private val catSlot = new DynOracleSlot[(Seq[String], Array[Double], Double)]
   private val dtRegSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val gbtRegSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
@@ -214,6 +215,33 @@ object LearnedQueries {
   /** The regression zoo's three raw features; SQL twin is identity. */
   private val regFeats = Seq("l_quantity", "l_discount", "l_tax")
   private def regFeatCols = regFeats.map(col)
+
+  private def fittedCat(s: SparkSession, d: String): InferDbPipeline.Trained =
+    memoized(s, d, "categorical") {
+      val df = Tables.lineitem(s, d).select(
+        col("l_quantity"), col("l_discount"), col("l_returnflag"),
+        // returnflag IS the signal: quantity/discount carry ~none
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("target"))
+      val cfg = InferDbPipeline.Config(
+        features = Seq("l_quantity", "l_discount", "l_returnflag"),
+        categorical = Set("l_returnflag"),
+        target = "target", task = Task.Classification, maxBins = 6)
+      InferDbPipeline.fitLifecycle(df, cfg)
+    }
+
+  /** Fitted one-hot LR serve constants: model input slots are the
+    * numeric features then the fitted l_returnflag dictionary's
+    * indicator slots (fitLifecycle order); recorded for the
+    * transpiled-serve oracle. */
+  private[queries] def fittedCatServe(s: SparkSession, d: String): (Seq[String], Array[Double], Double) = {
+    val t = fittedCat(s, d)
+    val lr = t.mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val cats = t.oneHot("l_returnflag").map(_.toString)
+    val cb = (cats, lr.coefficients.toArray, lr.intercept)
+    catSlot.put(d, cb)
+    cb
+  }
 
   /** Fitted-kNN reference sample from the zoo fit; recorded for the
     * transpiled-serve oracle. */
@@ -352,17 +380,7 @@ object LearnedQueries {
     // over the one-hot slots (0.0 would mean the categorical never made
     // it into the model). Rows-only.
     "x_learned_categorical" -> ((s, d) => {
-      val t = memoized(s, d, "categorical") {
-        val df = Tables.lineitem(s, d).select(
-          col("l_quantity"), col("l_discount"), col("l_returnflag"),
-          // returnflag IS the signal: quantity/discount carry ~none
-          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("target"))
-        val cfg = InferDbPipeline.Config(
-          features = Seq("l_quantity", "l_discount", "l_returnflag"),
-          categorical = Set("l_returnflag"),
-          target = "target", task = Task.Classification, maxBins = 6)
-        InferDbPipeline.fitLifecycle(df, cfg)
-      }
+      val t = fittedCat(s, d)
       val lr = t.mlModel
         .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
       // slots: numeric features first, then the one-hot block (fitOneHot
@@ -431,6 +449,22 @@ object LearnedQueries {
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         graft.models.TreeServe.column(root, numericFeatCols)
           .cast("long").as("pred_class"))
+    }),
+
+    // The fitted COLUMN TRANSFORMER serve, transpiled — the
+    // reference's one-hot SQL template made hash-checkable
+    // (transpiler.py:688-835, template :752-766): model inputs are the
+    // numeric features plus the fitted l_returnflag dictionary's
+    // indicator slots, and the oracle regenerates BOTH the indicator
+    // CASEs and the margin from the same fitted constants. NULL and
+    // unseen categories encode all-zeros on both sides
+    // (handle_unknown="ignore").
+    "x_categorical_serve" -> ((s, d) => {
+      val (cats, coefs, b) = fittedCatServe(s, d)
+      val feats = Seq(col("l_quantity"), col("l_discount")) ++
+        cats.map(c => when(col("l_returnflag") === lit(c), 1.0).otherwise(0.0))
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        lrClassExpr(feats, coefs, b).as("pred_class"))
     }),
 
     // The sample-kNN serve half, transpiled — the LAST zoo member, so
@@ -781,6 +815,15 @@ object LearnedQueries {
              |  (CASE WHEN $raw > 0.0 THEN 1 ELSE 0 END)::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
+    val catServe = catSlot.only.map { case (cats, coefs, b) =>
+      val featSql = Seq("l_quantity", "l_discount") ++
+        cats.map(c => s"(CASE WHEN l_returnflag = ${SqlGen.slit(c)} THEN 1.0 ELSE 0.0 END)")
+      "x_categorical_serve" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           |  (CASE WHEN ${SqlGen.linearExact(featSql, coefs.toSeq, b)} > 0.0
+           |        THEN 1 ELSE 0 END)::BIGINT AS pred_class
+           |FROM lineitem""".stripMargin
+    }
     val knnServe = knnSlot.only
       // the majority-count oracle form needs 0/1 labels, odd k (no
       // vote ties), and a full sample (m == k always) — all true for
@@ -813,7 +856,7 @@ object LearnedQueries {
              |FROM lineitem""".stripMargin
       }
     staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
-      lrServe ++ gbtServe ++ knnServe ++ dtRegServe ++ gbtRegServe
+      lrServe ++ gbtServe ++ catServe ++ knnServe ++ dtRegServe ++ gbtRegServe
   }
 
   private val staticOracle: Map[String, String] = Map(
