@@ -212,6 +212,21 @@ object LearnedQueries {
       ws: Array[Double]): org.apache.spark.sql.Column =
     when(gbtRawExpr(feats, roots, ws) > 0.0, 1L).otherwise(0L)
 
+  /** The COMPILED ensemble margin — same value as [[gbtRawExpr]] bit
+    * for bit (TreeEnsembleSpec pins it), but array-encoded nodes with a
+    * while-loop traversal instead of nested `when` chains: constant
+    * codegen size at any tree count, the serve shape a 500-tree
+    * production ensemble needs. Nullable features coalesce to NaN,
+    * which routes right at every split exactly like the chain's
+    * NULL-condition `otherwise`. */
+  private[queries] def gbtCompiledExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      roots: Seq[org.apache.spark.ml.tree.Node],
+      ws: Array[Double]): org.apache.spark.sql.Column =
+    graft.plans.TreeEnsembleRef.column(
+      array(feats.map(c => coalesce(c.cast("double"), lit(Double.NaN))): _*),
+      graft.plans.TreeEnsembleRef.fromNodes(roots, ws))
+
   /** The regression zoo's three raw features; SQL twin is identity. */
   private val regFeats = Seq("l_quantity", "l_discount", "l_tax")
   private def regFeatCols = regFeats.map(col)
@@ -428,14 +443,17 @@ object LearnedQueries {
     }),
 
     // The TRAINED gradient-boosted ensemble's serve half, transpiled:
-    // raw margin = Σ weight_i · tree_i(x) (each tree a TreeServe CASE
-    // chain), class = margin > 0 — MLlib GBTClassifier's own decision
-    // rule. This also gives the zoo's GBT member a declared query; the
+    // raw margin = Σ weight_i · tree_i(x), class = margin > 0 — MLlib
+    // GBTClassifier's own decision rule. Served by the COMPILED
+    // TreeEnsembleRef (array-encoded nodes, while-loop traversal —
+    // constant codegen size at any tree count); the oracle keeps the
+    // CASE-chain form, and TreeEnsembleSpec pins the two bitwise. The
     // fit is paid once (memoized), the serve is one fused projection.
     "x_gbt_serve" -> ((s, d) => {
       val (roots, ws) = fittedGbt(s, d)
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        gbtClassExpr(numericFeatCols, roots, ws).as("pred_class"))
+        when(gbtCompiledExpr(numericFeatCols, roots, ws) > 0.0, 1L)
+          .otherwise(0L).as("pred_class"))
     }),
 
     // The TRAINED decision tree's serve half, transpiled: the fitted
@@ -504,10 +522,12 @@ object LearnedQueries {
     // domain — per row a sum of products of CONSTANTS selected by
     // comparisons, so even the continuous output is bitwise identical
     // to the generated SQL (same association, exact-bits literals).
+    // Compiled TreeEnsembleRef serve; the CASE-chain oracle and
+    // TreeEnsembleSpec's bitwise pin keep it honest.
     "x_gbt_reg_serve" -> ((s, d) => {
       val (roots, ws) = fittedGbtReg(s, d)
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        gbtRawExpr(regFeatCols, roots, ws).as("pred_log"))
+        gbtCompiledExpr(regFeatCols, roots, ws).as("pred_log"))
     }),
 
     // DecisionTree lifecycle (the reference zoo's DT member,
