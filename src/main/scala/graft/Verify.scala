@@ -44,7 +44,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // a name-filtered (local-iteration) run dumps oracles only for the
+    // queries it actually wrote — a full oracle map over a partial
+    // outDir would reference parquet that doesn't exist
+    val json = SparkEntry.oracleSql.filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // manifest of EVERY declared query, so the checker can flag a query

@@ -42,7 +42,11 @@ object TreeServe {
   def sql(root: Node, featSql: Seq[String]): String = root match {
     case l: LeafNode => s"'${l.prediction}'::DOUBLE"
     case n: InternalNode =>
-      val s = n.split.asInstanceOf[ContinuousSplit]
+      val s = n.split match {
+        case c: ContinuousSplit => c
+        case other => throw new IllegalArgumentException(
+          s"TreeServe supports continuous splits only, got $other")
+      }
       s"(CASE WHEN ${featSql(s.featureIndex)} <= '${s.threshold}'::DOUBLE " +
         s"THEN ${sql(n.leftChild, featSql)} ELSE ${sql(n.rightChild, featSql)} END)"
   }

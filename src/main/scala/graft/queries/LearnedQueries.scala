@@ -143,6 +143,7 @@ object LearnedQueries {
   private val lrSlot = new DynOracleSlot[(Array[Double], Double)]
   private val gbtSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
+  private val softmaxSlot = new DynOracleSlot[(Array[Array[Double]], Array[Double])]
 
   private def fitted(s: SparkSession, d: String) = {
     val t = memoized(s, d, "binary_e2e") {
@@ -181,16 +182,34 @@ object LearnedQueries {
     root
   }
 
+  /** Raw linear margin w·x + b with zero-weight pruning and left-
+    * associated term order — the Column twin of SqlGen.linearExact. */
+  private[queries] def linearRawExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      coefs: Array[Double], b: Double): org.apache.spark.sql.Column =
+    feats.zip(coefs).collect {
+      case (f, w) if w != 0.0 => f * lit(w)
+    }.reduceOption(_ + _).getOrElse(lit(0.0)) + lit(b)
+
   /** Binary-LR class from fitted coefficients: raw margin w·x + b > 0
     * (MLlib's 0.5 probability threshold in raw form); zero-weight
     * pruning and term order mirrored in the generated oracle. */
   private[queries] def lrClassExpr(
       feats: Seq[org.apache.spark.sql.Column],
-      coefs: Array[Double], b: Double): org.apache.spark.sql.Column = {
-    val raw = feats.zip(coefs).collect {
-      case (f, w) if w != 0.0 => f * lit(w)
-    }.reduceOption(_ + _).getOrElse(lit(0.0)) + lit(b)
-    when(raw > 0.0, 1L).otherwise(0L)
+      coefs: Array[Double], b: Double): org.apache.spark.sql.Column =
+    when(linearRawExpr(feats, coefs, b) > 0.0, 1L).otherwise(0L)
+
+  /** Multiclass softmax-LR class from the fitted coefficient MATRIX:
+    * per-class raw margin z_k = w_k·x + b_k, class = FIRST index of the
+    * max margin — softmax is monotone, so the raw argmax IS MLlib's
+    * prediction rule (Vector.argmax returns the first maximum). One
+    * fused projection; the oracle regenerates the same margins from the
+    * same exact-bits literals and takes the same first-index argmax. */
+  private[queries] def softmaxClassExpr(
+      feats: Seq[org.apache.spark.sql.Column],
+      coefs: Array[Array[Double]], bs: Array[Double]): org.apache.spark.sql.Column = {
+    val zs = array(coefs.zip(bs).map { case (w, b) => linearRawExpr(feats, w, b) }: _*)
+    (array_position(zs, array_max(zs)) - 1L).cast("long")
   }
 
   /** GBT raw margin / regression prediction Σ wᵢ·treeᵢ(x) over
@@ -284,7 +303,7 @@ object LearnedQueries {
     tw
   }
 
-  private def fittedMc(s: SparkSession, d: String) = {
+  private def fittedMc(s: SparkSession, d: String): InferDbPipeline.Trained = {
     val t = memoized(s, d, "multiclass") {
       val df = Tables.orders(s, d).select(
         col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod"),
@@ -293,10 +312,32 @@ object LearnedQueries {
       val cfg = InferDbPipeline.Config(
         features = Seq("o_totalprice", "cust_mod"),
         target = "target", task = Task.MultiClass, maxBins = 6)
-      InferDbPipeline.fitWithModel(df, cfg)
+      InferDbPipeline.fitLifecycle(df, cfg)
     }
-    mcSlot.put(d, t._1)
+    mcSlot.put(d, t.fitted)
     t
+  }
+
+  /** The multiclass lifecycle's raw MLlib model (extraction-fidelity
+    * specs compare the transpiled serve against its own transform). */
+  private[queries] def fittedMcModel(s: SparkSession, d: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    fittedMc(s, d).mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** Fitted multiclass softmax-LR coefficient matrix (numClasses ×
+    * numFeatures) + intercepts from the multiclass lifecycle's model;
+    * recorded for the transpiled-serve oracle — the last cell of the
+    * (model × task) transpilation grid (reference per-class CTEs +
+    * RANK argmax, transpiler.py:1633-1694). */
+  private[queries] def fittedSoftmax(s: SparkSession, d: String): (Array[Array[Double]], Array[Double]) = {
+    val m = fittedMc(s, d).mlModel
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    val cm = m.coefficientMatrix
+    val coefs = Array.tabulate(m.numClasses)(k =>
+      Array.tabulate(m.numFeatures)(j => cm(k, j)))
+    val cb = (coefs, m.interceptVector.toArray)
+    softmaxSlot.put(d, cb)
+    cb
   }
 
   /** Fitted-LR coefficients from a numeric-feature zoo fit; recorded
@@ -440,6 +481,22 @@ object LearnedQueries {
       val (coefs, b) = fittedLr(s, d)
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
         lrClassExpr(numericFeatCols, coefs, b).as("pred_class"))
+    }),
+
+    // The TRAINED multiclass softmax-LR's DIRECT-model serve,
+    // transpiled — the last cell of the (model × task) transpilation
+    // grid: per-class raw margins from the fitted coefficient matrix,
+    // first-index argmax (softmax is monotone, so raw argmax = MLlib's
+    // prediction), one fused projection over orders. The oracle
+    // regenerates each margin with identical term order and exact-bits
+    // literals and takes the same list-position argmax (the reference's
+    // per-class CTEs + RANK argmax, transpiler.py:1633-1694).
+    "x_softmax_serve" -> ((s, d) => {
+      val (coefs, bs) = fittedSoftmax(s, d)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        softmaxClassExpr(
+          Seq(col("o_totalprice"), (col("o_custkey") % 50).cast("double")),
+          coefs, bs).as("pred_class"))
     }),
 
     // The TRAINED gradient-boosted ensemble's serve half, transpiled:
@@ -593,7 +650,7 @@ object LearnedQueries {
     // x_learned_regression_serve this covers all three aggregation
     // semantics the index can memorize.
     "x_learned_multiclass_serve" -> ((s, d) => {
-      val (f, _) = fittedMc(s, d)
+      val f = fittedMc(s, d).fitted
       f.transform(
           Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
             col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod")),
@@ -604,7 +661,8 @@ object LearnedQueries {
 
     // Multi-class lifecycle e2e (A2 mode aggregation in the index).
     "x_learned_multiclass" -> ((s, d) => {
-      val (f, withPred) = fittedMc(s, d)
+      val t = fittedMc(s, d)
+      val (f, withPred) = (t.fitted, t.withPred)
       val scored = f.transform(withPred, "index_pred")
       val agree = scored.agg(
         avg((col("index_pred") === col("__model_pred")).cast("double"))).head().getDouble(0)
@@ -816,6 +874,11 @@ object LearnedQueries {
              |  ${graft.models.TreeServe.sql(root, numericFeatSql)}::BIGINT AS pred_class
              |FROM lineitem""".stripMargin
       }
+    val softmaxServe = softmaxSlot.only.map { case (coefs, bs) =>
+      "x_softmax_serve" -> SqlGen.softmaxClassSql(coefs, bs,
+        Seq("o_totalprice", "(CAST(o_custkey % 50 AS DOUBLE))"),
+        Seq("o_orderkey", "o_custkey"), "orders", "pred_class")
+    }
     val lrServe = lrSlot.only.map { case (coefs, b) =>
       "x_lr_serve" ->
         s"""SELECT l_orderkey, l_linenumber,
@@ -876,7 +939,8 @@ object LearnedQueries {
              |FROM lineitem""".stripMargin
       }
     staticOracle ++ e2e ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
-      lrServe ++ gbtServe ++ catServe ++ knnServe ++ dtRegServe ++ gbtRegServe
+      lrServe ++ softmaxServe ++ gbtServe ++ catServe ++ knnServe ++
+      dtRegServe ++ gbtRegServe
   }
 
   private val staticOracle: Map[String, String] = Map(

@@ -126,6 +126,31 @@ object SqlGen {
        |FROM z""".stripMargin
   }
 
+  /** Oracle SQL for a FITTED multiclass softmax-LR class prediction
+    * ([[graft.queries.LearnedQueries.softmaxClassExpr]]): per-class raw
+    * margin z_k = w_k·x + b_k from exact-bits literals with the SAME
+    * term order / zero-weight pruning as the Column builder, then the
+    * same first-index argmax. Comparison-only beyond the dot products
+    * themselves — no exp/softmax in either engine (softmax is monotone,
+    * so the raw argmax IS the class), which removes the 1-ulp
+    * transcendental risk mlpClassSql carries. */
+  def softmaxClassSql(
+      coefs: Array[Array[Double]],
+      intercepts: Array[Double],
+      featSql: Seq[String],
+      idCols: Seq[String],
+      table: String,
+      predName: String): String = {
+    val zs = coefs.zip(intercepts).map { case (w, b) =>
+      linearExact(featSql, w.toSeq, b)
+    }
+    val ids = idCols.mkString(", ")
+    s"""WITH z AS (SELECT $ids, [${zs.mkString(", ")}] AS zs FROM $table)
+       |SELECT $ids,
+       |  (list_position(zs, list_aggregate(zs, 'max')) - 1)::BIGINT AS $predName
+       |FROM z""".stripMargin
+  }
+
   /** Oracle SQL for the FITTED sample-kNN binary class vote
     * ([[graft.plans.KnnRef]] semantics): per input row, the k nearest
     * sample points by (squared distance asc, label asc) — `list_sort`

@@ -127,4 +127,24 @@ class FittedServeSpec extends AnyFunSuite {
     assert(gbtDiff < 1e-9, s"gbt regression serve diff $gbtDiff")
     av.unpersist()
   }
+
+  test("transpiled softmax-LR serve matches the multiclass model's predictions") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val (coefs, bs) = LearnedQueries.fittedSoftmax(spark, sf)
+    assert(coefs.length == 3, s"expected 3 classes, got ${coefs.length}")
+    val base = Tables.orders(spark, sf).select(
+      col("o_totalprice"), (col("o_custkey") % 50).cast("double").as("cust_mod"))
+    val av = new VectorAssembler()
+      .setInputCols(Array("o_totalprice", "cust_mod")).setOutputCol("__fv")
+      .transform(base)
+    val m = LearnedQueries.fittedMcModel(spark, sf)
+    val served = LearnedQueries.softmaxClassExpr(
+      Seq(col("o_totalprice"), col("cust_mod")), coefs, bs)
+    // BLAS gemv margins vs sequential column folds can flip exact
+    // boundary ties; structural extraction bugs land far below this
+    val agree = m.transform(av)
+      .select((col("__model_pred").cast("long") === served).cast("double").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    assert(agree >= 0.999, s"softmax serve agreement $agree")
+  }
 }
