@@ -28,6 +28,16 @@ object Bench {
   private def bestOf(iters: Int)(f: => Long): Double =
     (1 to iters).map(_ => time(f)._1).min
 
+  /** median of `iters` timed runs — the GRADED stage_* rows use this:
+    * they are sub-second, so 5 runs are cheap, and the median survives a
+    * contended driver machine where best-of-2 flapped 5× round-over-
+    * round on UNCHANGED code (VERDICT r7 "What's wrong" #3). Per-query
+    * rows stay best-of-2 for wall-clock budget. */
+  private def medianOf(iters: Int)(f: => Long): Double = {
+    val ts = (1 to iters).map(_ => time(f)._1).sorted
+    ts(ts.length / 2)
+  }
+
   /** Evaluate EVERY column — see [[graft.core.ForceEval]]. */
   private def evalAll(df: DataFrame): Long = graft.core.ForceEval.checksum(df)._1
 
@@ -36,6 +46,11 @@ object Bench {
     // Contended-machine escape hatch: re-shoot with ITERS=3+ without a
     // code change (round-4 noise protocol; best-of-2 is the default).
     val iters = sys.env.get("SPARK_GRAFT_BENCH_ITERS").map(_.toInt).getOrElse(2)
+    // Graded stage rows repeat more (median-of-5 by default): sub-second
+    // each, so the extra runs cost ~seconds total and the headline stops
+    // flapping with driver-machine contention.
+    val stageIters =
+      sys.env.get("SPARK_GRAFT_BENCH_STAGE_ITERS").map(_.toInt).getOrElse(5)
     val spark = Sessions.local("graft-bench", defaultCpus = "32")
     import spark.implicits._
 
@@ -62,9 +77,9 @@ object Bench {
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pred"))
     val kv = KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification)
 
-    val featurize = bestOf(iters)(evalAll(featurized(li)))
-    val translate = bestOf(iters)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
-    val score     = bestOf(iters)(evalAll(kv.probe(li, keyCol, "prediction")))
+    val featurize = medianOf(stageIters)(evalAll(featurized(li)))
+    val translate = medianOf(stageIters)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
+    val score     = medianOf(stageIters)(evalAll(kv.probe(li, keyCol, "prediction")))
     // query-integration shape: featurize + translate + probe + predicate
     // + aggregate, one fused plan end to end (also the ladder body).
     def e2e(sel: Double): Long =
@@ -77,7 +92,7 @@ object Bench {
     // the 0.3 point doubles as the headline stage_end_to_end — timing
     // the identical fused plan twice bought nothing
     val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
-      sel -> bestOf(iters)(e2e(sel))
+      sel -> medianOf(stageIters)(e2e(sel))
     }
     val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
 

@@ -75,7 +75,19 @@ object InferDbPipeline {
 
     /** Rows in the kv relation (the "index size" driver). */
     def indexEntries: Long = kv.kv.count()
+
+    /** Persist every serve-time artifact (kv + prefix relations, bin
+      * specs, selection, fallbacks) to `dir` — the reference's joblib
+      * dump of the fitted pipeline/trie (transpiler.py:3188-3194),
+      * relational here. [[InferDbPipeline.load]] round-trips it. */
+    def save(dir: String): Unit = core.Persist.save(this, dir)
   }
+
+  /** Reload a [[Fitted]] saved by [[Fitted.save]]; the reloaded index
+    * probes bit-identically to the in-memory one (PersistSpec +
+    * x_persist_serve pin this). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Fitted =
+    core.Persist.load(spark, dir)
 
   /** Fit the index from a training DataFrame that already carries the
     * model's predictions in `predCol` (transpiler.py:573 semantics:

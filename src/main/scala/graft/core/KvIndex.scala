@@ -130,6 +130,68 @@ object LocalScorer {
   }
 }
 
+/** Mergeable sufficient statistics for INCREMENTAL index maintenance —
+  * the reference's retrain-vs-reuse story (its trie is rebuilt from
+  * scratch per retrain; here the aggregates are decomposable, so new
+  * data merges in without rescanning the base corpus):
+  *
+  *  - mean tasks (regression/binary): per-key (sum, cnt) — merged by
+  *    addition, value = sum/cnt. Identical to avg() over base ∪ delta
+  *    because both are one exact merge-tree away from the same total.
+  *  - multi-class (mode): per-(key, pred) cnt — merged by addition,
+  *    value = the same pinned-tie argmax [[Aggregates.mode]] computes.
+  *
+  * append(delta) ≡ rebuild(base ∪ delta) by associativity/commutativity
+  * of the merged sums; `x_index_append`'s oracle IS the rebuild, so the
+  * equivalence is hash-checked end to end. At 100 TB this is the
+  * difference between an O(delta) daily ingest and an O(corpus) rescan:
+  * the state is key-space-bounded (small by construction), the delta
+  * pass is one partial aggregate.
+  */
+final case class KvIndexState(task: Task, keyLen: Int, stats: DataFrame) {
+
+  /** Merge new (key, pred) rows into the state: one partial aggregate
+    * over the delta, one key-keyed merge — the base data never rescans. */
+  def append(keyed: DataFrame): KvIndexState =
+    copy(stats = KvIndexState.merge(
+      stats.unionByName(KvIndexState.partial(keyed, task)), task))
+
+  /** Finalize into a servable [[KvModel]] (prefix tables + global
+    * fallback derive from the kv exactly like a fresh build). */
+  def toModel(balanceRatio: Option[Double] = None): KvModel = {
+    val kv = task match {
+      case Task.MultiClass =>
+        stats.groupBy("key")
+          .agg(min_by(col("pred"), struct(-col("cnt"), col("pred"))).as("value"))
+      case _ =>
+        stats.select(col("key"), (col("sum") / col("cnt")).as("value"))
+    }
+    KvIndexBuilder.fromKv(kv, keyLen, task, balanceRatio)
+  }
+}
+
+object KvIndexState {
+  /** Build the initial state from (key, pred) rows. */
+  def build(keyed: DataFrame, keyLen: Int, task: Task): KvIndexState =
+    KvIndexState(task, keyLen, partial(keyed, task))
+
+  private def partial(keyed: DataFrame, task: Task): DataFrame = task match {
+    case Task.MultiClass =>
+      keyed.groupBy(col("key"), col("pred").cast("double").as("pred"))
+        .agg(count(lit(1)).as("cnt"))
+    case _ =>
+      keyed.groupBy("key")
+        .agg(sum(col("pred").cast("double")).as("sum"), count(lit(1)).as("cnt"))
+  }
+
+  private def merge(stats: DataFrame, task: Task): DataFrame = task match {
+    case Task.MultiClass =>
+      stats.groupBy("key", "pred").agg(sum("cnt").as("cnt"))
+    case _ =>
+      stats.groupBy("key").agg(sum("sum").as("sum"), sum("cnt").as("cnt"))
+  }
+}
+
 object KvIndexBuilder {
   /** Build the KV index from an encoded training DataFrame.
     *
@@ -170,6 +232,18 @@ object KvIndexBuilder {
       case _ =>
         keyed.groupBy("key").agg(avg("pred").as("value"))
     }
+    fromKv(kvRaw, keyLen, task, balanceRatio)
+  }
+
+  /** Finalize a (key, value) kv relation into a servable model:
+    * balance reweight, then the prefix fallback tables and global
+    * aggregate — shared by the fresh build and [[KvIndexState.toModel]]. */
+  private[core] def fromKv(
+      kvRaw: DataFrame,
+      keyLen: Int,
+      task: Task,
+      balanceRatio: Option[Double]
+  ): KvModel = {
     val kv = balanceRatio match {
       case Some(r) => kvRaw.withColumn("value", least(col("value") * r, lit(1.0)))
       case None    => kvRaw

@@ -1,6 +1,6 @@
 package graft.models
 
-import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * `<=` against exact-bits threshold literals and constant leaves —
   * no FP arithmetic to diverge between engines.
   *
-  * MLlib continuous-split semantics (ml.tree.Node.predictImpl): go
-  * LEFT iff feature(idx) <= threshold. Only continuous splits are
-  * supported — the lifecycles here feed numeric features only;
-  * categorical splits fail loudly.
+  * MLlib split semantics (ml.tree.Node.predictImpl): a continuous
+  * split goes LEFT iff feature(idx) <= threshold; a categorical
+  * (nominal) split goes LEFT iff feature(idx) ∈ leftCategories. On
+  * both engines a NULL/NaN feature fails the condition and routes
+  * RIGHT (Spark `when` on a NULL condition takes `otherwise`; SQL
+  * `NULL IN (...)` is NULL → ELSE), matching the compiled kernel's
+  * coalesce-to-NaN path.
   */
 object TreeServe {
 
@@ -26,28 +29,36 @@ object TreeServe {
   def column(root: Node, features: Seq[Column]): Column = root match {
     case l: LeafNode => lit(l.prediction)
     case n: InternalNode =>
-      val s = n.split match {
-        case c: ContinuousSplit => c
+      val cond = n.split match {
+        case c: ContinuousSplit =>
+          features(c.featureIndex) <= lit(c.threshold)
+        case c: CategoricalSplit =>
+          features(c.featureIndex)
+            .isin(c.leftCategories.sorted.map(v => v: Any): _*)
         case other => throw new IllegalArgumentException(
-          s"TreeServe supports continuous splits only, got $other")
+          s"TreeServe: unsupported split type $other")
       }
-      when(features(s.featureIndex) <= lit(s.threshold),
-        column(n.leftChild, features))
+      when(cond, column(n.leftChild, features))
         .otherwise(column(n.rightChild, features))
   }
 
   /** DuckDB SQL for the same tree over feature SQL expressions —
-    * thresholds/leaves embedded as exact-bits '…'::DOUBLE literals
-    * (bare decimals detour through DECIMAL and can mis-round 1 ulp). */
+    * thresholds/leaves/categories embedded as exact-bits '…'::DOUBLE
+    * literals (bare decimals detour through DECIMAL and can mis-round
+    * 1 ulp). */
   def sql(root: Node, featSql: Seq[String]): String = root match {
     case l: LeafNode => s"'${l.prediction}'::DOUBLE"
     case n: InternalNode =>
-      val s = n.split match {
-        case c: ContinuousSplit => c
+      val cond = n.split match {
+        case c: ContinuousSplit =>
+          s"${featSql(c.featureIndex)} <= '${c.threshold}'::DOUBLE"
+        case c: CategoricalSplit =>
+          val cs = c.leftCategories.sorted.map(v => s"'$v'::DOUBLE").mkString(", ")
+          s"${featSql(c.featureIndex)} IN ($cs)"
         case other => throw new IllegalArgumentException(
-          s"TreeServe supports continuous splits only, got $other")
+          s"TreeServe: unsupported split type $other")
       }
-      s"(CASE WHEN ${featSql(s.featureIndex)} <= '${s.threshold}'::DOUBLE " +
+      s"(CASE WHEN $cond " +
         s"THEN ${sql(n.leftChild, featSql)} ELSE ${sql(n.rightChild, featSql)} END)"
   }
 

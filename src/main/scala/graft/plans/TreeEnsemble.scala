@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+import org.apache.spark.ml.tree.{CategoricalSplit, ContinuousSplit, InternalNode, LeafNode, Node}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -31,13 +31,19 @@ import org.apache.spark.sql.types._
   */
 final class TreeEnsembleRef(
     val feat: Array[Int],      // per node: feature slot, or -1 for leaf
-    val thresh: Array[Double], // per node: split threshold (internal only)
+    val thresh: Array[Double], // per node: split threshold (continuous internal only)
     val left: Array[Int],
     val right: Array[Int],
     val value: Array[Double],  // per node: leaf prediction (leaf only)
     val roots: Array[Int],     // root node index per tree
-    val weights: Array[Double]) extends Serializable {
+    val weights: Array[Double],
+    // per node: SORTED left-branch category values for a nominal split,
+    // or null for continuous/leaf nodes — membership via binary search
+    // (Double.compare order), the array/loop form of MLlib's
+    // CategoricalSplit.shouldGoLeft set lookup
+    val cats: Array[Array[Double]]) extends Serializable {
   require(roots.length == weights.length && roots.nonEmpty)
+  require(cats.length == feat.length)
   private val dim = if (feat.isEmpty) 0 else feat.max + 1
 
   def score(x: ArrayData): Double = {
@@ -50,7 +56,11 @@ final class TreeEnsembleRef(
       var cur = roots(t)
       var f = feat(cur)
       while (f >= 0) {
-        cur = if (x.getDouble(f) <= thresh(cur)) left(cur) else right(cur)
+        val v = x.getDouble(f)
+        val goLeft =
+          if (cats(cur) != null) java.util.Arrays.binarySearch(cats(cur), v) >= 0
+          else v <= thresh(cur)
+        cur = if (goLeft) left(cur) else right(cur)
         f = feat(cur)
       }
       sum += value(cur) * weights(t)
@@ -61,9 +71,9 @@ final class TreeEnsembleRef(
 }
 
 object TreeEnsembleRef {
-  /** Flatten fitted MLlib tree roots (continuous splits only — the
-    * numeric-feature lifecycles; categorical splits fail loudly) into
-    * the array encoding, preserving tree order for the weighted sum. */
+  /** Flatten fitted MLlib tree roots (continuous AND nominal splits —
+    * a nominal node stores its sorted left-category array) into the
+    * array encoding, preserving tree order for the weighted sum. */
   def fromNodes(rootNodes: Seq[Node], ws: Array[Double]): TreeEnsembleRef = {
     require(rootNodes.length == ws.length,
       s"${rootNodes.length} trees vs ${ws.length} weights")
@@ -72,19 +82,24 @@ object TreeEnsembleRef {
     val left = scala.collection.mutable.ArrayBuffer.empty[Int]
     val right = scala.collection.mutable.ArrayBuffer.empty[Int]
     val value = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val cats = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     def add(n: Node): Int = n match {
       case l: LeafNode =>
         val i = feat.length
         feat += -1; thresh += 0.0; left += -1; right += -1; value += l.prediction
+        cats += null
         i
       case in: InternalNode =>
-        val s = in.split match {
-          case c: ContinuousSplit => c
-          case other => throw new IllegalArgumentException(
-            s"TreeEnsembleRef supports continuous splits only, got $other")
-        }
         val i = feat.length
-        feat += s.featureIndex; thresh += s.threshold; left += -1; right += -1; value += 0.0
+        in.split match {
+          case c: ContinuousSplit =>
+            feat += c.featureIndex; thresh += c.threshold; cats += null
+          case c: CategoricalSplit =>
+            feat += c.featureIndex; thresh += 0.0; cats += c.leftCategories.sorted
+          case other => throw new IllegalArgumentException(
+            s"TreeEnsembleRef: unsupported split type $other")
+        }
+        left += -1; right += -1; value += 0.0
         val li = add(in.leftChild)
         val ri = add(in.rightChild)
         left(i) = li; right(i) = ri
@@ -92,7 +107,7 @@ object TreeEnsembleRef {
     }
     val roots = rootNodes.map(add).toArray
     new TreeEnsembleRef(feat.toArray, thresh.toArray, left.toArray,
-      right.toArray, value.toArray, roots, ws.clone())
+      right.toArray, value.toArray, roots, ws.clone(), cats.toArray)
   }
 
   /** features array<double NOT NULL> -> Σ weightᵢ·treeᵢ(features).

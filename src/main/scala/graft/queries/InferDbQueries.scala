@@ -98,6 +98,28 @@ object InferDbQueries {
           round(col("prediction"), 6).as("prediction"))
     }),
 
+    // Incremental index maintenance (VERDICT r7 stretch #6): the train
+    // rows arrive as a BASE batch plus a ~25% DELTA batch; the index is
+    // built from base sufficient statistics and the delta is APPENDED
+    // (one partial aggregate + key-keyed merge — the base never
+    // rescans), then served. The oracle rebuilds the kv over base ∪
+    // delta from scratch, so a green hash IS the append ≡ rebuild
+    // proof. The mergeable-stats shape is what turns a daily 100 TB
+    // ingest from an O(corpus) retrain into an O(delta) merge.
+    "x_index_append" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keyed = li.filter(trainPred)
+        .select(col("l_orderkey"), keyCol.as("key"), targetCol.as("pred"))
+      val base  = keyed.filter(col("l_orderkey") % 4 =!= 0).select("key", "pred")
+      val delta = keyed.filter(col("l_orderkey") % 4 === 0).select("key", "pred")
+      val model = KvIndexState.build(base, keyLen = 3, Task.Classification)
+        .append(delta)
+        .toModel()
+      model.probe(li, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // A9 — the precomputed prefix-aggregate tables themselves.
     "a9_prefix_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -338,6 +360,23 @@ object InferDbQueries {
 
   val oracle: Map[String, String] = Map(
     "x29_inferdb_probe" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber,
+         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+         |FROM probe p
+         |LEFT JOIN kv ON p.key = kv.key
+         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |CROSS JOIN g""".stripMargin,
+    // append ≡ rebuild: the oracle is the FROM-SCRATCH rebuild over
+    // base ∪ delta (= all train rows), identical to x29's index.
+    "x_index_append" ->
       s"""WITH kv AS (
          |  SELECT $keySql AS key, avg($targetSql) AS value
          |  FROM lineitem WHERE $trainPredSql GROUP BY 1),

@@ -69,6 +69,41 @@ class TreeEnsembleSpec extends AnyFunSuite {
     }
   }
 
+  test("nominal-split tree: compiled kernel is bitwise equal to the when-chain") {
+    val root = LearnedQueries.fittedDtCatRoot(spark, sf)
+    val feats = Seq(LearnedQueries.rfCodeCol, col("l_quantity").cast("double"))
+    val both = Tables.lineitem(spark, sf).select(
+      graft.models.TreeServe.column(root, feats).as("chain"),
+      LearnedQueries.gbtCompiledExpr(feats, Seq(root), Array(1.0)).as("compiled"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+        s"chain ${r.getDouble(0)} != compiled ${r.getDouble(1)}")
+    }
+  }
+
+  test("nominal-split tree routes NULL and non-member values right on both forms") {
+    val root = LearnedQueries.fittedDtCatRoot(spark, sf)
+    // NULL category on every 3rd row, an out-of-dictionary code (7.0)
+    // on every 5th: the chain's NULL-isin condition and the kernel's
+    // NaN/binary-search miss must both route RIGHT at the nominal node
+    val base = Tables.lineitem(spark, sf).select(
+      when(col("l_orderkey") % 3 === 0, lit(null))
+        .when(col("l_orderkey") % 5 === 0, lit(7.0))
+        .otherwise(LearnedQueries.rfCodeCol).as("code"),
+      col("l_quantity").cast("double").as("q"))
+    val feats = Seq(col("code"), col("q"))
+    val both = base.select(
+      graft.models.TreeServe.column(root, feats).as("chain"),
+      LearnedQueries.gbtCompiledExpr(feats, Seq(root), Array(1.0)).as("compiled"))
+      .collect()
+    both.foreach { r =>
+      assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+        s"chain ${r.getDouble(0)} != compiled ${r.getDouble(1)}")
+    }
+  }
+
   test("flattened encoding round-trips a deep fitted tree") {
     val (roots, ws) = LearnedQueries.fittedGbt(spark, sf)
     val ref = TreeEnsembleRef.fromNodes(roots, ws)
