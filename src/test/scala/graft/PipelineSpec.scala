@@ -436,7 +436,7 @@ class PipelineSpec extends AnyFunSuite {
     import graft.queries.IvfQueries
     val rows = IvfQueries.defs("x_ann_ivf_sweep")(spark, "/root/testdata/sf0.001")
       .orderBy("nprobe").collect()
-    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 4L, 8L, 16L, 24L, 32L))
     rows.foreach(r => assert(r.getAs[Long]("n_queries") == 100L))
     val recalls = rows.map(_.getAs[Double]("recall_at_1")).toSeq
     val scans = rows.map(_.getAs[Double]("scan_frac")).toSeq
@@ -446,15 +446,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a }, recalls.mkString(","))
     assert(scans.zip(scans.tail).forall { case (a, b) => b >= a }, scans.mkString(","))
     assert(scans.last > scans.head, scans.mkString(","))
-    // probing half the 16 cells must find most true neighbors, at a
+    // probing half the 64 cells must find most true neighbors, at a
     // scan cost well under the brute-force full pass
-    assert(recalls.last >= 0.5, s"recall@1(nprobe=8) ${recalls.last}")
-    assert(scans.last < 0.9, s"scan_frac(nprobe=8) ${scans.last}")
-    // the nprobe=4 point must agree with x_ann_ivf_kmeans' own recall
-    val r4 = rows(2).getAs[Double]("recall_at_1")
+    assert(recalls.last >= 0.5, s"recall@1(nprobe=32) ${recalls.last}")
+    assert(scans.last < 0.9, s"scan_frac(nprobe=32) ${scans.last}")
+    // the default operating point (nprobe=24) must agree with
+    // x_ann_ivf_kmeans' own recall
+    val r24 = rows(4).getAs[Double]("recall_at_1")
     val kmeans = IvfQueries.defs("x_ann_ivf_kmeans")(spark, "/root/testdata/sf0.001").head()
-    assert(math.abs(r4 - kmeans.getAs[Double]("recall_at_1")) < 1e-9,
-      s"sweep r@4 $r4 vs search ${kmeans.getAs[Double]("recall_at_1")}")
+    assert(math.abs(r24 - kmeans.getAs[Double]("recall_at_1")) < 1e-9,
+      s"sweep r@24 $r24 vs search ${kmeans.getAs[Double]("recall_at_1")}")
   }
 
   test("dedup clusters: components are consistent with the candidate pairs") {

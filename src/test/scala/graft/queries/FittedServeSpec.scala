@@ -24,8 +24,9 @@ class FittedServeSpec extends AnyFunSuite {
   test("w3b fitted-centroid assignment matches MLlib KMeans predictions") {
     val fv = Tables.embeddings(spark, sf).select(
       col("vec_id"), array_to_vector(col("embedding")).as("fv"))
-    // same config as the query's fit: K=16, seed 42, maxIter 20
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(20)
+    // same config as the query's fit: K=64 (the tuned fitted-quantizer
+    // operating point), seed 42, maxIter 20
+    val model = new KMeans().setK(64).setSeed(42).setMaxIter(20)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val mllib = model.fit(fv).transform(fv)
       .select("vec_id", "cell").collect()
