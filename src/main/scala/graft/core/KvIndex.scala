@@ -34,19 +34,29 @@ object Aggregates {
   *
   * Spark-first design: instead of the reference's row-at-a-time
   * dynamic-SQL `prefix_search`, every prefix length L gets a small
-  * precomputed aggregate table at build time; the probe is then a
-  * cascade of BROADCAST hash joins + one coalesce — fully parallel, no
-  * iteration, and the only shuffle in the whole serve path is whatever
-  * the caller's plan already needed. At 100 TB the probe side streams;
-  * the index sides are bounded by the key space (small by construction
-  * — that is the point of the paper) and always broadcast.
+  * precomputed aggregate table at build time. The probe then takes one
+  * of two bitwise-identical forms ([[KvProbeSpec]] pins them):
+  *
+  *  - **compiled** (default, index ≤ [[KvModel.MaxCompiledEntries]]
+  *    entries): the collected maps embed in the plan as a reference
+  *    object ([[graft.plans.KvScorerRef]], like the kNN/tree kernels)
+  *    and the whole cascade is ONE whole-stage-codegen projection —
+  *    zero joins, zero exchanges on the probe side at any input size;
+  *  - **join cascade** (indexes too large to embed): BROADCAST hash
+  *    joins + one coalesce — fully parallel, no iteration, and the only
+  *    shuffle in the whole serve path is whatever the caller's plan
+  *    already needed.
+  *
+  * At 100 TB the probe side streams; the index sides are bounded by the
+  * key space (small by construction — that is the point of the paper).
   */
 final case class KvModel(
     task: Task,
     keyLen: Int,
     kv: DataFrame,                      // (key string, value double)
     prefixes: Seq[(Int, DataFrame)],    // len -> (prefix string, value double), len = keyLen-1 .. 1
-    globalValue: Double                 // trie-root fallback
+    globalValue: Double,                // trie-root fallback
+    maxCompiledEntries: Long = KvModel.MaxCompiledEntries
 ) {
   /** The index entries as a typed Dataset (SURVEY §1.2 fixed shape). */
   def entries: org.apache.spark.sql.Dataset[Types.KVEntry] = {
@@ -54,11 +64,34 @@ final case class KvModel(
     kv.select(col("key"), col("value")).as[Types.KVEntry]
   }
 
+  /** The embedded-cascade kernel when the index fits the size cap —
+    * collected ONCE per model (the tables are cached + key-space-
+    * bounded), then reused by every probe this model serves. */
+  @transient private lazy val compiledRef: Option[graft.plans.KvScorerRef] = {
+    val entries = kv.count() + prefixes.map(_._2.count()).sum
+    if (entries <= maxCompiledEntries) Some(new graft.plans.KvScorerRef(toLocalScorer))
+    else None
+  }
+
   /** Append `predName` to `input` by probing the index with `key`.
     * Exact hit wins; else the longest non-empty prefix aggregate; else
     * the global aggregate (trie-root DFS, inference_trie.py:91-98).
+    * Compiled single-projection form when the index fits
+    * [[maxCompiledEntries]]; broadcast-join cascade otherwise — same
+    * values bit for bit either way (a NULL key resolves to the global
+    * aggregate on both paths).
     */
-  def probe(input: DataFrame, key: Column, predName: String = "prediction"): DataFrame = {
+  def probe(input: DataFrame, key: Column, predName: String = "prediction"): DataFrame =
+    compiledRef match {
+      case Some(ref) =>
+        input.withColumn(predName,
+          coalesce(graft.plans.KvProbe.column(key, ref), lit(globalValue)))
+      case None => joinProbe(input, key, predName)
+    }
+
+  /** The broadcast-join cascade form of [[probe]] (always correct; the
+    * scale path for indexes too large to embed in the task binary). */
+  def joinProbe(input: DataFrame, key: Column, predName: String = "prediction"): DataFrame = {
     val keyed = input.withColumn("__key", key)
     val exact = keyed.join(
       broadcast(kv.select(col("key").as("__key"), col("value").as("__v_exact"))),
@@ -190,6 +223,15 @@ object KvIndexState {
     case _ =>
       stats.groupBy("key").agg(sum("sum").as("sum"), sum("cnt").as("cnt"))
   }
+}
+
+object KvModel {
+  /** Above this many total index entries the probe falls back from the
+    * plan-embedded kernel to broadcast joins: the reference object
+    * rides every task binary, so it must stay a few MB at most —
+    * 2^17 (key, double) entries is ~4-8 MB serialized, comfortably
+    * under the broadcast threshold the join path would use anyway. */
+  val MaxCompiledEntries: Long = 1L << 17
 }
 
 object KvIndexBuilder {

@@ -388,7 +388,18 @@ class PipelineSpec extends AnyFunSuite {
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = fitted.transform(df, "p").queryExecution.executedPlan
+      // default (small-index) path: the compiled kernel — no joins at
+      // all. The probe input must not be a LocalRelation (Catalyst
+      // folds a projection over one at plan time, leaving nothing to
+      // inspect), so rewrap it as an RDD-backed frame.
+      val rddDf = spark.createDataFrame(df.rdd, df.schema)
+      val compiled = fitted.transform(rddDf, "p").queryExecution.executedPlan.toString
+      assert(compiled.contains("kv_probe"), compiled.take(800))
+      assert(!compiled.contains("Join") && !compiled.contains("Exchange"),
+        s"compiled serve must be a pure projection:\n$compiled")
+      // join-cascade path (indexes above the embed cap), forced via the cap
+      val plan = fitted.kv.copy(maxCompiledEntries = 0L)
+        .probe(df, fitted.keyColumn, "p").queryExecution.executedPlan
       val s = plan.toString
       // every index side must broadcast; a sort-merge or shuffled-hash
       // join here would shuffle the 100 TB probe side
