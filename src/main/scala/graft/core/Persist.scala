@@ -64,6 +64,27 @@ object Persist {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Persist a [[KvIndexState]] (the mergeable sufficient statistics)
+    * so tomorrow's ingest can `loadState(...).append(delta)` without
+    * rescanning today's corpus — the cross-session form of incremental
+    * maintenance. Sums/counts round-trip parquet exactly, so
+    * load-then-append equals never-saved append bit for bit. */
+  def saveState(st: KvIndexState, dir: String): Unit = {
+    val spark = st.stats.sparkSession
+    import spark.implicits._
+    st.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    Seq((taskName(st.task), st.keyLen)).toDF("task", "key_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def loadState(spark: SparkSession, dir: String): KvIndexState = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    KvIndexState(
+      taskOf(meta.getAs[String]("task")),
+      meta.getAs[Int]("key_len"),
+      spark.read.parquet(s"$dir/stats"))
+  }
+
   def load(spark: SparkSession, dir: String): graft.InferDbPipeline.Fitted = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     def strs(r: Row, field: String): Seq[String] =

