@@ -104,6 +104,21 @@ class TreeEnsembleSpec extends AnyFunSuite {
     }
   }
 
+  test("nominal-split GBT ensemble: compiled kernel bitwise equals the chain sum") {
+    val (roots, ws) = LearnedQueries.fittedGbtCat(spark, sf)
+    assert(roots.length > 1, "ensemble test needs multiple trees")
+    val feats = Seq(LearnedQueries.rfCodeCol, col("l_quantity").cast("double"))
+    val both = Tables.lineitem(spark, sf).select(
+      LearnedQueries.gbtRawExpr(feats, roots, ws).as("chain"),
+      LearnedQueries.gbtCompiledExpr(feats, roots, ws).as("compiled"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+        s"chain ${r.getDouble(0)} != compiled ${r.getDouble(1)}")
+    }
+  }
+
   test("flattened encoding round-trips a deep fitted tree") {
     val (roots, ws) = LearnedQueries.fittedGbt(spark, sf)
     val ref = TreeEnsembleRef.fromNodes(roots, ws)
