@@ -14,18 +14,28 @@ object Aggregates {
     * Two shuffle-free-after-partial aggregations, no window: counts per
     * (group, value), then max_by(value, (count, -value)) per group.
     */
-  def mode(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    val counted = df
-      .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
-    // min over (-cnt, value) == highest count, then lowest value — works
-    // for numeric AND string value columns (no negation of the value).
+  def mode(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    modeFromCounts(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt")),
+      groupCols, valueCol, "cnt")
+
+  /** The pinned tie-break applied to PRE-COUNTED (group, value, cnt)
+    * rows — the single definition both [[mode]] and the mergeable
+    * [[KvIndexState]] finalize through, so append and rebuild can never
+    * disagree on a tied key. min over (-cnt, value) == highest count,
+    * then lowest value — works for numeric AND string value columns
+    * (no negation of the value). */
+  def modeFromCounts(
+      counted: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      cntCol: String): DataFrame =
     counted
       .groupBy(groupCols.map(col): _*)
       .agg(
-        min_by(col(valueCol), struct(-col("cnt"), col(valueCol))).as(valueCol)
+        min_by(col(valueCol), struct(-col(cntCol), col(valueCol))).as(valueCol)
       )
-  }
 }
 
 /** The learned key–value index: exact probe + field-wise prefix
@@ -68,7 +78,13 @@ final case class KvModel(
     * collected ONCE per model (the tables are cached + key-space-
     * bounded), then reused by every probe this model serves. */
   @transient private lazy val compiledRef: Option[graft.plans.KvScorerRef] = {
-    val entries = kv.count() + prefixes.map(_._2.count()).sum
+    // early-exit the size probe: once the running total passes the cap
+    // (usually on the kv count alone for a big index) the remaining
+    // prefix-table count jobs are pointless
+    var entries = 0L
+    val tables = Iterator(kv) ++ prefixes.iterator.map(_._2)
+    while (entries <= maxCompiledEntries && tables.hasNext)
+      entries += tables.next().count()
     if (entries <= maxCompiledEntries) Some(new graft.plans.KvScorerRef(toLocalScorer))
     else None
   }
@@ -174,9 +190,15 @@ object LocalScorer {
   *  - multi-class (mode): per-(key, pred) cnt — merged by addition,
   *    value = the same pinned-tie argmax [[Aggregates.mode]] computes.
   *
-  * append(delta) ≡ rebuild(base ∪ delta) by associativity/commutativity
-  * of the merged sums; `x_index_append`'s oracle IS the rebuild, so the
-  * equivalence is hash-checked end to end. At 100 TB this is the
+  * append(delta) ≡ rebuild(base ∪ delta): mode counts are integers, so
+  * multi-class equality is exact always; mean sums are doubles, so the
+  * equality is BITWISE when predictions are integer-valued (0/1 labels,
+  * class ids, integer-scaled scores — every shipped lifecycle) and
+  * otherwise agrees the way any two Spark avg() runs do (identical up
+  * to FP summation order, which partitioning already makes
+  * nondeterministic — round the served value, as the declared queries
+  * do). `x_index_append`'s oracle IS the rebuild, so the equivalence is
+  * hash-checked end to end. At 100 TB this is the
   * difference between an O(delta) daily ingest and an O(corpus) rescan:
   * the state is key-space-bounded (small by construction), the delta
   * pass is one partial aggregate.
@@ -194,8 +216,8 @@ final case class KvIndexState(task: Task, keyLen: Int, stats: DataFrame) {
   def toModel(balanceRatio: Option[Double] = None): KvModel = {
     val kv = task match {
       case Task.MultiClass =>
-        stats.groupBy("key")
-          .agg(min_by(col("pred"), struct(-col("cnt"), col("pred"))).as("value"))
+        Aggregates.modeFromCounts(stats, Seq("key"), "pred", "cnt")
+          .withColumnRenamed("pred", "value")
       case _ =>
         stats.select(col("key"), (col("sum") / col("cnt")).as("value"))
     }
@@ -213,8 +235,12 @@ object KvIndexState {
       keyed.groupBy(col("key"), col("pred").cast("double").as("pred"))
         .agg(count(lit(1)).as("cnt"))
     case _ =>
+      // count(pred), NOT count(*): a NULL prediction must be excluded
+      // from BOTH the sum and the count, exactly like the rebuild's
+      // avg() — counting it would shrink the merged mean.
       keyed.groupBy("key")
-        .agg(sum(col("pred").cast("double")).as("sum"), count(lit(1)).as("cnt"))
+        .agg(sum(col("pred").cast("double")).as("sum"),
+          count(col("pred").cast("double")).as("cnt"))
   }
 
   private def merge(stats: DataFrame, task: Task): DataFrame = task match {

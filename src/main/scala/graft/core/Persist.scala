@@ -56,11 +56,20 @@ object Persist {
         (feat, "categorical", Seq.empty[Double], kv.map(_._1), kv.map(_._2))
     }.toDF("feature", "kind", "splits", "cat_keys", "cat_vals")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/bins")
-    Seq((taskName(f.config.task), f.kv.keyLen, f.kv.globalValue, f.iv,
-        f.selected, f.config.features, f.config.categorical.toSeq.sorted,
-        f.config.target, f.config.maxBins, f.config.model))
+    // EVERY Config field persists — a reloaded config silently falling
+    // back to defaults (balanceRatio, populatePaths, …) would re-fit a
+    // different model than the one that was saved if reused for a
+    // refresh, even though serving alone wouldn't notice.
+    val c = f.config
+    Seq((taskName(c.task), f.kv.keyLen, f.kv.globalValue, f.iv,
+        f.selected, c.features, c.categorical.toSeq.sorted,
+        c.target, c.maxBins, c.model,
+        c.tolerance, c.maxFeatures, c.maxCandidates, c.balanceRatio,
+        c.mlpHidden, c.maxOneHot, c.populatePaths))
       .toDF("task", "key_len", "global_value", "iv", "selected",
-        "features", "categorical", "target", "max_bins", "model")
+        "features", "categorical", "target", "max_bins", "model",
+        "tolerance", "max_features", "max_candidates", "balance_ratio",
+        "mlp_hidden", "max_one_hot", "populate_paths")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -118,7 +127,14 @@ object Persist {
       target = meta.getAs[String]("target"),
       task = task,
       maxBins = meta.getAs[Int]("max_bins"),
-      model = meta.getAs[String]("model"))
+      model = meta.getAs[String]("model"),
+      tolerance = meta.getAs[Double]("tolerance"),
+      maxFeatures = meta.getAs[Int]("max_features"),
+      maxCandidates = meta.getAs[Int]("max_candidates"),
+      balanceRatio = Option(meta.getAs[java.lang.Double]("balance_ratio")).map(_.doubleValue),
+      mlpHidden = meta.getAs[Int]("mlp_hidden"),
+      maxOneHot = meta.getAs[Int]("max_one_hot"),
+      populatePaths = meta.getAs[Boolean]("populate_paths"))
     graft.InferDbPipeline.Fitted(
       config, bins, strs(meta, "selected"), meta.getAs[Double]("iv"),
       KvModel(task, keyLen, kv, prefixes, meta.getAs[Double]("global_value")))

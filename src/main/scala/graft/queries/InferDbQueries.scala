@@ -69,6 +69,24 @@ object InferDbQueries {
   // KMeans: 4 fixed centroids over embedding dims 0/1
   private val centroids = Seq((0, -0.5, -0.5), (1, -0.5, 0.5), (2, 0.5, -0.5), (3, 0.5, 0.5))
 
+  /** The incremental-maintenance fixture: all train rows keyed, split
+    * into a base batch and a ~25% delta batch by a deterministic
+    * predicate (shared by x_index_append and x_index_lifecycle so the
+    * two can never drift apart). */
+  private def baseDeltaSplit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val keyed = Tables.lineitem(s, d).filter(trainPred)
+      .select(col("l_orderkey"), keyCol.as("key"), targetCol.as("pred"))
+    (keyed.filter(col("l_orderkey") % 4 =!= 0).select("key", "pred"),
+     keyed.filter(col("l_orderkey") % 4 === 0).select("key", "pred"))
+  }
+
+  /** Probe the full lineitem table with `model`, rounded to 6 decimals
+    * — the declared serve shape shared by the probe-family queries. */
+  private def probeAll(s: SparkSession, d: String, model: KvModel): DataFrame =
+    model.probe(Tables.lineitem(s, d), keyCol, "prediction")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("prediction"), 6).as("prediction"))
+
   // -------------------------- queries --------------------------------
 
   val defs: Map[String, Q] = Map(
@@ -107,17 +125,11 @@ object InferDbQueries {
     // proof. The mergeable-stats shape is what turns a daily 100 TB
     // ingest from an O(corpus) retrain into an O(delta) merge.
     "x_index_append" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val keyed = li.filter(trainPred)
-        .select(col("l_orderkey"), keyCol.as("key"), targetCol.as("pred"))
-      val base  = keyed.filter(col("l_orderkey") % 4 =!= 0).select("key", "pred")
-      val delta = keyed.filter(col("l_orderkey") % 4 === 0).select("key", "pred")
+      val (base, delta) = baseDeltaSplit(s, d)
       val model = KvIndexState.build(base, keyLen = 3, Task.Classification)
         .append(delta)
         .toModel()
-      model.probe(li, keyCol, "prediction")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("prediction"), 6).as("prediction"))
+      probeAll(s, d, model)
     }),
 
     // The CROSS-SESSION ingest lifecycle (the t_lsh_index_lifecycle
@@ -128,17 +140,11 @@ object InferDbQueries {
     // from-scratch rebuild over base ∪ delta — proves
     // save → load → append ≡ rebuild in one green hash.
     "x_index_lifecycle" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val keyed = li.filter(trainPred)
-        .select(col("l_orderkey"), keyCol.as("key"), targetCol.as("pred"))
-      val base  = keyed.filter(col("l_orderkey") % 4 =!= 0).select("key", "pred")
-      val delta = keyed.filter(col("l_orderkey") % 4 === 0).select("key", "pred")
+      val (base, delta) = baseDeltaSplit(s, d)
       val dir = TmpDirs.scratch("kv_state", d)
       Persist.saveState(KvIndexState.build(base, keyLen = 3, Task.Classification), dir)
       val model = Persist.loadState(s, dir).append(delta).toModel()
-      model.probe(li, keyCol, "prediction")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("prediction"), 6).as("prediction"))
+      probeAll(s, d, model)
     }),
 
     // A9 — the precomputed prefix-aggregate tables themselves.
@@ -379,56 +385,32 @@ object InferDbQueries {
     SqlGen.sigmoidRef(SqlGen.linear(hidden, mlp.w1.map(_(0)).toIndexedSeq, mlp.b1(0)))
   }
 
+  /** The from-scratch index rebuild + probe over ALL train rows — ONE
+    * definition serving as the oracle for x29_inferdb_probe (fresh
+    * build), x_index_append (append ≡ rebuild) and x_index_lifecycle
+    * (save → load → append ≡ rebuild): the three queries construct the
+    * same index three different ways, so they share the one rebuild
+    * truth and can never drift apart. */
+  private val rebuildProbeSql: String =
+    s"""WITH kv AS (
+       |  SELECT $keySql AS key, avg($targetSql) AS value
+       |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+       |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+       |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+       |g AS (SELECT avg(value) AS value FROM kv),
+       |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
+       |SELECT p.l_orderkey, p.l_linenumber,
+       |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
+       |FROM probe p
+       |LEFT JOIN kv ON p.key = kv.key
+       |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+       |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+       |CROSS JOIN g""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "x29_inferdb_probe" ->
-      s"""WITH kv AS (
-         |  SELECT $keySql AS key, avg($targetSql) AS value
-         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
-         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |g AS (SELECT avg(value) AS value FROM kv),
-         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
-         |SELECT p.l_orderkey, p.l_linenumber,
-         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
-         |FROM probe p
-         |LEFT JOIN kv ON p.key = kv.key
-         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
-         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
-         |CROSS JOIN g""".stripMargin,
-    // save → load → append ≡ rebuild: the same from-scratch oracle as
-    // x_index_append (parquet round-trips the statistics exactly).
-    "x_index_lifecycle" ->
-      s"""WITH kv AS (
-         |  SELECT $keySql AS key, avg($targetSql) AS value
-         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
-         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |g AS (SELECT avg(value) AS value FROM kv),
-         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
-         |SELECT p.l_orderkey, p.l_linenumber,
-         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
-         |FROM probe p
-         |LEFT JOIN kv ON p.key = kv.key
-         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
-         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
-         |CROSS JOIN g""".stripMargin,
-    // append ≡ rebuild: the oracle is the FROM-SCRATCH rebuild over
-    // base ∪ delta (= all train rows), identical to x29's index.
-    "x_index_append" ->
-      s"""WITH kv AS (
-         |  SELECT $keySql AS key, avg($targetSql) AS value
-         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
-         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |g AS (SELECT avg(value) AS value FROM kv),
-         |probe AS (SELECT l_orderkey, l_linenumber, $keySql AS key FROM lineitem)
-         |SELECT p.l_orderkey, p.l_linenumber,
-         |  round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS prediction
-         |FROM probe p
-         |LEFT JOIN kv ON p.key = kv.key
-         |LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
-         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
-         |CROSS JOIN g""".stripMargin,
+    "x29_inferdb_probe" -> rebuildProbeSql,
+    "x_index_append" -> rebuildProbeSql,
+    "x_index_lifecycle" -> rebuildProbeSql,
     "t12_balance_probe" ->
       s"""WITH kv AS (
          |  SELECT $keySql AS key,

@@ -21,7 +21,12 @@ class PersistSpec extends AnyFunSuite {
     InferDbPipeline.fitWithModel(df, InferDbPipeline.Config(
       features = Seq("l_quantity", "l_discount", "l_returnflag"),
       categorical = Set("l_returnflag"),
-      target = "target", task = Task.Classification, maxBins = 5))._1
+      target = "target", task = Task.Classification, maxBins = 5,
+      // non-default fit-time fields: the round-trip must carry them too
+      // (a reloaded config falling back to defaults would re-fit a
+      // different model on refresh)
+      tolerance = 1.01, maxFeatures = 2, maxCandidates = 7,
+      balanceRatio = Some(1.5), maxOneHot = 16))._1
   }
 
   private lazy val reloaded = {
@@ -32,9 +37,8 @@ class PersistSpec extends AnyFunSuite {
 
   test("fitted constants round-trip exactly") {
     assert(reloaded.selected == trained.selected)
-    assert(reloaded.config.features == trained.config.features)
-    assert(reloaded.config.categorical == trained.config.categorical)
-    assert(reloaded.config.task == trained.config.task)
+    // the ENTIRE config, including fit-time-only fields
+    assert(reloaded.config == trained.config)
     assert(java.lang.Double.doubleToRawLongBits(reloaded.kv.globalValue) ==
       java.lang.Double.doubleToRawLongBits(trained.kv.globalValue))
     assert(reloaded.bins == trained.bins ||
