@@ -957,6 +957,47 @@ object LearnedQueries {
         (scored, _) => scored.write.mode("append").parquet(outDir))
       q.processAllAvailable(); q.stop()
       s.read.parquet(outDir)
+    }),
+
+    // ONLINE index maintenance: the events table replays as 4 micro-
+    // batches and each batch MERGES into the KvIndexState (partial
+    // aggregate + key-keyed merge — O(batch) per trigger, the shape
+    // that keeps a serving index fresh from a stream without ever
+    // rescanning history). The merged statistics are collected per
+    // batch (key-space-bounded) so the state survives the stream's
+    // teardown; the final model serves the full table and the oracle
+    // is the one-shot BATCH build — stream-merged ≡ batch-rebuilt.
+    "x_stream_index_append" -> ((s, d) => {
+      val events = Tables.events(s, d)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stageDir = graft.core.TmpDirs.scratch("stream_idx_src", d)
+      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val state = new java.util.concurrent.atomic.AtomicReference[Option[graft.core.KvIndexState]](None)
+      val q = StreamOps.foreachBatchSink(
+        stream,
+        batch => batch.filter(col("value") < 30.0)
+          .select(streamKeyCol.as("key"),
+            when(col("event_type") === "click", 1.0).otherwise(0.0).as("pred")),
+        (keyed, _) => {
+          val next = state.get() match {
+            case None     => graft.core.KvIndexState.build(keyed, keyLen = 2, Task.Classification)
+            case Some(st) => st.append(keyed)
+          }
+          // materialize the merged stats OFF the micro-batch plan: the
+          // batch frame dies with its trigger, the collected rows don't
+          val rows = next.stats.collect()
+          val local = s.createDataFrame(java.util.Arrays.asList(rows: _*), next.stats.schema)
+          state.set(Some(next.copy(stats = local)))
+        })
+      q.processAllAvailable(); q.stop()
+      val model = state.get()
+        .getOrElse(throw new IllegalStateException("stream produced no batches"))
+        .toModel()
+      model.probe(events, streamKeyCol, "prediction")
+        .select(col("user_id"), col("event_type"), col("value"),
+          round(col("prediction"), 6).as("prediction"))
     })
   )
 
@@ -1164,23 +1205,29 @@ object LearnedQueries {
         |  CAST(round(sum(s.value) * 1000) AS BIGINT) AS sum_millis
         |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.sid = l.msid
         |GROUP BY s.user_id""".stripMargin,
-    "x_stream_probe" -> {
-      val sKey = Seq(
-        SqlGen.binCase("user_id % 4", Seq(1.0, 2.0, 3.0)),
-        SqlGen.binCase("value", Seq(10.0, 20.0, 30.0))).mkString(" || '.' || ")
-      s"""WITH kv AS (
-         |  SELECT $sKey AS key,
-         |    avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS value
-         |  FROM events WHERE value < 30.0 GROUP BY 1),
-         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
-         |g AS (SELECT avg(value) AS value FROM kv),
-         |probe AS (SELECT user_id, event_type, value, $sKey AS key FROM events)
-         |SELECT p.user_id, p.event_type, p.value,
-         |  round(coalesce(kv.value, p1.value, g.value), 6) AS prediction
-         |FROM probe p
-         |LEFT JOIN kv ON p.key = kv.key
-         |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
-         |CROSS JOIN g""".stripMargin
-    }
+    // ONE rebuild-probe truth for x_stream_probe (one-shot batch index,
+    // streamed scoring) AND x_stream_index_append (stream-merged index,
+    // batch scoring): both must equal the from-scratch batch build.
+    "x_stream_probe" -> streamRebuildProbeSql,
+    "x_stream_index_append" -> streamRebuildProbeSql
   )
+
+  private lazy val streamRebuildProbeSql: String = {
+    val sKey = Seq(
+      SqlGen.binCase("user_id % 4", Seq(1.0, 2.0, 3.0)),
+      SqlGen.binCase("value", Seq(10.0, 20.0, 30.0))).mkString(" || '.' || ")
+    s"""WITH kv AS (
+       |  SELECT $sKey AS key,
+       |    avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS value
+       |  FROM events WHERE value < 30.0 GROUP BY 1),
+       |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+       |g AS (SELECT avg(value) AS value FROM kv),
+       |probe AS (SELECT user_id, event_type, value, $sKey AS key FROM events)
+       |SELECT p.user_id, p.event_type, p.value,
+       |  round(coalesce(kv.value, p1.value, g.value), 6) AS prediction
+       |FROM probe p
+       |LEFT JOIN kv ON p.key = kv.key
+       |LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+       |CROSS JOIN g""".stripMargin
+  }
 }
