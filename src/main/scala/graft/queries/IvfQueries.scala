@@ -237,6 +237,55 @@ object IvfQueries {
           (col("sum_micros").cast("double") / 1000000.0 / col("n")).as("mean"))
     }),
 
+    // Int8 scalar quantization + integer-dot search — the memory-
+    // bandwidth half of ANN at 100 TB: float32 vectors compress 4× to
+    // int8 (per-vector symmetric scale q_i = round(x_i·127/amax), the
+    // FAISS SQ8 shape), the in-cell scan becomes an INTEGER dot
+    // product (SIMD-friendly, no FP reassociation concerns — integer
+    // sums are exact under any partitioning/vectorization), and only
+    // the quantized bytes ever sit in memory. The query quantizes the
+    // corpus, runs the quantized brute scan for the capped query set
+    // (vec_id < 100 — the same labeled baseline cap as the recall
+    // queries; at scale this scan runs per-IVF-cell, not global), and
+    // reports per query: the quantized top-1 + its integer score, the
+    // exact float top-1, and whether they agree — the honest
+    // quantization-loss measurement. All arithmetic is either integer
+    // (scores, exact) or a fixed-order double expression (the
+    // quantizer itself: x·127/amax + 0.5 floored — multiply before
+    // divide on BOTH engines), so the oracle matches bitwise.
+    "t_embed_quantize" -> ((s, d) => {
+      val q8 = Tables.embeddings(s, d)
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        // all-zero vector → amax 0 → pin the divisor to 1 (quantizes
+        // to the zero vector) instead of 0·∞ = NaN
+        .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
+        .select(col("vec_id"), col("amax0"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax0 + 0.5D) AS BIGINT))"
+        ).as("q"))
+      val probe = q8.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      // ranking corrects each integer score by the NEIGHBOR's stored
+      // scale (q_n ≈ x_n·127/amax_n, so score·amax_n ∝ x_q·x_n): the
+      // per-vector scale is part of the SQ8 code, and ranking the raw
+      // integers would systematically favor small-amax vectors. The
+      // query's own scale is constant per group — irrelevant to argmax.
+      val qzTop = probe
+        .crossJoin(q8.select(col("vec_id").as("n_id"), col("q").as("nq"),
+          col("amax0").as("n_amax")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), expr(
+          "aggregate(zip_with(qq, nq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        ).as("score"), col("n_amax"))
+        .withColumn("adj", col("score").cast("double") * col("n_amax"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("score")),
+          struct(-col("adj"), col("n_id"))).as("t"))
+        .select(col("q_id"), col("t.n_id").as("q8_id"), col("t.score").as("q8_score"))
+      qzTop.join(bfTop(s, d).select(col("q_id"), col("bf_id")), Seq("q_id"))
+        .withColumn("agree", (col("q8_id") === col("bf_id")).cast("int"))
+    }),
+
     // Cell assignment (the "fit"/partitioning half): argmin centroid.
     "t_ann_ivf_assign" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -477,6 +526,32 @@ object IvfQueries {
          |JOIN e a ON a.vec_id = ia.vec_id
          |JOIN e b ON b.vec_id = ib.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) >= 0.45""".stripMargin,
+    "t_embed_quantize" ->
+      s"""WITH am AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |q8 AS (SELECT vec_id,
+         |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END AS amax0,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+         |      / (CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END) + 0.5) AS BIGINT)) AS q
+         |  FROM am),
+         |sc AS (SELECT p.vec_id AS q_id, n.vec_id AS n_id, n.amax0 AS n_amax,
+         |    list_reduce(list_prepend(0::BIGINT, [z[1] * z[2] FOR z IN list_zip(p.q, n.q)]),
+         |                (acc, v) -> acc + v) AS score
+         |  FROM q8 p JOIN q8 n ON p.vec_id < 100 AND p.vec_id <> n.vec_id),
+         |top AS (SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(score AS DOUBLE) * n_amax DESC, n_id) AS rn FROM sc),
+         |e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |bf AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+         |  FROM e q JOIN e n ON q.vec_id < 100 AND q.vec_id <> n.vec_id),
+         |bftop AS (SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM bf)
+         |SELECT t.q_id, t.n_id AS q8_id, t.score AS q8_score, b.n_id AS bf_id,
+         |       CASE WHEN t.n_id = b.n_id THEN 1 ELSE 0 END AS agree
+         |FROM top t JOIN bftop b ON t.q_id = b.q_id AND t.rn = 1 AND b.rn = 1""".stripMargin,
+
     "t_ann_ivf_assign" ->
       s"""WITH cells AS (${cellsUnion("embeddings", "vec_id")}),
          |assigned AS (

@@ -163,6 +163,40 @@ object RelationalQueries {
         .select("event_id", "user_id", "last_click_value")
     }),
 
+    // J10 (beyond the reference, the general RANGE join): for each
+    // event, how many events corpus-wide landed within ±5 minutes —
+    // the density/self-correlation shape (sessionless burst detection,
+    // rate limiting, co-occurrence windows). A naive range predicate
+    // is a cartesian per overlapping pair; Spark would nested-loop it.
+    // Scale shape: BUCKETIZE time into window-sized integer buckets
+    // (µs div W — integer arithmetic, so retries/AQE/oracle agree
+    // exactly), replicate the build side to its ±1 neighbor buckets
+    // (3× fan-out, constant), equi-join on the bucket id, then apply
+    // the exact |Δt| ≤ W residual filter. The shuffle is keyed by time
+    // bucket — uniform for event streams — and total pair work is
+    // bounded by true-window density, never n². Every qualifying pair
+    // lands in exactly one bucket match (|Δt| ≤ W ⇒ bucket distance
+    // ≤ 1, and the 3 replicas are distinct), so no dedup pass is
+    // needed. Self-pair kept: every event counts ≥ 1, making the
+    // inner join total.
+    "j10_range_join" -> ((s, d) => {
+      val winUs = 300000000L // ±5 min in µs
+      // ts arrives as TIMESTAMP_NTZ (µs parquet) or TIMESTAMP (the
+      // nanos fixup) depending on the file's physical type; the session
+      // zone is UTC, so casting through TIMESTAMP preserves the instant
+      // in both cases and unix_micros gives the oracle's epoch_us
+      val e = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val probe = e.withColumn("b", expr(s"us div ${winUs}L"))
+      val build = e
+        .select(col("us").as("n_us"),
+          explode(expr(s"array(us div ${winUs}L - 1L, us div ${winUs}L, us div ${winUs}L + 1L)")).as("b"))
+      probe.join(build, "b")
+        .filter(abs(col("us") - col("n_us")) <= winUs)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_within"))
+    }),
+
     // W5 (beyond parity): exact interpolated percentiles per group.
     "w5_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -307,6 +341,13 @@ object RelationalQueries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
         |  FROM events)
         |WHERE event_type = 'error'""".stripMargin,
+    // two one-sided inequalities (not abs()) so DuckDB plans an IEJoin
+    "j10_range_join" ->
+      """SELECT a.event_id, count(*) AS n_within
+        |FROM events a JOIN events b
+        |  ON epoch_us(b.ts) >= epoch_us(a.ts) - 300000000
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |GROUP BY a.event_id""".stripMargin,
     "w5_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,

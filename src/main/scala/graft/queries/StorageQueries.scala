@@ -173,6 +173,54 @@ object StorageQueries {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** Bloom-pruned big-big join — the shuffle-reduction play when the
+    * dim side is SELECTIVE but the fact side is too big to move: build
+    * a bloom filter over the filtered dim keys (one tiny agg job,
+    * bytes held on the driver and embedded as a literal — no broadcast
+    * exchange), pre-filter the fact side with a fused-projection
+    * membership probe BEFORE its shuffle, then run the real join. At
+    * 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~4% that can possibly match (Spark's AQE
+    * runtime row-level filtering automates the same idea; here it is
+    * explicit and asserted). False positives only — the join itself
+    * removes them, so the result is EXACTLY the plain join's and the
+    * oracle is plain SQL. `hint("merge")` keeps the genuine big-big
+    * path (no broadcast — asserted), and the bloom probe is asserted
+    * present in the physical plan.
+    */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Byte]]
+  private def bloomPrunedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 480000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val bloom = bloomCache.getOrElseUpdate((s, d), {
+      val n = dim.count()
+      // 16 bits/item ≈ 5e-4 fpp — literal-sized at any realistic
+      // filtered-dim cardinality (1e8 keys → 200 MB would exceed the
+      // literal budget; that regime belongs to AQE's runtime filters)
+      graft.plans.BloomExprs.buildBloom(dim, col("o_orderkey"), n, n * 16)
+    })
+    val fact = Tables.lineitem(s, d)
+      .filter(graft.plans.BloomExprs.mightContain(bloom, col("l_orderkey")))
+      .select("l_orderkey", "l_extendedprice")
+    val res = fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumCents(col("l_extendedprice")).as("revenue"))
+
+    val plan = res.queryExecution.sparkPlan
+    val hasBloomProbe = plan.find(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))).isDefined
+    require(hasBloomProbe, s"bloom probe missing from the fact-side plan:\n$plan")
+    val broadcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    require(broadcasts.isEmpty,
+      s"bloom-pruned join must take the shuffle path, found a broadcast:\n$plan")
+    res
+  }
+
   /** Declared CSV ingest (S1 literal parity: the reference's standalone
     * entry points read CSV — experiments/standalone/pm25.py:25-26): the
     * customer table is staged as CSV once, read back through
@@ -198,7 +246,8 @@ object StorageQueries {
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
     "s2_bucketed_smb_join" -> bucketedSmbJoin,
     "s3_sharded_export" -> shardedExport,
-    "j_skew_salted" -> skewSaltedJoin
+    "j_skew_salted" -> skewSaltedJoin,
+    "j11_bloom_join" -> bloomPrunedJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -220,6 +269,12 @@ object StorageQueries {
         |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_tokens,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "j11_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000.0
+        |GROUP BY o_orderstatus""".stripMargin,
     "j_skew_salted" ->
       """SELECT e.event_id, e.event_type, t.type_freq
         |FROM events e JOIN (

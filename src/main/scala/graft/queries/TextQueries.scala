@@ -854,6 +854,33 @@ object TextQueries {
         .orderBy(col("tf").desc, col("token"))
         .limit(100)),
 
+    // BPE merge-candidate counting — the inner loop of tokenizer
+    // training (each BPE iteration picks the most frequent adjacent
+    // pair; reference for the algorithm: Sennrich et al. 2016): count
+    // every adjacent token pair across the corpus, top-100 merge
+    // candidates by frequency. Scale shape: the pair list is built
+    // INSIDE the row (zip_with of two slices — one fused projection,
+    // no self-join on token position, no shuffle of token streams);
+    // the groupBy partial-aggregates map-side, so heavy-hitter pairs
+    // (exactly the ones BPE wants) combine before the shuffle; top-k =
+    // orderBy+limit = TakeOrdered per-partition heaps, not a full
+    // sort. (tf desc, pair) is a total order, so LIMIT is
+    // deterministic. Requires the oracle token cap (the pairs CTE uses
+    // the same generate_series bound as the shingle CTE).
+    "t_bpe_pair_counts" -> ((s, d) => {
+      assertCapMemo(s, d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("pair"))
+        .limit(100)
+    }),
+
     // Deterministic balanced downsampling (the class-rebalance pass a
     // training pipeline runs before fitting): every event class is
     // Bernoulli-downsampled toward the minority class size by a hash
@@ -1513,6 +1540,14 @@ object TextQueries {
         |GROUP BY token
         |ORDER BY tf DESC, token
         |LIMIT 100""".stripMargin,
+    "t_bpe_pair_counts" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS pair
+         |      FROM t, generate_series(1, $OracleTokenCap) g(i)
+         |      WHERE g.i <= len(toks) - 1)
+         |SELECT pair, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM p GROUP BY pair ORDER BY tf DESC, pair LIMIT 100""".stripMargin,
+
     "t_balanced_sample" ->
       """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
         |t AS (SELECT min(cnt) AS target FROM c)

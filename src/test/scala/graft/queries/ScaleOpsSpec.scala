@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 scale operators: BPE pair counting, int8 embedding
+  * quantization, the bucketed range join, and the bloom-pruned join.
+  * Each spec pins the operator against an independent formulation on
+  * sf0.001 (the oracle gate re-checks against DuckDB at sf0.01).
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t_bpe_pair_counts: pair tf sums to Σ(len-1) and the top pair beats a window recount") {
+    val out = TextQueries.defs("t_bpe_pair_counts")(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length == 100)
+    // every pair's df <= tf, and the list is sorted (tf desc, pair)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"df>tf in $r"))
+    val tfs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(tfs.sameElements(tfs.sortBy { case (tf, p) => (-tf, p) }), "not (tf desc, pair)-sorted")
+    // independent recount of the #1 pair via a position self-join
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val expected = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .select(concat(col("a.tok"), lit(" "), col("b.tok")).as("pair"))
+      .filter(col("pair") === rows.head.getString(0)).count()
+    assert(rows.head.getLong(1) == expected, "top-pair tf disagrees with the positional recount")
+  }
+
+  test("t_embed_quantize: codes bounded by ±127 and quantized top-1 mostly agrees with exact") {
+    val out = IvfQueries.defs("t_embed_quantize")(spark, sf).cache()
+    val n = out.count()
+    assert(n == 100, s"expected 100 query rows, got $n")
+    // int8 range: |score| <= 127*127*64
+    val maxScore = out.agg(max(abs(col("q8_score")))).head().getLong(0)
+    assert(maxScore <= 127L * 127L * 64L, s"score $maxScore exceeds the int8 bound")
+    // quantization is nearly lossless on unit vectors: agreement >= 90%
+    val agree = out.agg(sum(col("agree"))).head().getLong(0)
+    assert(agree >= 90, s"quantized top-1 agrees on only $agree/100 queries")
+  }
+
+  test("j10_range_join: bucketed counts equal the naive range self-join") {
+    val out = RelationalQueries.defs("j10_range_join")(spark, sf)
+    val e = graft.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+    val naive = e.as("a").crossJoin(e.select(col("us").as("n_us")))
+      .filter(abs(col("us") - col("n_us")) <= 300000000L)
+      .groupBy("event_id").agg(count(lit(1)).as("n_naive"))
+    val diff = out.join(naive, "event_id")
+      .filter(col("n_within") =!= col("n_naive")).count()
+    assert(diff == 0, "bucketed range join disagrees with the naive formulation")
+    assert(out.count() == e.count(), "self-pair must make the join total over events")
+  }
+
+  test("j11_bloom_join: result equals the plain join (bloom adds no rows, drops none)") {
+    val out = StorageQueries.defs("j11_bloom_join")(spark, sf)
+    val o = graft.Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0)
+    val l = graft.Tables.lineitem(spark, sf)
+    val plain = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+    val mismatch = out.as("x").join(plain.as("p"), Seq("o_orderstatus"), "full")
+      .filter(col("x.cnt").isNull || col("p.cnt").isNull ||
+        col("x.cnt") =!= col("p.cnt") || col("x.revenue") =!= col("p.revenue"))
+      .count()
+    assert(mismatch == 0, "bloom-pruned join result differs from the plain join")
+  }
+}
