@@ -854,6 +854,53 @@ object TextQueries {
         .orderBy(col("tf").desc, col("token"))
         .limit(100)),
 
+    // BM25-ranked retrieval (the lexical-search counterpart of the ANN
+    // family): top-10 docs for a fixed 3-term query under BM25
+    // (k1=1.2, b=0.75; Robertson-Sparck Jones idf as the RATIO
+    // (N-df+0.5)/(df+0.5) — no ln, whose last-ulp behavior differs
+    // across libm implementations; ln is monotone in the ratio, so the
+    // RANKING is identical to classic BM25 for single-term weights and
+    // the score stays a fixed-order chain of correctly-rounded IEEE
+    // ops that both engines reproduce bitwise). Scale shape: the
+    // isin(query-terms) filter applies AT THE EXPLODE, so only
+    // (doc, query-term) pairs — |q|·matching docs, not the corpus
+    // token stream — ever shuffle; df/N/avgdl are a 3-row and a 1-row
+    // broadcast; per-term scores pivot into FIXED columns added in a
+    // fixed order (a float SUM over a group would be order-dependent
+    // and flip ulps under repartitioning); top-k = TakeOrdered.
+    "t_bm25_search" -> ((s, d) => {
+      val terms = Seq("join", "vector", "stream")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", expr(
+          """(CAST(n_docs - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)
+            | * (CAST(tf AS DOUBLE) * 2.2D
+            |    / (CAST(tf AS DOUBLE)
+            |       + 1.2D * (0.25D + 0.75D
+            |                 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin))
+      val pivoted = scored.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_terms"),
+          sum(when(col("term") === terms(0), col("score"))).as("s0"),
+          sum(when(col("term") === terms(1), col("score"))).as("s1"),
+          sum(when(col("term") === terms(2), col("score"))).as("s2"))
+      pivoted.select(col("doc_id"), col("n_terms"),
+          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+            + coalesce(col("s2"), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // BPE merge-candidate counting — the inner loop of tokenizer
     // training (each BPE iteration picks the most frequent adjacent
     // pair; reference for the algorithm: Sennrich et al. 2016): count
@@ -1540,6 +1587,31 @@ object TextQueries {
         |GROUP BY token
         |ORDER BY tf DESC, token
         |LIMIT 100""".stripMargin,
+    "t_bm25_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |       WHERE term IN ('join', 'vector', 'stream')
+        |       GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         (CAST(n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)
+        |         * (CAST(tf.tf AS DOUBLE) * 2.2
+        |            / (CAST(tf.tf AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75
+        |                        * (CAST(tf.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN stats),
+        |piv AS (SELECT doc_id, count(*) AS n_terms,
+        |         sum(CASE WHEN term = 'join' THEN score END) AS s0,
+        |         sum(CASE WHEN term = 'vector' THEN score END) AS s1,
+        |         sum(CASE WHEN term = 'stream' THEN score END) AS s2
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_terms,
+        |       COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score
+        |FROM piv ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "t_bpe_pair_counts" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |p AS (SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS pair

@@ -56,6 +56,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.count() == e.count(), "self-pair must make the join total over events")
   }
 
+  test("t_bm25_search: top-1 score matches a driver-side recompute from raw counts") {
+    val out = TextQueries.defs("t_bm25_search")(spark, sf).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(1) >= 1), "every hit must match >= 1 query term")
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted.reverse), "not score-desc ordered")
+    // independent recompute of the #1 doc's score from raw token counts
+    val terms = Seq("join", "vector", "stream")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val nDocs = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nDocs.toDouble
+    val dfm = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val (topId, topToks) = docs.find(_._1 == out.head.getLong(0)).get
+    val expected = terms.map { t =>
+      val tf = topToks.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else ((nDocs - dfm(t)).toDouble + 0.5) / (dfm(t).toDouble + 0.5) *
+        (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (topToks.length.toDouble / avgdl))))
+    }.sum
+    assert(math.abs(out.head.getDouble(2) - expected) < 1e-12,
+      s"doc $topId: got ${out.head.getDouble(2)}, recomputed $expected")
+  }
+
   test("j11_bloom_join: result equals the plain join (bloom adds no rows, drops none)") {
     val out = StorageQueries.defs("j11_bloom_join")(spark, sf)
     val o = graft.Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0)
