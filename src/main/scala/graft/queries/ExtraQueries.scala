@@ -134,6 +134,44 @@ object ExtraQueries {
         approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))),
 
+    // Beyond parity: count-min-sketch heavy hitters — the third sketch
+    // of the 100 TB trio (HLL = a12_approx_distinct for cardinality,
+    // bloom = t_decontaminate_bloom for membership, CMS here for
+    // frequency). The sketch aggregates distributed (mergeable counter
+    // matrix, map-side combined; ~80 KB at eps=1e-3), bytes collect
+    // once, and the driver probes it for the exact top-20 tokens —
+    // at scale this is how per-token frequencies are served without
+    // a second corpus pass. CMS with a pinned seed is DETERMINISTIC
+    // and insertion-order-independent (counters add), so the output is
+    // partition-invariant; rows-only (no DuckDB CMS) but the two
+    // one-sided guarantees are asserted loudly in-query: the estimate
+    // never undercounts, and overcounts by at most eps·N here (the
+    // probabilistic bound holds deterministically for this seed+data —
+    // a violation fails the query, not just the check).
+    "a14_countmin_topk" -> ((s, d) => {
+      val eps = 0.001
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(20).collect()
+      val bytes = toks
+        .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("s"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val slack = (eps * cms.totalCount()).ceil.toLong
+      val rows = exact.map { r =>
+        val (tok, tf) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(tok)
+        require(est >= tf, s"CMS undercounted '$tok': $est < $tf")
+        require(est <= tf + slack,
+          s"CMS overcounted '$tok' beyond eps*N: $est > $tf + $slack")
+        (tok, tf, est)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("token", "tf", "cms_est")
+    }),
+
     // T7 — KMeans featurizer fit (MLlib, fixed seed; rows-only) +
     // serve-side nearest-centroid assignment counts.
     "x_kmeans_fit" -> ((s, d) => {

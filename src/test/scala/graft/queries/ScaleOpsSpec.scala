@@ -81,6 +81,12 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"doc $topId: got ${out.head.getDouble(2)}, recomputed $expected")
   }
 
+  test("a14_countmin_topk: estimates bracket the exact counts (bounds also asserted in-query)") {
+    val out = ExtraQueries.defs("a14_countmin_topk")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"undercount in $r"))
+  }
+
   test("j11_bloom_join: result equals the plain join (bloom adds no rows, drops none)") {
     val out = StorageQueries.defs("j11_bloom_join")(spark, sf)
     val o = graft.Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0)
