@@ -137,6 +137,9 @@ object Bench {
     // one-row result is collect-once memoized, so this read is free)
     val ivfRecall = try SparkEntry.queries("x_ann_ivf_kmeans")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
+    // SQ8 twin: what the 3.2x memory compression costs in recall
+    val sq8Recall = try SparkEntry.queries("x_ann_ivf_sq8")(spark, sfDir)
+      .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
 
     val stages = Seq(
       "stage_featurize" -> featurize,
@@ -144,7 +147,8 @@ object Bench {
       "stage_score" -> score,
       "stage_end_to_end" -> endToEnd,
       "stage_point_lookup_us" -> pointLookupUs,
-      "ivf_kmeans_recall_at_1" -> ivfRecall) ++ ladderRows
+      "ivf_kmeans_recall_at_1" -> ivfRecall,
+      "ivf_sq8_recall_at_1" -> sq8Recall) ++ ladderRows
     // Key order is load-bearing: the driver archives only the TAIL of
     // this line (~2.2 KB), so the big per-query map goes FIRST and the
     // stage decomposition + headline keys go LAST — truncation then

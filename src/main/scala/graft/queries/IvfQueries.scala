@@ -390,6 +390,57 @@ object IvfQueries {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     })),
 
+    // Fitted IVF × SQ8 — the MEMORY-BOUND ANN configuration for
+    // 100 TB: the inverted file stores int8 codes (per-vector scale +
+    // norm sidecar: 64 B code + 16 B vs 256 B float32 — 3.2× less
+    // memory, and the in-cell scan reads a quarter of the bytes), the
+    // query stays full-precision (classic asymmetric distance: queries
+    // are few, codes are many), and candidates rank by the
+    // dequantized dot (Σ x_q·q_n) · amax_n / √nsq_n — query-constant
+    // factors dropped from the argmax. Same fitted quantizer and
+    // operating point as x_ann_ivf_kmeans, so the row measures exactly
+    // what the 4× compression costs in recall@1 against the same
+    // brute-force ground truth. Rows-only (fitted centers + codes not
+    // SQL-expressible); sequential per-row array folds keep it
+    // partition-invariant.
+    "x_ann_ivf_sq8" -> ((s, d) => sq8Result.getOrElseUpdate((s, d), {
+      val centers = fittedCenters(s, d)
+      val e = cachedEmb(s, d)
+      val inv = e
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
+        .select(col("vec_id").as("n_id"),
+          nearestCell(col("embedding"), centers).as("cell"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax0 + 0.5D) AS BIGINT))").as("nq"),
+          col("amax0").as("n_amax"), col("nsq").as("n_nsq"))
+      val q0 = queries(s, d)
+      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
+        struct(lit(k).as("cell"),
+          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
+      val probe = qCells
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rnk") <= FittedNProbe)
+        .select("q_id", "q_emb", "cell")
+      val sqTop = probe.join(inv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (expr("aggregate(zip_with(q_emb, nq, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+            * col("n_amax") / sqrt(col("n_nsq"))).as("adc"))
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("adc"), col("n_id"))).as("sq8_id"))
+      val res = sqTop.join(bfTop(s, d), Seq("q_id"), "right")
+        .agg(
+          lit(FittedK).as("k"), lit(FittedNProbe).as("nprobe"),
+          count(lit(1)).as("n_queries"),
+          avg(coalesce(col("sq8_id") === col("bf_id"), lit(false)).cast("double")).as("recall_at_1"),
+          // bytes per stored vector: int8 code + scale + norm vs float32
+          lit(Dim + 16).as("bytes_sq8"), lit(4 * Dim).as("bytes_f32"))
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    })),
+
     // The IVF operating curve (nprobe -> recall/cost), the sweep every
     // real ANN deployment tunes by: one row per probe depth with
     // recall@1 and the average fraction of the corpus scanned. ONE
@@ -440,6 +491,8 @@ object IvfQueries {
   )
 
   private val kmeansResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sq8Result =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sweepResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
