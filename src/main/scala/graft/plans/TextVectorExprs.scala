@@ -41,6 +41,70 @@ object VectorKernels {
     acc
   }
 
+  /** max |a_i| in double — the SQ8 scale scan; null if any element is
+    * null (matches array_max(transform(abs)) semantics; empty → 0). */
+  def absMax(a: ArrayData, aFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(if (aFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    m
+  }
+
+  /** SQ8 encode: q_i = floor(x_i·127/amax0 + 0.5) with amax0 = max|x|
+    * pinned to 1 when the vector is all-zero — EXACTLY the composed
+    * transform/floor formula (multiply before divide), one pass for the
+    * scale + one for the codes instead of three interpreted HOFs. */
+  def sq8(a: ArrayData, aFloat: Boolean): ArrayData = {
+    val m = absMax(a, aFloat)
+    if (m == null) return null
+    val amax0 = if (m.doubleValue() == 0.0) 1.0 else m.doubleValue()
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(x * 127.0 / amax0 + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact integer dot of two long arrays (the SQ8 symmetric scan). */
+  def intDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Asymmetric (float query × int8 code) dot, sequential double fold —
+    * same order as zip_with(CAST·CAST) + aggregate. */
+  def adcDot(a: ArrayData, b: ArrayData, aFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * b.getLong(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   /** Sequential Σ (a_i - b_i)² — same fold order as the zip_with
     * formulation and the oracle's list_reduce. */
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
@@ -264,6 +328,104 @@ case class L2DistSq(left: Expression, right: Expression) extends VectorBinaryKer
   override def prettyName: String = "graft_l2sq"
 }
 
+/** Shared float-array type check for the SQ8 unary kernels. */
+sealed trait FloatArrayUnaryKernel extends UnaryExpression {
+  protected def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${t.sql}")
+  }
+}
+
+/** max |x_i| — the SQ8 per-vector scale, one codegen'd scan. */
+case class AbsMax(child: Expression) extends FloatArrayUnaryKernel {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.absMax(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("am")
+      s"""
+       |java.lang.Double $r = graft.plans.VectorKernels.absMax($c, $isFloat);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): AbsMax = copy(child = c)
+  override def prettyName: String = "graft_abs_max"
+}
+
+/** SQ8 codes q_i = floor(x_i·127/amax0 + 0.5) as array<long>. */
+case class Sq8Codes(child: Expression) extends FloatArrayUnaryKernel {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.sq8(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sq")
+      s"""
+       |org.apache.spark.sql.catalyst.util.ArrayData $r = graft.plans.VectorKernels.sq8($c, $isFloat);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Sq8Codes = copy(child = c)
+  override def prettyName: String = "graft_sq8"
+}
+
+/** Exact Σ a_i·b_i over two array<long> (SQ8 symmetric scan). */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${l.sql}, ${r.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("idot")
+      s"""
+       |java.lang.Long $r = graft.plans.VectorKernels.intDot($a, $b);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_int_dot"
+}
+
+/** Asymmetric Σ x_i·q_i: float/double query × array<long> codes. */
+case class AdcDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<bigint>), got ${l.sql}, ${r.sql}")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.adcDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("adc")
+      s"""
+       |java.lang.Double $r = graft.plans.VectorKernels.adcDot($a, $b, $isFloat);
+       |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_adc_dot"
+}
+
 /** Integer polynomial rolling hash of a string (mod 1e9+7). */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -357,6 +519,12 @@ object TextVectorExprs {
   private def expr(c: Column) = GraftColumnBridge.expression(c)
   def dot(a: Column, b: Column): Column = GraftColumnBridge.column(DotProduct(expr(a), expr(b)))
   def l2Sq(a: Column, b: Column): Column = GraftColumnBridge.column(L2DistSq(expr(a), expr(b)))
+  def absMax(a: Column): Column = GraftColumnBridge.column(AbsMax(expr(a)))
+  def sq8Codes(a: Column): Column = GraftColumnBridge.column(Sq8Codes(expr(a)))
+  def intDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(IntDotProduct(expr(a), expr(b)))
+  def adcDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(AdcDotProduct(expr(a), expr(b)))
   def polyHash(s: Column): Column = GraftColumnBridge.column(PolyHash(expr(s)))
   def minhashSig(s: Column): Column = GraftColumnBridge.column(MinHashSig(expr(s)))
   def simhash16(s: Column): Column = GraftColumnBridge.column(SimHash16(expr(s)))

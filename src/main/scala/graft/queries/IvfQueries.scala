@@ -254,15 +254,16 @@ object IvfQueries {
     // quantizer itself: x·127/amax + 0.5 floored — multiply before
     // divide on BOTH engines), so the oracle matches bitwise.
     "t_embed_quantize" -> ((s, d) => {
+      // all codegen'd kernels (graft.plans: AbsMax / Sq8Codes /
+      // IntDotProduct) — the interpreted transform/zip_with/aggregate
+      // HOF chain computed the same values 5× slower; amax-0 vectors
+      // pin the divisor to 1 inside Sq8Codes (quantize to zeros, not
+      // 0·∞ = NaN)
+      val tv = graft.plans.TextVectorExprs
       val q8 = Tables.embeddings(s, d)
-        .withColumn("amax",
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-        // all-zero vector → amax 0 → pin the divisor to 1 (quantizes
-        // to the zero vector) instead of 0·∞ = NaN
+        .withColumn("amax", tv.absMax(col("embedding")))
         .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
-        .select(col("vec_id"), col("amax0"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax0 + 0.5D) AS BIGINT))"
-        ).as("q"))
+        .select(col("vec_id"), col("amax0"), tv.sq8Codes(col("embedding")).as("q"))
       val probe = q8.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("q").as("qq"))
       // ranking corrects each integer score by the NEIGHBOR's stored
@@ -274,9 +275,8 @@ object IvfQueries {
         .crossJoin(q8.select(col("vec_id").as("n_id"), col("q").as("nq"),
           col("amax0").as("n_amax")))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"), expr(
-          "aggregate(zip_with(qq, nq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        ).as("score"), col("n_amax"))
+        .select(col("q_id"), col("n_id"),
+          tv.intDot(col("qq"), col("nq")).as("score"), col("n_amax"))
         .withColumn("adj", col("score").cast("double") * col("n_amax"))
         .groupBy("q_id")
         .agg(min_by(struct(col("n_id"), col("score")),
@@ -406,13 +406,13 @@ object IvfQueries {
     "x_ann_ivf_sq8" -> ((s, d) => sq8Result.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
       val e = cachedEmb(s, d)
+      val tv = graft.plans.TextVectorExprs
       val inv = e
-        .withColumn("amax",
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("amax", tv.absMax(col("embedding")))
         .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
         .select(col("vec_id").as("n_id"),
           nearestCell(col("embedding"), centers).as("cell"),
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax0 + 0.5D) AS BIGINT))").as("nq"),
+          tv.sq8Codes(col("embedding")).as("nq"),
           col("amax0").as("n_amax"), col("nsq").as("n_nsq"))
       val q0 = queries(s, d)
       val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
@@ -427,7 +427,7 @@ object IvfQueries {
       val sqTop = probe.join(inv, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
-          (expr("aggregate(zip_with(q_emb, nq, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+          (tv.adcDot(col("q_emb"), col("nq"))
             * col("n_amax") / sqrt(col("n_nsq"))).as("adc"))
         .groupBy("q_id")
         .agg(min_by(col("n_id"), struct(-col("adc"), col("n_id"))).as("sq8_id"))

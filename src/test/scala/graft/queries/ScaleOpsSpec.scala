@@ -81,6 +81,32 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"doc $topId: got ${out.head.getDouble(2)}, recomputed $expected")
   }
 
+  test("SQ8 kernels match the interpreted HOF formulation bitwise (absMax, codes, int/adc dots)") {
+    val tv = graft.plans.TextVectorExprs
+    val e = graft.Tables.embeddings(spark, sf)
+      .withColumn("amax_hof", expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("amax_k", tv.absMax(col("embedding")))
+      .withColumn("amax0", when(col("amax_hof") === 0.0, lit(1.0)).otherwise(col("amax_hof")))
+      .withColumn("q_hof",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / amax0 + 0.5D) AS BIGINT))"))
+      .withColumn("q_k", tv.sq8Codes(col("embedding")))
+      .cache()
+    assert(e.filter(col("amax_hof") =!= col("amax_k")).count() == 0, "absMax differs")
+    assert(e.filter(expr("q_hof != q_k")).count() == 0, "sq8 codes differ")
+    val pairs = e.select(col("vec_id"), col("q_k"), col("embedding")).limit(20)
+      .crossJoin(e.select(col("q_k").as("nq"), col("embedding").as("n_emb")).limit(20))
+    val dotDiff = pairs
+      .withColumn("i_hof", expr("aggregate(zip_with(q_k, nq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("i_k", tv.intDot(col("q_k"), col("nq")))
+      .withColumn("a_hof", expr(
+        "aggregate(zip_with(embedding, nq, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+      .withColumn("a_k", tv.adcDot(col("embedding"), col("nq")))
+      .filter(col("i_hof") =!= col("i_k") ||
+        expr("a_hof != a_k AND NOT (isnan(a_hof) AND isnan(a_k))"))
+      .count()
+    assert(dotDiff == 0, "dot kernels differ from the HOF folds")
+  }
+
   test("a14_countmin_topk: estimates bracket the exact counts (bounds also asserted in-query)") {
     val out = ExtraQueries.defs("a14_countmin_topk")(spark, sf).collect()
     assert(out.length == 20)
