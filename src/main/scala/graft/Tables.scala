@@ -30,6 +30,18 @@ object Tables {
       .schema(schemaDdl)
       .csv(path)
 
+  /** JSONL ingest with the same contract as [[loadCsv]]: explicit
+    * schema (inference is a full extra pass AND type-unstable — an
+    * all-integer sample turns a double column into BIGINT), FAILFAST
+    * on malformed lines. Like CSV, JSONL is an ingest format: row-
+    * oriented, no column pruning, no predicate pushdown — land it,
+    * convert to parquet, query the parquet. */
+  def loadJson(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read
+      .option("mode", "FAILFAST")
+      .schema(schemaDdl)
+      .json(path)
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
     * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
     * (see [[graft.Sessions]]) so it arrives as epoch-nanos LongType and

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object LearnedQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** memory-sink names must be unique per start() within a session —
+    * bench re-invocations get a fresh tiny table instead of a clash */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def trainFrame(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -879,6 +883,41 @@ object LearnedQueries {
         .select(unix_timestamp(col("window_start")).as("wstart"),
           col("event_type"), col("cnt"), col("sum_value")))
 ,
+    // Streaming trending tokens — a REAL streamed stateful window
+    // aggregation (not the batch twin): documents replay as 4 file
+    // micro-batches, each doc carries a deterministic synthetic event
+    // time (integer-hash spread over a day — a pure function of
+    // doc_id, so replays/retries/oracle agree), tokens explode INSIDE
+    // the stream, and the windowed count is maintained as streaming
+    // state across batches. Complete-mode memory sink so every window
+    // is emitted regardless of watermark position; top-3 per window
+    // ranked batch-side from the sink. The oracle recomputes from the
+    // table — counts are integers, the (cnt desc, token) order is
+    // total, so stream-accumulated ≡ batch-computed exactly. The
+    // trending-terms dashboard shape: state is |windows|·|vocab|
+    // bounded, shuffles carry (window, token) keys only.
+    "x_stream_topk" -> ((s, d) => {
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val stageDir = graft.core.TmpDirs.scratch("stream_topk_src", d)
+      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val counts = stream
+        .withColumn("ts", timestamp_seconds(pmod(col("doc_id") * lit(7919L), lit(86400L))))
+        .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("token"), col("cnt"))
+      val sinkName = s"graft_stream_topk_${streamSinkSeq.incrementAndGet()}"
+      val q = StreamOps.toMemorySink(counts, sinkName)
+      q.processAllAvailable(); q.stop()
+      s.table(sinkName)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("wstart").orderBy(col("cnt").desc, col("token"))))
+        .filter(col("rn") <= 3)
+        .select("wstart", "token", "cnt")
+    }),
     // mapGroupsWithState sessionization (the custom-state escape hatch),
     // run on the batch frame — identical code on a stream. The trailing
     // (final) session per user is deterministic given a total event
@@ -1165,6 +1204,18 @@ object LearnedQueries {
         |  count(*) AS cnt,
         |  sum(CAST(round(value * 1000) AS BIGINT)) / 1000.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // same synthetic second + hour-window floor in pure integer
+    // arithmetic; (cnt desc, token) is a total order per window
+    "x_stream_topk" ->
+      """WITH toks AS (
+        |  SELECT (((doc_id * 7919) % 86400) // 3600) * 3600 AS wstart,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT wstart, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT wstart, token, cnt,
+        |        row_number() OVER (PARTITION BY wstart ORDER BY cnt DESC, token) AS rn
+        |      FROM c)
+        |SELECT wstart, token, cnt FROM r WHERE rn <= 3""".stripMargin,
     // final session per user: gaps-and-islands with a 30-min gap; the
     // session sum is reported as integer thousandths (the 3-decimal
     // values sum exactly there, so the code's sequential double fold and

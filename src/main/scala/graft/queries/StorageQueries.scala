@@ -241,7 +241,27 @@ object StorageQueries {
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   }
 
+  /** Declared JSONL ingest — the third leg of the source matrix
+    * (parquet = query format, CSV + JSONL = ingest formats, each with
+    * explicit schema + FAILFAST): documents staged as JSONL once, read
+    * back through [[Tables.loadJson]], filtered and projected. JSON
+    * string escaping round-trips exactly and integers are lossless, so
+    * the oracle is the parquet twin of the same query — the adapter is
+    * what's under test. The crawl/API-dump shape: at 100 TB JSONL is
+    * what arrives; this is the landing read before conversion.
+    */
+  private def jsonScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "json_documents") { p =>
+      Tables.documents(s, d).write.mode("overwrite").json(p)
+    }
+    Tables.loadJson(s, tmp,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .filter(col("n_chars") > 200L)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   val defs: Map[String, Q] = Map(
+    "s1c_json_scan" -> jsonScan,
     "s1b_csv_scan" -> csvScan,
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
     "s2_bucketed_smb_join" -> bucketedSmbJoin,
@@ -251,6 +271,9 @@ object StorageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s1c_json_scan" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE n_chars > 200""".stripMargin,
     "s1b_csv_scan" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_acctbal > 0.0""".stripMargin,
