@@ -139,4 +139,34 @@ class KernelPropertySpec extends AnyFunSuite {
     val narrow = new GenericArrayData(Array[Any](1.0))
     assertThrows[IllegalArgumentException](ref.vote(narrow, xFloat = false))
   }
+
+  test("SQ8 kernels: codes in [-127,127], zero vector -> zero codes, dots match naive loops") {
+    import graft.plans.VectorKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(80)
+      val x = Array.fill(n)((rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(5) - 2))
+      val xa = new GenericArrayData(x.map(v => v: Any))
+      val amax = VectorKernels.absMax(xa, aFloat = false)
+      assert(amax == x.map(math.abs).foldLeft(0.0)(math.max))
+      val q = VectorKernels.sq8(xa, aFloat = false).toLongArray
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes out of range: ${q.mkString(",")}")
+      val amax0 = if (amax == 0.0) 1.0 else amax.doubleValue()
+      q.zip(x).foreach { case (c, v) =>
+        assert(c == math.floor(v * 127.0 / amax0 + 0.5).toLong, s"code for $v") }
+      val y = Array.fill(n)(rnd.nextInt(255) - 127L)
+      val ya = new GenericArrayData(y.map(v => v: Any))
+      val qa = new GenericArrayData(q.map(v => v: Any))
+      assert(VectorKernels.intDot(qa, ya) == q.zip(y).map { case (a, b) => a * b }.sum)
+      val adc = VectorKernels.adcDot(xa, ya, aFloat = false)
+      val want = x.zip(y).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b.toDouble }
+      assert(adc == want, s"adc $adc != $want")
+    }
+    val zeros = new GenericArrayData(Array[Any](0.0, 0.0, 0.0))
+    assert(VectorKernels.sq8(zeros, aFloat = false).toLongArray.forall(_ == 0L))
+    // length mismatch -> null (the zip_with null contract)
+    val a2 = new GenericArrayData(Array[Any](1L, 2L))
+    val a3 = new GenericArrayData(Array[Any](1L, 2L, 3L))
+    assert(VectorKernels.intDot(a2, a3) == null)
+  }
 }
