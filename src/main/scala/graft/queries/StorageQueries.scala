@@ -221,6 +221,38 @@ object StorageQueries {
     res
   }
 
+  /** Schema evolution on a growing corpus — the lakehouse reality at
+    * 100 TB: yesterday's segments were written before a column existed,
+    * today's carry it, and ONE read must span both. Old-half documents
+    * are staged without `lang` (the later-added column), new-half with
+    * it; `mergeSchema=true` unions the parquet footers (old files
+    * surface the column as NULL — no rewrite of history, which at
+    * 100 TB is the whole point), and the query coalesces the NULLs to
+    * a sentinel and aggregates per (lang, source). The halves split by
+    * the same integer doc_id hash as the sampling family, so the
+    * oracle reproduces the missing-column pattern exactly. mergeSchema
+    * costs a footer merge, not a data pass — still, declare evolved
+    * columns nullable-with-default and keep segment schemas in a
+    * catalog at real scale.
+    */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "schema_evo") { p =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s7_schema_evolution")
+      val half = graft.functions.Hashing.bucket(col("doc_id"), 2L)
+      docs.filter(half === 0L).select("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/seg=old")
+      docs.filter(half === 1L)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/seg=new")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/seg=old", s"$tmp/seg=new")
+      .select(coalesce(col("lang"), lit("unknown")).as("lang"), col("source"), col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
   /** Declared CSV ingest (S1 literal parity: the reference's standalone
     * entry points read CSV — experiments/standalone/pm25.py:25-26): the
     * customer table is staged as CSV once, read back through
@@ -261,6 +293,7 @@ object StorageQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "s7_schema_evolution" -> schemaEvolution,
     "s1c_json_scan" -> jsonScan,
     "s1b_csv_scan" -> csvScan,
     "s6_ctas_partition_prune" -> ctasPartitionPrune,
@@ -292,6 +325,11 @@ object StorageQueries {
         |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_tokens,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "s7_schema_evolution" ->
+      """SELECT CASE WHEN ((doc_id * 2654435761) % 1000000007) % 2 = 1
+        |            THEN lang ELSE 'unknown' END AS lang,
+        |       source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "j11_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
