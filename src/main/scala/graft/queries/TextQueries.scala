@@ -185,6 +185,9 @@ object TextQueries {
     * interpolated into BOTH the Scala filters and the oracle SQL. */
   private val LshBase = 250L   // history: doc_id < LshBase
   private val LshBatch2 = 375L // lifecycle batch 1 = [LshBase, LshBatch2)
+  private val LshProbeBase = 450L // compaction: indexed history < this, probes >= this
+  private val lshCompactMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private val lshLifecycleMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -530,6 +533,59 @@ object TextQueries {
       val out = verifyLinks(s, d, cand1.union(cand2))
       sig.unpersist()
       out
+    })),
+
+    // Small-files compaction of the persisted band index — the
+    // operational half of append-only indexing at 100 TB: every ingest
+    // batch appends its own file set, and a year of hourly batches is
+    // ~10⁴ file groups whose open/footer overhead dominates the probe
+    // scan (the classic small-files problem). The query builds the
+    // index DELIBERATELY fragmented (base + 2 appends, many small
+    // files), compacts it with ONE keyed rewrite
+    // (repartition(band) — co-locating each band's postings also makes
+    // the probe join's shuffle one-sided at scale), asserts the file
+    // count actually collapsed AND that probing the compacted index
+    // returns byte-identical candidates (except-both-ways == 0 — a
+    // compaction that loses or invents postings fails the query, not
+    // just a check), then serves the probe from the compacted files.
+    // The oracle recomputes candidates from the raw corpus, closing
+    // fragment → compact → probe ≡ recompute end-to-end.
+    "t_lsh_index_compact" -> ((s, d) => lshCompactMemo.getOrElseUpdate((s, d), {
+      val sig = minhashSig(s, d).cache()
+      val bands = bandsOf(sig)
+      val fragDir = graft.core.TmpDirs.scratch("lsh_band_frag", d)
+      val compDir = graft.core.TmpDirs.scratch("lsh_band_compact", d)
+      bands.filter(col("doc_id") < LshBase)
+        .repartition(8).write.mode("overwrite").parquet(fragDir)
+      bands.filter(col("doc_id") >= LshBase && col("doc_id") < LshBatch2)
+        .repartition(4).write.mode("append").parquet(fragDir)
+      bands.filter(col("doc_id") >= LshBatch2 && col("doc_id") < LshProbeBase)
+        .repartition(4).write.mode("append").parquet(fragDir)
+      def dataFiles(dir: String): Int = new java.io.File(dir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val fragFiles = dataFiles(fragDir)
+      s.read.parquet(fragDir).repartition(2, col("band"))
+        .write.mode("overwrite").parquet(compDir)
+      val compFiles = dataFiles(compDir)
+      // a tiny corpus (sf0.001: 50 docs) leaves the append batches empty
+      // and never fragments — the collapse assert fires only when the
+      // fragmentation it checks actually happened
+      if (fragFiles >= 16)
+        require(compFiles < fragFiles / 4,
+          s"compaction did not collapse files: $fragFiles -> $compFiles")
+      def probe(dir: String): DataFrame =
+        bands.filter(col("doc_id") >= LshProbeBase)
+          .select(col("band"), col("bsig"), col("doc_id").as("new_doc"))
+          .join(s.read.parquet(dir)
+            .select(col("band"), col("bsig"), col("doc_id").as("existing_id")),
+            Seq("band", "bsig"))
+          .select("new_doc", "existing_id").distinct()
+      val fromComp = probe(compDir).localCheckpoint(true)
+      val fromFrag = probe(fragDir)
+      require(fromComp.except(fromFrag).isEmpty && fromFrag.except(fromComp).isEmpty,
+        "compacted probe diverged from the fragmented probe")
+      sig.unpersist()
+      fromComp
     })),
 
     // SimHash (16-bit) fingerprint, computed in-row (zero shuffle).
@@ -1506,6 +1562,16 @@ object TextQueries {
          |  WHERE (n.doc_id >= $LshBase AND n.doc_id < $LshBatch2 AND h.doc_id < $LshBase)
          |     OR (n.doc_id >= $LshBatch2 AND h.doc_id < $LshBatch2)),
          |$verifyLinksCte""".stripMargin,
+
+    // rebuilt-from-scratch twin of the compaction query: the hash match
+    // proves fragment -> compact -> probe == recompute (the in-query
+    // except-both-ways already pinned compacted == fragmented)
+    "t_lsh_index_compact" ->
+      s"""WITH $minhashCte,
+         |$bandsPairsCte
+         |SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS existing_id
+         |FROM bands n JOIN bands h ON n.band = h.band AND n.bsig = h.bsig
+         |WHERE n.doc_id >= $LshProbeBase AND h.doc_id < $LshProbeBase""".stripMargin,
 
     "t_incremental_dedup" ->
       s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
