@@ -152,6 +152,11 @@ object LearnedQueries {
   private val gbtSlot =
     new DynOracleSlot[(Seq[org.apache.spark.ml.tree.Node], Array[Double])]
   private val softmaxSlot = new DynOracleSlot[(Array[Array[Double]], Array[Double])]
+  // (vocab, logTheta class-major, logPi, class labels)
+  private val nbSlot =
+    new DynOracleSlot[(Array[String], Array[Array[Double]], Array[Double], Array[String])]
+  private val nbMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.plans.NbRef, Long, Double, Double)]
 
   private def fitted(s: SparkSession, d: String) = {
     val t = memoized(s, d, "binary_e2e") {
@@ -424,6 +429,60 @@ object LearnedQueries {
     cb
   }
 
+  /** Multinomial-Naive-Bayes text classifier fit (the 6th zoo member —
+    * the text-side analog of the tabular zoo: cheap lang routing over
+    * token counts). Vocabulary = top-32 corpus tokens by (tf desc,
+    * token) — deterministic; features = per-doc counts over it via the
+    * shared [[graft.plans.VocabCountsRef]] kernel (one tokenize + hash
+    * probe per row); labels = sorted distinct langs → 0..C-1. The
+    * fitted log-priors/log-conditionals compile into an [[graft.plans.NbRef]]
+    * whose fold order matches SqlGen.linearExact exactly; fidelity
+    * (kernel == MLlib transform) and accuracy are measured in-frame.
+    * Returns (ref, nDocs, agreement, accuracy); memoized per
+    * (session, dir) so the serve query and Bench pay the fit once. */
+  private[queries] def fittedNb(s: SparkSession, d: String): (graft.plans.NbRef, Long, Double, Double) =
+    nbMemo.getOrElseUpdate((s, d), {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang").cache()
+      val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("t")).limit(32)
+        .collect().map(_.getString(0))
+      vocab.foreach(t => require(t.matches("[a-z0-9]+"),
+        s"vocab token '$t' outside [a-z0-9]+ — the oracle embeds tokens as plain literals"))
+      val labels = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+      require(labels.length >= 2, "NB needs >= 2 language classes")
+      val cref = new graft.plans.VocabCountsRef(vocab)
+      val labelCol = labels.tail.zipWithIndex.foldLeft(
+        when(col("lang") === labels.head, 0.0)) {
+        case (w, (l, i)) => w.when(col("lang") === l, (i + 1).toDouble)
+      }
+      val feat = docs.select(col("doc_id"), col("text"), col("lang"),
+        org.apache.spark.ml.functions.array_to_vector(
+          graft.plans.NaiveBayesServe.countsColumn(col("text"), cref)
+            .cast("array<double>")).as("fv"),
+        labelCol.as("label"))
+      val model = new org.apache.spark.ml.classification.NaiveBayes()
+        .setSmoothing(1.0).setModelType("multinomial")
+        .setFeaturesCol("fv").setLabelCol("label")
+        .fit(feat)
+      val theta = Array.tabulate(labels.length)(c =>
+        Array.tabulate(vocab.length)(i => model.theta(c, i)))
+      val pi = model.pi.toArray
+      val ref = new graft.plans.NbRef(vocab, theta, pi, labels)
+      nbSlot.put(d, (vocab, theta, pi, labels))
+      val langArr = array(labels.map(lit): _*)
+      val fid = model.transform(feat)
+        .select(col("lang"),
+          element_at(langArr, col("prediction").cast("int") + 1).as("ml_lang"),
+          graft.plans.NaiveBayesServe.predictColumn(col("text"), ref).as("kernel_lang"))
+        .agg(count(lit(1)).as("n"),
+          avg((col("kernel_lang") === col("ml_lang")).cast("double")).as("agree"),
+          avg((col("kernel_lang") === col("lang")).cast("double")).as("acc"))
+        .head()
+      docs.unpersist()
+      (ref, fid.getLong(0), fid.getDouble(1), fid.getDouble(2))
+    })
+
   /** Fitted-LR coefficients from a numeric-feature zoo fit; recorded
     * for the transpiled-serve oracle. */
   private[queries] def fittedLr(s: SparkSession, d: String): (Array[Double], Double) = {
@@ -602,6 +661,31 @@ object LearnedQueries {
         softmaxClassExpr(
           Seq(col("o_totalprice"), (col("o_custkey") % 50).cast("double")),
           coefs, bs).as("pred_class"))
+    }),
+
+    // Multinomial-NB fit lifecycle (rows-only: the MLlib fit is not
+    // SQL-expressible): one row with extraction fidelity (compiled
+    // kernel == MLlib transform over the training frame) and the
+    // honest lang-ID accuracy of token counts on this corpus.
+    "x_learned_nb" -> ((s, d) => {
+      val (ref, n, agree, acc) = fittedNb(s, d)
+      import s.implicits._
+      Seq((n, ref.labels.length, ref.vocab.length, agree, acc))
+        .toDF("n_docs", "n_classes", "vocab_size", "kernel_ml_agreement", "accuracy")
+    }),
+
+    // The TRAINED NB's serve half: text → class label as ONE compiled
+    // projection (NbRef: tokenize once, hash-probe counts, per-class
+    // scores folded in vocab order with the prior added last — the
+    // exact linearExact chain — first-max argmax = MLlib's rule). The
+    // oracle is generated from the fitted log-probs; list_filter
+    // recomputes each count and list_position takes the same first
+    // maximum. Text classification joins the tabular zoo serves: all
+    // SIX model families now serve hash-checked.
+    "x_nb_serve" -> ((s, d) => {
+      val (ref, _, _, _) = fittedNb(s, d)
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.plans.NaiveBayesServe.predictColumn(col("text"), ref).as("pred_lang"))
     }),
 
     // The TRAINED gradient-boosted ensemble's serve half, transpiled:
@@ -1090,6 +1174,18 @@ object LearnedQueries {
         Seq("o_totalprice", "(CAST(o_custkey % 50 AS DOUBLE))"),
         Seq("o_orderkey", "o_custkey"), "orders", "pred_class")
     }
+    val nbServe = nbSlot.only.map { case (vocab, theta, pi, labels) =>
+      val countSqls: Seq[String] = vocab.toSeq.map(t =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t'))")
+      val zs = theta.zip(pi).map { case (th, p) =>
+        SqlGen.linearExact(countSqls, th.toSeq, p) }
+      val langList = labels.map(l => s"'$l'").mkString("[", ", ", "]")
+      "x_nb_serve" ->
+        s"""WITH z AS (SELECT doc_id, [${zs.mkString(", ")}] AS zs FROM documents)
+           |SELECT doc_id,
+           |  $langList[list_position(zs, list_aggregate(zs, 'max'))] AS pred_lang
+           |FROM z""".stripMargin
+    }
     val lrServe = lrSlot.only.map { case (coefs, b) =>
       "x_lr_serve" ->
         s"""SELECT l_orderkey, l_linenumber,
@@ -1170,7 +1266,7 @@ object LearnedQueries {
              |FROM lineitem""".stripMargin
       }
     staticOracle ++ e2e ++ persistServe ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
-      lrServe ++ softmaxServe ++ gbtServe ++ catServe ++ knnServe ++
+      lrServe ++ softmaxServe ++ nbServe ++ gbtServe ++ catServe ++ knnServe ++
       dtRegServe ++ gbtRegServe ++ dtCatServe ++ gbtCatServe
   }
 

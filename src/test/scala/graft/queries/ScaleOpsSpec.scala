@@ -113,6 +113,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"undercount in $r"))
   }
 
+  test("x_nb_serve: compiled NB kernel agrees with MLlib's transform exactly") {
+    val fit = LearnedQueries.defs("x_learned_nb")(spark, sf).head()
+    assert(fit.getAs[Double]("kernel_ml_agreement") == 1.0,
+      s"kernel diverged from MLlib: $fit")
+    val out = LearnedQueries.defs("x_nb_serve")(spark, sf)
+    assert(out.count() == graft.Tables.documents(spark, sf).count())
+    // predictions only ever name fitted classes
+    val langs = graft.Tables.documents(spark, sf)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    val bad = out.filter(!col("pred_lang").isin(langs.toSeq: _*)).count()
+    assert(bad == 0, "serve predicted a label outside the fitted classes")
+  }
+
   test("j11_bloom_join: result equals the plain join (bloom adds no rows, drops none)") {
     val out = StorageQueries.defs("j11_bloom_join")(spark, sf)
     val o = graft.Tables.orders(spark, sf).filter(col("o_totalprice") > 480000.0)
