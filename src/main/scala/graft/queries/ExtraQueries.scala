@@ -134,6 +134,52 @@ object ExtraQueries {
         approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))),
 
+    // Beyond parity: approximate quantiles — the fourth sketch of the
+    // 100 TB kit (HLL cardinality / bloom membership / CMS frequency /
+    // quantile sketch here). Exact percentiles (w5_percentile) need a
+    // per-group sort; the Greenwald-Khanna sketch behind
+    // approx_percentile is one mergeable pass with an eps rank
+    // guarantee — the only viable form when the column has billions of
+    // rows. Rows-only (sketch internals differ across engines), but
+    // the rank guarantee is asserted loudly in-query: each estimate
+    // must sit within eps·n ranks of the requested quantile (checked
+    // against the exact sorted positions, driver-bounded: 3 quantiles
+    // × |groups|). Deterministic: GK is insertion-order-dependent in
+    // general, but Spark's implementation merges per-partition
+    // summaries with a fixed compression threshold and the audit
+    // (compare_runs) pins partition-invariance empirically for this
+    // data — a violation would fail the round's determinism gate, not
+    // slip through.
+    "w5b_approx_quantile" -> ((s, d) => {
+      val eps = 0.01
+      val li = Tables.lineitem(s, d)
+      val res = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(l_quantity, array(0.25D, 0.5D, 0.9D), ${(1 / eps).toInt})")
+          .as("approx"))
+        .select(col("l_returnflag"), col("n"),
+          col("approx").getItem(0).as("p25"),
+          col("approx").getItem(1).as("p50"),
+          col("approx").getItem(2).as("p90"))
+      // rank-guarantee audit: for each group and quantile, the exact
+      // rank of the estimate must be within eps*n of q*n
+      val rows = res.collect()
+      rows.foreach { r =>
+        val flag = r.getString(0); val n = r.getLong(1)
+        Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.9 -> r.getDouble(4))
+          .foreach { case (q, est) =>
+            val below = li.filter(col("l_returnflag") === flag &&
+              col("l_quantity") <= est).count()
+            val slack = (eps * n).ceil.toLong + 1
+            require(math.abs(below - q * n) <= slack + (
+              // plateau correction: ties can push the <=-rank far right
+              li.filter(col("l_returnflag") === flag && col("l_quantity") === est).count()),
+              s"approx_percentile broke its rank guarantee: group $flag q=$q est=$est rank=$below of $n")
+          }
+      }
+      res
+    }),
+
     // Beyond parity: count-min-sketch heavy hitters — the third sketch
     // of the 100 TB trio (HLL = a12_approx_distinct for cardinality,
     // bloom = t_decontaminate_bloom for membership, CMS here for

@@ -390,6 +390,37 @@ object IvfQueries {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     })),
 
+    // ANN-model persistence round-trip — the S5 story for the vector
+    // family: the fitted coarse quantizer (KMeans centers) persists as
+    // a plain parquet relation (cell, dim, weight — exact float64
+    // bits, the same "model-as-relation" shape the KV index uses),
+    // "tomorrow's" session reloads it and serves cell assignments from
+    // the RELOADED doubles. The declared output is the reloaded serve
+    // and its oracle is generated from the reloaded literals via the
+    // same slot as w3b — so the green hash proves save → load →
+    // re-serve ≡ fit-session serve bit for bit (an in-query assert
+    // additionally pins reloaded == in-memory centers elementwise).
+    "x_ann_persist" -> ((s, d) => {
+      val centers = fittedCenters(s, d)
+      val dir = graft.core.TmpDirs.scratch("ann_centers", d)
+      import s.implicits._
+      centers.zipWithIndex.flatMap { case (c, k) =>
+        c.zipWithIndex.map { case (w, i) => (k, i, w) }
+      }.toSeq.toDF("cell", "dim", "weight")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val reloaded = {
+        val rows = s.read.parquet(dir).collect()
+        val out = Array.ofDim[Double](FittedK, Dim)
+        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        out
+      }
+      require(reloaded.length == centers.length &&
+        reloaded.zip(centers).forall { case (a, b) => a.sameElements(b) },
+        "reloaded centers differ from the fitted centers — parquet round-trip broke")
+      Tables.embeddings(s, d).select(col("vec_id"),
+        nearestCell(col("embedding"), reloaded).as("cell"))
+    }),
+
     // Fitted IVF × SQ8 — the MEMORY-BOUND ANN configuration for
     // 100 TB: the inverted file stores int8 codes (per-vector scale +
     // norm sidecar: 64 B code + 16 B vs 256 B float32 — 3.2× less
@@ -533,14 +564,19 @@ object IvfQueries {
     * query to its rows-only check rather than comparing against a
     * model the outputs never saw). */
   def oracle: Map[String, String] = {
-    val fittedAssign = centersSlot.only.map { cs =>
-      "w3b_kmeans_fitted_assign" ->
+    // ONE assignment SQL serves both: the fit-session serve (w3b) and
+    // the reloaded serve (x_ann_persist) — the latter's inputs are the
+    // reloaded doubles, asserted bit-equal to these in-query, so a
+    // shared oracle is exactly the round-trip proof
+    val fittedAssign = centersSlot.only.toSeq.flatMap { cs =>
+      val sql =
         s"""WITH cells AS (${cs.zipWithIndex.map { case (c, k) =>
              s"SELECT vec_id, $k AS cell, ${distSqLitSql("embedding", c)} AS dist FROM embeddings"
            }.mkString(" UNION ALL ")})
            |SELECT vec_id, cell FROM (
            |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
            |  FROM cells) WHERE rn = 1""".stripMargin
+      Seq("w3b_kmeans_fitted_assign" -> sql, "x_ann_persist" -> sql)
     }
     val pcaServe = pcaSlot.only.map { pc =>
       "x_pca_serve" ->
