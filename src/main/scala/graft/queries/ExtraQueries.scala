@@ -134,6 +134,41 @@ object ExtraQueries {
         approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))),
 
+    // Beyond parity: declarative data-quality constraints (the
+    // Deequ-style expectations pass a production corpus runs before
+    // training): completeness, uniqueness, a cross-column consistency
+    // invariant, a domain check, and a range check — ALL evaluated in
+    // ONE map-side-combined aggregation pass (conditional sums over a
+    // single scan; |checks| is the row count, never the data), then
+    // unpivoted to one row per check. At 100 TB the alternative —
+    // one query per expectation — scans the corpus five times; this
+    // shape scans it once. Integer counters throughout; the oracle is
+    // the same checks in SQL, so the hash also re-proves the corpus
+    // invariants the other queries rely on (unique doc_id, n_chars
+    // consistency, known langs).
+    "a15_constraints" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val agg = docs.agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id").isNull.cast("long")).as("null_id"),
+        count_distinct(col("doc_id")).as("distinct_id"),
+        sum((col("n_chars") =!= length(col("text"))).cast("long")).as("bad_len"),
+        sum((!col("lang").isin("de", "en", "es", "fr", "zh")).cast("long")).as("bad_lang"),
+        sum((col("n_chars") <= 0L).cast("long")).as("bad_range"))
+      agg.select(explode(array(
+        struct(lit("doc_id_complete").as("check"), col("n").as("n_checked"),
+          col("null_id").as("n_violations")),
+        struct(lit("doc_id_unique").as("check"), col("n").as("n_checked"),
+          (col("n") - col("distinct_id")).as("n_violations")),
+        struct(lit("n_chars_consistent").as("check"), col("n").as("n_checked"),
+          col("bad_len").as("n_violations")),
+        struct(lit("lang_in_domain").as("check"), col("n").as("n_checked"),
+          col("bad_lang").as("n_violations")),
+        struct(lit("n_chars_positive").as("check"), col("n").as("n_checked"),
+          col("bad_range").as("n_violations")))).as("c"))
+        .select("c.check", "c.n_checked", "c.n_violations")
+    }),
+
     // Beyond parity: approximate quantiles — the fourth sketch of the
     // 100 TB kit (HLL cardinality / bloom membership / CMS frequency /
     // quantile sketch here). Exact percentiles (w5_percentile) need a
@@ -256,6 +291,19 @@ object ExtraQueries {
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
   val oracle: Map[String, String] = Map(
+    "a15_constraints" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_id,
+        |  count(DISTINCT doc_id) AS distinct_id,
+        |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::BIGINT AS bad_len,
+        |  sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END)::BIGINT AS bad_lang,
+        |  sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)::BIGINT AS bad_range
+        |  FROM documents)
+        |SELECT 'doc_id_complete' AS "check", n AS n_checked, null_id AS n_violations FROM a
+        |UNION ALL SELECT 'doc_id_unique', n, n - distinct_id FROM a
+        |UNION ALL SELECT 'n_chars_consistent', n, bad_len FROM a
+        |UNION ALL SELECT 'lang_in_domain', n, bad_lang FROM a
+        |UNION ALL SELECT 'n_chars_positive', n, bad_range FROM a""".stripMargin,
     "a12_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
