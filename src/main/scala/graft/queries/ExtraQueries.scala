@@ -134,6 +134,47 @@ object ExtraQueries {
         approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))),
 
+    // Beyond parity: market-basket frequent pairs (the support-count
+    // core of association mining, and the co-occurrence statistic
+    // behind co-occurrence embeddings): top-100 part pairs by how many
+    // orders contain both. Scale shape: the self-join is keyed on
+    // l_orderkey, so pair fan-out is per-basket quadratic but baskets
+    // are small (≤13 here; cap any pathological basket upstream) —
+    // never an all-pairs product across the catalog; the pair groupBy
+    // partial-aggregates map-side (frequent pairs — exactly the ones
+    // wanted — collapse before the shuffle); top-k = TakeOrdered.
+    // DISTINCT parts within the order first: duplicate lineitems of
+    // one part must not double-count a basket. (support desc, a, b)
+    // is a total order, so LIMIT is deterministic.
+    "t_frequent_pairs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    }),
+
+    // Beyond parity: retention cohorts (the product-analytics staple):
+    // users grouped by first-activity day, activity counted per
+    // (cohort_day, day_offset). NO self-join: the cohort day is a
+    // per-user min (one map-side-combined agg over |users| keys), the
+    // offset is integer date arithmetic after a broadcast-sized join
+    // back — two passes total at any scale. Days are integer
+    // epoch-day buckets (µs div 86400e6) so retries and the oracle
+    // agree exactly.
+    "t_retention_cohorts" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+      val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("active_users"),
+          count(lit(1)).as("events"))
+    }),
+
     // Beyond parity: declarative data-quality constraints (the
     // Deequ-style expectations pass a production corpus runs before
     // training): completeness, uniqueness, a cross-column consistency
@@ -291,6 +332,19 @@ object ExtraQueries {
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
   val oracle: Map[String, String] = Map(
+    "t_frequent_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+        |FROM items a JOIN items b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin,
+    "t_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS active_users, count(*) AS events
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "a15_constraints" ->
       """WITH a AS (SELECT count(*) AS n,
         |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_id,
