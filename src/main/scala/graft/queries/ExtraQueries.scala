@@ -157,6 +157,34 @@ object ExtraQueries {
         .limit(100)
     }),
 
+    // Beyond parity: ordered funnel analysis (click → error →
+    // purchase, strictly in that time order per user) — the
+    // sequential-pattern query cohorts and sessionization don't
+    // answer. Each step is "first qualifying event AFTER the previous
+    // step's time": a user-keyed min-aggregation chained through a
+    // user-keyed join — per-step cost is one shuffle on user_id, never
+    // a per-user sort or cross product, and the chain length (not the
+    // data) bounds the number of passes. Integer epoch-µs comparisons
+    // throughout; output is the one-row conversion summary, assembled
+    // as one plan (three 1-row aggs cross-joined — the j6 scalar
+    // shape), no driver loop.
+    "t_funnel_steps" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      def firstAfter(evType: String, prev: DataFrame, prevCol: String): DataFrame =
+        e.filter(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .filter(col("us") > col(prevCol))
+          .groupBy("user_id").agg(min(col("us")).as(s"min_$evType"))
+      val c = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("us")).as("min_click"))
+      val er = firstAfter("error", c, "min_click")
+      val p = firstAfter("purchase", er, "min_error")
+      c.agg(count(lit(1)).as("users_click"))
+        .crossJoin(er.agg(count(lit(1)).as("users_then_error")))
+        .crossJoin(p.agg(count(lit(1)).as("users_then_purchase")))
+    }),
+
     // Beyond parity: retention cohorts (the product-analytics staple):
     // users grouped by first-activity day, activity counted per
     // (cohort_day, day_offset). NO self-join: the cohort day is a
@@ -338,6 +366,18 @@ object ExtraQueries {
         |FROM items a JOIN items b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin,
+    "t_funnel_steps" ->
+      """WITH c AS (SELECT user_id, min(epoch_us(ts)) AS mc FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |er AS (SELECT e.user_id, min(epoch_us(e.ts)) AS me
+        |       FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.mc
+        |       WHERE e.event_type = 'error' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS mp
+        |      FROM events e JOIN er ON e.user_id = er.user_id AND epoch_us(e.ts) > er.me
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM c) AS users_click,
+        |       (SELECT count(*) FROM er) AS users_then_error,
+        |       (SELECT count(*) FROM p) AS users_then_purchase""".stripMargin,
     "t_retention_cohorts" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
