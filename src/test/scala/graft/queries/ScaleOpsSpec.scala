@@ -107,6 +107,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(dotDiff == 0, "dot kernels differ from the HOF folds")
   }
 
+  test("analytics trio: funnel steps are monotone, cohorts cover all users, pair support >= 1") {
+    val f = ExtraQueries.defs("t_funnel_steps")(spark, sf).head()
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2),
+      s"funnel steps must be non-increasing: $f")
+    val cohorts = ExtraQueries.defs("t_retention_cohorts")(spark, sf)
+    val cohortUsers = cohorts.filter(col("day_offset") === 0)
+      .agg(sum("active_users")).head().getLong(0)
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohortUsers == totalUsers,
+      s"every user must appear in their cohort's day-0 row: $cohortUsers != $totalUsers")
+    assert(cohorts.filter(col("day_offset") < 0).count() == 0, "negative day offset")
+    val pairs = ExtraQueries.defs("t_frequent_pairs")(spark, sf).collect()
+    assert(pairs.forall(r => r.getLong(2) >= 1 && r.getLong(0) < r.getLong(1)),
+      "pair rows must be ordered (a < b) with support >= 1")
+  }
+
   test("a14_countmin_topk: estimates bracket the exact counts (bounds also asserted in-query)") {
     val out = ExtraQueries.defs("a14_countmin_topk")(spark, sf).collect()
     assert(out.length == 20)
