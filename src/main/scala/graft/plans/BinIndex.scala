@@ -153,7 +153,20 @@ object GraftExtensions {
     // does not — refusing the type keeps the equivalence honest).
     (FunctionIdentifier("intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "intersect_size"),
-      arity("intersect_size", 2)(c => IntersectSize(c(0), c(1)))))
+      arity("intersect_size", 2)(c => IntersectSize(c(0), c(1)))),
+    // SQ8 quantized-scan kernels (round 8)
+    (FunctionIdentifier("graft_abs_max"),
+      new ExpressionInfo(classOf[AbsMax].getName, "graft_abs_max"),
+      arity("graft_abs_max", 1)(c => AbsMax(c.head))),
+    (FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8"),
+      arity("graft_sq8", 1)(c => Sq8Codes(c.head))),
+    (FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+      arity("graft_int_dot", 2)(c => IntDotProduct(c(0), c(1)))),
+    (FunctionIdentifier("graft_adc_dot"),
+      new ExpressionInfo(classOf[AdcDotProduct].getName, "graft_adc_dot"),
+      arity("graft_adc_dot", 2)(c => AdcDotProduct(c(0), c(1)))))
 
   /** Register all graft functions on an already-built session
     * (getOrCreate ignores withExtensions when a session exists). */

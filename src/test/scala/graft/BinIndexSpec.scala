@@ -60,4 +60,17 @@ class BinIndexSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m") == 16)
     assert(r.getSeq[String](4).toSeq == Seq("a b c", "b c d"))
   }
+
+  test("SQ8 kernels are callable from SQL once registered") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_abs_max(array(-0.5D, 0.25D)) AS am, " +
+      "  graft_sq8(array(-0.5D, 0.25D)) AS q, " +
+      "  graft_int_dot(array(1L, -2L), array(3L, 4L)) AS i, " +
+      "  graft_adc_dot(array(0.5D, 2.0D), array(2L, -1L)) AS a").head()
+    assert(r.getAs[Double]("am") == 0.5)
+    assert(r.getSeq[Long](1).toSeq == Seq(-127L, 64L)) // 0.25*127/0.5+0.5 floored
+    assert(r.getAs[Long]("i") == 3L * 1 - 2 * 4)
+    assert(r.getAs[Double]("a") == 0.5 * 2 - 2.0)
+  }
 }
