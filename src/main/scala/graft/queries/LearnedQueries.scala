@@ -1041,6 +1041,26 @@ object LearnedQueries {
           unix_timestamp(col("ts")).as("ets"))
     }),
 
+    // CEP-lite ordered-pattern matching through the custom-state
+    // escape hatch: the click → error → purchase funnel as a
+    // mapGroupsWithState machine (one (stage, ts) pair of state per
+    // user at ANY stream length), run on the batch frame — identical
+    // code on a watermarked stream. Result: users per reached stage.
+    // The oracle recomputes each user's stage with the
+    // first-qualifying-event-after-previous-step min-chain, which the
+    // greedy state machine provably equals (t_funnel_steps' semantics,
+    // here per-user). Unique-(user, us) guard keeps the in-group sort
+    // total.
+    "x_funnel_state" -> ((s, d) => {
+      import s.implicits._
+      assertEventsTsUnique(s, d)
+      val e = Tables.events(s, d).select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_type"))
+        .as[StreamOps.TypedEvent]
+      StreamOps.funnel(e, Seq("click", "error", "purchase")).toDF()
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    }),
+
     "x_sessionize" -> ((s, d) => {
       import s.implicits._
       assertEventsTsUnique(s, d)
@@ -1334,6 +1354,25 @@ object LearnedQueries {
       """SELECT user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ets
         |FROM events""".stripMargin,
+    // greedy state machine == first-qualifying-after-previous min-chain
+    "x_funnel_state" ->
+      """WITH c AS (SELECT user_id, min(epoch_us(ts)) AS mc FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |er AS (SELECT e.user_id, min(epoch_us(e.ts)) AS me
+        |       FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.mc
+        |       WHERE e.event_type = 'error' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS mp
+        |      FROM events e JOIN er ON e.user_id = er.user_id AND epoch_us(e.ts) > er.me
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |st AS (SELECT u.user_id,
+        |         CASE WHEN p.user_id IS NOT NULL THEN 3
+        |              WHEN er.user_id IS NOT NULL THEN 2
+        |              WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |       FROM u LEFT JOIN c ON u.user_id = c.user_id
+        |              LEFT JOIN er ON u.user_id = er.user_id
+        |              LEFT JOIN p ON u.user_id = p.user_id)
+        |SELECT stage, count(*) AS n_users FROM st GROUP BY stage""".stripMargin,
     "x_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, value,

@@ -60,6 +60,39 @@ object StreamOps {
       }
   }
 
+  final case class TypedEvent(user_id: Long, us: Long, event_type: String)
+  final case class FunnelState(stage: Int, lastAdvanceUs: Long)
+  final case class FunnelRow(user_id: Long, stage: Int)
+
+  /** Ordered-pattern matching (CEP-lite) via mapGroupsWithState: per
+    * user, advance through `steps` strictly in event-time order — an
+    * event only fires the NEXT step, and only if it lands strictly
+    * after the previous advance. State is one (stage, ts) pair per
+    * user regardless of stream length — the bounded-state requirement.
+    * On a batch frame each group arrives as one call (sorted here, so
+    * the result is deterministic given unique (user, us) — callers
+    * guard); on a stream the same code advances incrementally per
+    * micro-batch. Greedy earliest-advance ≡ the first-qualifying-
+    * event-after-previous-step min-chain (t_funnel_steps), which is
+    * what the SQL oracle recomputes.
+    */
+  def funnel(events: Dataset[TypedEvent], steps: Seq[String]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          val init = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val fin = rows.toSeq.sortBy(e => (e.us, e.event_type)).foldLeft(init) { (st, e) =>
+            if (st.stage < steps.length && e.event_type == steps(st.stage) &&
+                e.us > st.lastAdvanceUs)
+              FunnelState(st.stage + 1, e.us)
+            else st
+          }
+          state.update(fin)
+          FunnelRow(uid, fin.stage)
+      }
+  }
+
   /** Streaming dedup for ingestion pipelines: exact-dup drop on a
     * fingerprint column within the watermark horizon —
     * `dropDuplicates` keeps state only for keys younger than the

@@ -124,6 +124,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       "pair rows must be ordered (a < b) with support >= 1")
   }
 
+  test("StreamOps.funnel: the CEP state machine honors strict event-time order") {
+    import spark.implicits._
+    val evs = Seq(
+      (1L, 10L, "click"), (1L, 20L, "error"), (1L, 30L, "purchase"), // full funnel
+      (2L, 10L, "purchase"), (2L, 20L, "click"), (2L, 30L, "error"), // early purchase ignored
+      (3L, 10L, "error"), (3L, 20L, "click"),                        // error before click -> 1
+      (4L, 10L, "view"))                                             // never clicks -> 0
+      .map(t => graft.streaming.StreamOps.TypedEvent(t._1, t._2, t._3))
+    val out = graft.streaming.StreamOps
+      .funnel(evs.toDS(), Seq("click", "error", "purchase"))
+      .collect().map(r => r.user_id -> r.stage).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0), s"got $out")
+  }
+
   test("a14_countmin_topk: estimates bracket the exact counts (bounds also asserted in-query)") {
     val out = ExtraQueries.defs("a14_countmin_topk")(spark, sf).collect()
     assert(out.length == 20)
