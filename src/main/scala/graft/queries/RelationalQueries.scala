@@ -197,6 +197,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_within"))
     }),
 
+    // J12 (beyond parity): explicit ANTI join — "orders with NO
+    // high-value lineitem", the NOT-EXISTS shape. left_anti keeps the
+    // probe row iff the build side has no match: at scale this is a
+    // broadcast/shuffle hash join that SHORT-CIRCUITS on first match
+    // and never materializes the pair (the naive formulation —
+    // left-join + IS NULL filter — carries matched rows to the filter;
+    // EXCEPT adds a distinct shuffle). The build side projects only
+    // the join key before the exchange.
+    "j12_anti_join" -> ((s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 80000.0).select("l_orderkey")
+      Tables.orders(s, d)
+        .join(hot, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    }),
+
     // W5 (beyond parity): exact interpolated percentiles per group.
     "w5_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -348,6 +366,14 @@ object RelationalQueries {
         |  ON epoch_us(b.ts) >= epoch_us(a.ts) - 300000000
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
         |GROUP BY a.event_id""".stripMargin,
+    "j12_anti_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey
+        |                    AND l.l_extendedprice > 80000.0)
+        |GROUP BY o_orderstatus""".stripMargin,
     "w5_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50_qty,
