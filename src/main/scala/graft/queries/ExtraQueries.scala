@@ -134,6 +134,31 @@ object ExtraQueries {
         approx_count_distinct("l_partkey").as("approx_parts"),
         approx_count_distinct("l_orderkey").as("approx_orders"))),
 
+    // Beyond parity: EXACT second moments at scale — mean/variance/
+    // stddev of money without FP drift. A naive sum-of-doubles varies
+    // with partial-aggregation order (a 1000-executor reduce tree
+    // reorders millions of adds); here the sufficient statistics are
+    // EXACT integers — cents as BIGINT (< 2^53, safe in the final
+    // double conversions), squared cents as DECIMAL(38,0) (1.5e19 at
+    // sf0.1 overflows BIGINT; decimal addition is associative-exact,
+    // so the sums are partition-invariant) — and only the FINAL
+    // moment arithmetic is floating point, in one fixed-order chain
+    // both engines reproduce bitwise. The map-side-combined single
+    // pass is the Welford-equivalent for distributed execution.
+    "a16_exact_variance" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(cents).as("sum_cents"),
+        sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).as("sumsq_dec"))
+        .select(col("l_returnflag"), col("n"), col("sum_cents"),
+          expr("""CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0""").as("mean"),
+          expr("""(CAST(sumsq_dec AS DOUBLE)
+                 | - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+                 | / CAST(n - 1 AS DOUBLE) / 10000.0""".stripMargin).as("variance"))
+    }),
+
     // Beyond parity: market-basket frequent pairs (the support-count
     // core of association mining, and the co-occurrence statistic
     // behind co-occurrence embeddings): top-100 part pairs by how many
@@ -360,6 +385,18 @@ object ExtraQueries {
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
   val oracle: Map[String, String] = Map(
+    "a16_exact_variance" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS sumsq_dec
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sum_cents,
+        |  CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  (CAST(sumsq_dec AS DOUBLE)
+        |   - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / CAST(n - 1 AS DOUBLE) / 10000.0 AS variance
+        |FROM s""".stripMargin,
     "t_frequent_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
