@@ -273,6 +273,51 @@ object StorageQueries {
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   }
 
+  /** MERGE-INTO / SCD-1 upsert on plain parquet — the daily-delta
+    * refresh every snapshot corpus needs (re-crawled pages replace
+    * their old versions; Delta/Iceberg do this transactionally, and
+    * this is the same dataflow on bare files): snapshot ⟕ delta as a
+    * full outer join on the key, delta wins per key, REWRITE to a new
+    * snapshot directory (never in place — readers of the old snapshot
+    * are unaffected, and a failed job leaves the old snapshot intact:
+    * poor-man's atomicity via directory swap). The delta here is a
+    * deterministic subset of documents with rewritten text (pure
+    * function of doc_id), so the DuckDB oracle reproduces the merged
+    * snapshot exactly; the declared result aggregates the re-read
+    * snapshot per source with version counts, proving both the merge
+    * semantics and the write/read round-trip. Scale shape: one keyed
+    * shuffle (the join); at 100 TB partition the snapshot by a stable
+    * key range so the rewrite touches only affected partitions.
+    */
+  private def upsertSnapshot(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "upsert_snap") { p =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s8_upsert_snapshot")
+      docs.write.mode("overwrite").parquet(s"$p/snap_v1")
+      // the "re-crawl": ~1/4 of docs arrive updated (v2 text, new length)
+      val delta = docs
+        .filter(graft.functions.Hashing.bucket(col("doc_id"), 4L) === 0L)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 3L).as("n_chars"))
+      val base = s.read.parquet(s"$p/snap_v1")
+      val merged = base.alias("b")
+        .join(delta.alias("u"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("u.text"), col("b.text")).as("text"),
+          coalesce(col("u.lang"), col("b.lang")).as("lang"),
+          coalesce(col("u.source"), col("b.source")).as("source"),
+          coalesce(col("u.n_chars"), col("b.n_chars")).as("n_chars"),
+          col("u.doc_id").isNotNull.as("updated"))
+      merged.write.mode("overwrite").parquet(s"$p/snap_v2")
+    }
+    s.read.parquet(s"$tmp/snap_v2")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("updated").cast("long")).as("n_updated"),
+        sum("n_chars").as("sum_chars"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -293,6 +338,7 @@ object StorageQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "s8_upsert_snapshot" -> upsertSnapshot,
     "s7_schema_evolution" -> schemaEvolution,
     "s1c_json_scan" -> jsonScan,
     "s1b_csv_scan" -> csvScan,
@@ -325,6 +371,13 @@ object StorageQueries {
         |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_tokens,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "s8_upsert_snapshot" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN ((doc_id * 2654435761) % 1000000007) % 4 = 0
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+        |  sum(CASE WHEN ((doc_id * 2654435761) % 1000000007) % 4 = 0
+        |           THEN n_chars + 3 ELSE n_chars END)::BIGINT AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "s7_schema_evolution" ->
       """SELECT CASE WHEN ((doc_id * 2654435761) % 1000000007) % 2 = 1
         |            THEN lang ELSE 'unknown' END AS lang,
