@@ -90,6 +90,37 @@ object InferDbQueries {
   // -------------------------- queries --------------------------------
 
   val defs: Map[String, Q] = Map(
+    // Calibration audit of the learned index (the ML-ops reliability
+    // diagram a served probability model owes its users): the cascade's
+    // predictions bin into centiles, and each bin reports observed
+    // positive rate next to mean predicted probability — a
+    // well-calibrated index has the two close, and a miscalibrated
+    // fallback tier shows up as its bins drifting. All arithmetic
+    // exact: per-row predictions round to 6 decimals (the cascade's
+    // serve contract), accumulate as integer MICROS (a float sum over
+    // a bin would be partial-agg-order dependent), and each rate is
+    // ONE final division. One extra aggregation over the existing
+    // probe plan — no new shuffles beyond the bin groupBy.
+    "m_calibration" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val train = li.filter(trainPred)
+        .select(keyCol.as("key"), targetCol.as("pred"))
+      val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 3, Task.Classification)
+      model.probe(li, keyCol, "prediction")
+        .select(round(col("prediction"), 6).as("p"), targetCol.as("y"))
+        .select(
+          least(floor(col("p") * 100).cast("long"), lit(99L)).as("bin"),
+          round(col("p") * 1000000).cast("long").as("p_micros"),
+          col("y").cast("long").as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum("p_micros").as("sum_p_micros"),
+          sum("y").as("n_pos"))
+        .select(col("bin"), col("n"), col("sum_p_micros"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("observed_rate"),
+          expr("(CAST(sum_p_micros AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)").as("mean_predicted"))
+    }),
+
     // §2.9 — the InferDB operator: translate + exact probe + field-wise
     // prefix fallback + global fallback, via the real KvModel.
     "x29_inferdb_probe" -> ((s, d) => {
@@ -408,6 +439,28 @@ object InferDbQueries {
        |CROSS JOIN g""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "m_calibration" ->
+      s"""WITH kv AS (
+         |  SELECT $keySql AS key, avg($targetSql) AS value
+         |  FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |p2 AS (SELECT $prefix2Sql AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |p1 AS (SELECT split_part(key, '.', 1) AS prefix, avg(value) AS value FROM kv GROUP BY 1),
+         |g AS (SELECT avg(value) AS value FROM kv),
+         |probe AS (SELECT $keySql AS key, CAST($targetSql AS BIGINT) AS y FROM lineitem),
+         |scored AS (
+         |  SELECT round(coalesce(kv.value, p2.value, p1.value, g.value), 6) AS p, p.y
+         |  FROM probe p
+         |  LEFT JOIN kv ON p.key = kv.key
+         |  LEFT JOIN p2 ON substr(p.key, 1, length(p.key) - position('.' IN reverse(p.key))) = p2.prefix
+         |  LEFT JOIN p1 ON split_part(p.key, '.', 1) = p1.prefix
+         |  CROSS JOIN g),
+         |b AS (SELECT least(CAST(floor(p * 100) AS BIGINT), 99) AS bin,
+         |        CAST(round(p * 1000000) AS BIGINT) AS p_micros, y FROM scored)
+         |SELECT bin, count(*) AS n, sum(p_micros)::BIGINT AS sum_p_micros,
+         |  sum(y)::BIGINT AS n_pos,
+         |  sum(y)::DOUBLE / count(*)::DOUBLE AS observed_rate,
+         |  (CAST(sum(p_micros)::BIGINT AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE) AS mean_predicted
+         |FROM b GROUP BY bin""".stripMargin,
     "x29_inferdb_probe" -> rebuildProbeSql,
     "x_index_append" -> rebuildProbeSql,
     "x_index_lifecycle" -> rebuildProbeSql,
