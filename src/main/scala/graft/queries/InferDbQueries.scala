@@ -121,6 +121,40 @@ object InferDbQueries {
           expr("(CAST(sum_p_micros AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)").as("mean_predicted"))
     }),
 
+    // Train/serve drift audit (the second MLOps diagnostic next to
+    // m_calibration): the key's leading feature (quantity bins —
+    // drift HERE is what silently degrades the cascade, because
+    // translate routes on it) compared between the TRAIN population
+    // and the full serve population, per bin: counts, shares, and the
+    // chi-square-style contribution (serve_share − train_share)² /
+    // train_share. Every share is ONE division of exact integers and
+    // each contribution is a fixed per-row chain, so there is no
+    // order-dependent float SUM anywhere — the per-bin rows ARE the
+    // diagnostic (a monitoring system thresholds the max). Two
+    // map-side-combined aggregations + a 4-row broadcast join.
+    "m_drift_bins" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val binCol = NumericBins(qtySplits.toArray).toColumn(col("l_quantity"))
+      val trainC = li.filter(trainPred).groupBy(binCol.as("bin"))
+        .agg(count(lit(1)).as("n_train"))
+      val serveC = li.groupBy(binCol.as("bin"))
+        .agg(count(lit(1)).as("n_serve"))
+      val totals = trainC.agg(sum("n_train")).head().getLong(0) ->
+        serveC.agg(sum("n_serve")).head().getLong(0)
+      serveC.join(trainC, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_train"), lit(0L)).as("n_train"), col("n_serve"),
+          lit(totals._1).as("t_total"), lit(totals._2).as("s_total"))
+        .withColumn("train_share",
+          expr("CAST(n_train AS DOUBLE) / CAST(t_total AS DOUBLE)"))
+        .withColumn("serve_share",
+          expr("CAST(n_serve AS DOUBLE) / CAST(s_total AS DOUBLE)"))
+        .withColumn("drift_contrib", expr(
+          """CASE WHEN n_train = 0 THEN CAST('Infinity' AS DOUBLE)
+            |     ELSE (serve_share - train_share) * (serve_share - train_share) / train_share
+            |END""".stripMargin))
+        .drop("t_total", "s_total")
+    }),
+
     // §2.9 — the InferDB operator: translate + exact probe + field-wise
     // prefix fallback + global fallback, via the real KvModel.
     "x29_inferdb_probe" -> ((s, d) => {
@@ -461,6 +495,25 @@ object InferDbQueries {
          |  sum(y)::DOUBLE / count(*)::DOUBLE AS observed_rate,
          |  (CAST(sum(p_micros)::BIGINT AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE) AS mean_predicted
          |FROM b GROUP BY bin""".stripMargin,
+    "m_drift_bins" -> {
+      val binSql = SqlGen.binCase("l_quantity", qtySplits)
+      s"""WITH tr AS (SELECT $binSql AS bin, count(*) AS n_train
+         |            FROM lineitem WHERE $trainPredSql GROUP BY 1),
+         |sv AS (SELECT $binSql AS bin, count(*) AS n_serve FROM lineitem GROUP BY 1),
+         |tt AS (SELECT sum(n_train)::BIGINT AS t_total FROM tr),
+         |st AS (SELECT sum(n_serve)::BIGINT AS s_total FROM sv)
+         |SELECT sv.bin, COALESCE(tr.n_train, 0)::BIGINT AS n_train, sv.n_serve::BIGINT AS n_serve,
+         |  CAST(COALESCE(tr.n_train, 0) AS DOUBLE) / CAST(t_total AS DOUBLE) AS train_share,
+         |  CAST(sv.n_serve AS DOUBLE) / CAST(s_total AS DOUBLE) AS serve_share,
+         |  CASE WHEN COALESCE(tr.n_train, 0) = 0 THEN CAST('Infinity' AS DOUBLE)
+         |       ELSE (CAST(sv.n_serve AS DOUBLE) / CAST(s_total AS DOUBLE)
+         |             - CAST(COALESCE(tr.n_train, 0) AS DOUBLE) / CAST(t_total AS DOUBLE))
+         |            * (CAST(sv.n_serve AS DOUBLE) / CAST(s_total AS DOUBLE)
+         |               - CAST(COALESCE(tr.n_train, 0) AS DOUBLE) / CAST(t_total AS DOUBLE))
+         |            / (CAST(COALESCE(tr.n_train, 0) AS DOUBLE) / CAST(t_total AS DOUBLE))
+         |  END AS drift_contrib
+         |FROM sv LEFT JOIN tr ON sv.bin = tr.bin CROSS JOIN tt CROSS JOIN st""".stripMargin
+    },
     "x29_inferdb_probe" -> rebuildProbeSql,
     "x_index_append" -> rebuildProbeSql,
     "x_index_lifecycle" -> rebuildProbeSql,
