@@ -318,6 +318,45 @@ object StorageQueries {
         sum("n_chars").as("sum_chars"))
   }
 
+  /** SCD-2 history merge — the versioned complement of
+    * [[upsertSnapshot]]: instead of overwriting, the table KEEPS every
+    * version with validity bounds (the "what did we serve the trainer
+    * in March" audit question). Updated keys get their current row
+    * CLOSED (valid_to = the batch epoch) and a new OPEN version
+    * appended; untouched keys keep their open row. One keyed join
+    * against the delta-key set + a union — at 100 TB the history
+    * partitions by key range and only affected partitions rewrite,
+    * while closed versions are immutable forever (append-only cold
+    * storage). Same deterministic delta as s8, so the oracle
+    * reproduces the full version ledger; the declared result is the
+    * per-source ledger summary after a write/read round-trip.
+    */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "scd2_hist") { p =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s9_scd2_history")
+      val updatedKey = graft.functions.Hashing.bucket(col("doc_id"), 4L) === 0L
+      // version-1 ledger: every doc open since epoch 0
+      val v1 = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        lit(1L).as("version"), lit(0L).as("valid_from"), lit(null: java.lang.Long).as("valid_to"))
+      val closed = v1.filter(updatedKey).withColumn("valid_to", lit(1L))
+      val stillOpen = v1.filter(!updatedKey)
+      val v2 = docs.filter(updatedKey).select(col("doc_id"), col("source"),
+        (col("n_chars") + 3L).as("n_chars"),
+        lit(2L).as("version"), lit(1L).as("valid_from"),
+        lit(null: java.lang.Long).as("valid_to"))
+      stillOpen.unionByName(closed).unionByName(v2)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(tmp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("valid_to").isNull.cast("long")).as("n_open"),
+        sum(col("valid_to").isNotNull.cast("long")).as("n_closed"),
+        sum(when(col("valid_to").isNull, col("n_chars"))).as("open_chars"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -338,6 +377,7 @@ object StorageQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "s9_scd2_history" -> scd2History,
     "s8_upsert_snapshot" -> upsertSnapshot,
     "s7_schema_evolution" -> schemaEvolution,
     "s1c_json_scan" -> jsonScan,
@@ -371,6 +411,21 @@ object StorageQueries {
         |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_tokens,
         |       sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    "s9_scd2_history" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |    ((doc_id * 2654435761) % 1000000007) % 4 = 0 AS upd
+        |  FROM documents),
+        |ledger AS (
+        |  SELECT source, CASE WHEN upd THEN 1 ELSE NULL END AS valid_to, n_chars
+        |  FROM u
+        |  UNION ALL
+        |  SELECT source, NULL AS valid_to, n_chars + 3 AS n_chars
+        |  FROM u WHERE upd)
+        |SELECT source, count(*) AS n_versions,
+        |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_open,
+        |  sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_closed,
+        |  sum(CASE WHEN valid_to IS NULL THEN n_chars END)::BIGINT AS open_chars
+        |FROM ledger GROUP BY source""".stripMargin,
     "s8_upsert_snapshot" ->
       """SELECT source, count(*) AS n_docs,
         |  sum(CASE WHEN ((doc_id * 2654435761) % 1000000007) % 4 = 0
