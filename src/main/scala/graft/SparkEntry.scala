@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ InferDbQueries.defs ++ TextQueries.defs ++ LearnedQueries.defs ++ ExtraQueries.defs ++ IvfQueries.defs ++ StorageQueries.defs
+    RelationalQueries.defs ++ InferDbQueries.defs ++ TextQueries.defs ++ LearnedQueries.defs ++ ExtraQueries.defs ++ IvfQueries.defs ++ StorageQueries.defs ++ AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ InferDbQueries.oracle ++ TextQueries.oracle ++ LearnedQueries.oracle ++ ExtraQueries.oracle ++ IvfQueries.oracle ++ StorageQueries.oracle
+    RelationalQueries.oracle ++ InferDbQueries.oracle ++ TextQueries.oracle ++ LearnedQueries.oracle ++ ExtraQueries.oracle ++ IvfQueries.oracle ++ StorageQueries.oracle ++ AnalyticsQueries.oracle
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The analytics additions: pivot null-fill semantics, distribution-
+  * window ratio formulas, fuzzy-match determinism, and bigram
+  * extraction — the properties the oracle hashes rest on.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pivot fills absent (group, value) combinations with 0, not null") {
+    val df = Seq((1L, "click"), (1L, "click"), (2L, "view")).toDF("u", "t")
+    val wide = df.groupBy("u").pivot("t", Seq("click", "view", "purchase"))
+      .agg(count(lit(1))).na.fill(0L, Seq("click", "view", "purchase"))
+      .orderBy("u").collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L, 0L, 0L), (2L, 0L, 1L, 0L)))
+  }
+
+  test("percent_rank and cume_dist follow the (rank-1)/(n-1), rn/n formulas under a total order") {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val rows = Seq(10, 20, 30, 40, 50).toDF("v")
+      .select(col("v"), percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("v").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(1) == i.toDouble / 4, s"pr at $i")
+      assert(r.getDouble(2) == (i + 1).toDouble / 5, s"cd at $i")
+    }
+  }
+
+  test("fuzzy join matches every corrupted segment back to its source at distance 1") {
+    val res = AnalyticsQueries.defs("j13_fuzzy_join")(spark, "/root/testdata/sf0.001")
+    val cust = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = res.collect()
+    assert(rows.length == cust.size, "one match per customer")
+    rows.foreach { r =>
+      val (key, matched, dist) = (r.getLong(0), r.getString(2), r.getLong(3))
+      assert(matched == cust(key), s"customer $key matched $matched, not its source segment")
+      assert(dist == 1L, s"one-char deletion must be distance 1, got $dist")
+    }
+  }
+
+  test("bigram extraction yields exactly the adjacent pairs, in-row only") {
+    val toks = Seq("a b c", "c d").toDF("text")
+      .select(split(col("text"), " ").as("lst"))
+    val bi = toks.select(
+        expr("slice(lst, 1, size(lst) - 1)").as("la"),
+        expr("slice(lst, 2, size(lst) - 1)").as("lb"))
+      .select(explode(arrays_zip(col("la"), col("lb"))).as("z"))
+      .select(col("z.la").as("a"), col("z.lb").as("b"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // no cross-document (c -> c) pair, no skip pair (a -> c)
+    assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
+  }
+
+  test("grouping_id distinguishes rolled-up NULLs across all four cube levels") {
+    val res = AnalyticsQueries.defs("a17_grouping_sets")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val gids = res.map(_.getLong(2)).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    val total = res.filter(_.getLong(2) == 3L)
+    assert(total.length == 1, "exactly one grand-total row")
+    assert(total.head.getLong(3) ==
+      res.filter(_.getLong(2) == 0L).map(_.getLong(3)).sum,
+      "grand total equals the sum of the finest level")
+  }
+}
