@@ -357,6 +357,92 @@ object StorageQueries {
         sum(when(col("valid_to").isNull, col("n_chars"))).as("open_chars"))
   }
 
+  /** Small-file compaction — the maintenance op every streaming-
+    * ingested corpus needs: a landing zone of tiny files (here: a
+    * 64-way fragmented write of documents) is rewritten into files of
+    * a target size, WITHOUT a shuffle (`coalesce` merges read
+    * partitions; the data never moves between executors). At 100 TB
+    * uncompacted small files are the #1 silent killer — every query
+    * pays per-file open/footer costs and the driver pays listing — so
+    * compaction runs as a background pass per partition. The output
+    * file count is computed from the actual input bytes / target size,
+    * and the layout improvement is asserted on every invocation (out
+    * files == planned, strictly fewer than in). Declared result reads
+    * the COMPACTED copy, so the oracle hash also proves compaction
+    * lost no rows.
+    */
+  private val CompactTargetBytes = 4L << 20
+  private def compaction(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "compaction") { p =>
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$p/frag")
+      val fragBytes = parquetFiles(s"$p/frag").map(_.length).sum
+      val nOut = math.max(1,
+        math.ceil(fragBytes.toDouble / CompactTargetBytes).toInt)
+      s.read.parquet(s"$p/frag").coalesce(nOut)
+        .write.mode("overwrite").parquet(s"$p/compact")
+    }
+    val frag = parquetFiles(s"$tmp/frag")
+    val planned = math.max(1,
+      math.ceil(frag.map(_.length).sum.toDouble / CompactTargetBytes).toInt)
+    val out = parquetFiles(s"$tmp/compact")
+    require(out.length == planned && out.length < frag.length,
+      s"s10_compaction: expected $planned files (< ${frag.length}), found ${out.length}")
+    s.read.parquet(s"$tmp/compact")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("doc_id")).as("n_ids"),
+        sum("n_chars").as("sum_chars"))
+  }
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+
+  /** Z-order clustered layout — multi-dimensional data skipping: both
+    * filter dims (custkey, totalprice) are bucketed to 8 bits and
+    * bit-interleaved into one z-value; range-partitioning + sorting on
+    * z makes every output file cover a small RECTANGLE of the 2-D key
+    * space, so per-file min/max stats are tight on BOTH dims at once —
+    * the property neither single-column sort gives (sorting by custkey
+    * leaves price uniform in every file). The query proves it: the same
+    * 2-D box predicate touches ≤ [[ZTouchCap]] of the z-clustered
+    * files but (asserted) strictly more of an equally-sized hash-
+    * scattered layout — at 100 TB that ratio is the scan bill. The
+    * interleave is pure integer bit arithmetic (codegen'd, deterministic),
+    * and the declared result is the box aggregate over the clustered
+    * copy, so the oracle also proves the layout rewrite lost nothing.
+    */
+  private val ZFiles = 16
+  private val ZTouchCap = 4
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    // 8-bit buckets; div-64 keeps cb in range through sf0.1's key space
+    val cb = expr("least(255, CAST(o_custkey / 64 AS INT))")
+    val pb = expr("least(255, CAST(o_totalprice / 2000.0 AS INT))")
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(cb, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(pb, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _)
+    val tmp = stagedOnce(s, d, "zorder") { p =>
+      val o = Tables.orders(s, d).withColumn("zval", z)
+      o.repartitionByRange(ZFiles, col("zval")).sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(s"$p/zorder")
+      o.repartition(ZFiles)
+        .write.mode("overwrite").parquet(s"$p/scattered")
+    }
+    val box = col("o_custkey") <= 96L && col("o_totalprice") <= 30000.0
+    def touched(dir: String): Long =
+      s.read.parquet(dir).filter(box)
+        .select(input_file_name().as("f")).agg(count_distinct(col("f")))
+        .head().getLong(0)
+    val (zT, hT) = (touched(s"$tmp/zorder"), touched(s"$tmp/scattered"))
+    require(zT <= ZTouchCap && zT < hT,
+      s"s11_zorder: box touched $zT z-clustered files (cap $ZTouchCap) vs $hT scattered — no clustering win")
+    s.read.parquet(s"$tmp/zorder").filter(box)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumCents(col("o_totalprice")).as("revenue"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -377,6 +463,8 @@ object StorageQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "s10_compaction" -> compaction,
+    "s11_zorder" -> zorderLayout,
     "s9_scd2_history" -> scd2History,
     "s8_upsert_snapshot" -> upsertSnapshot,
     "s7_schema_evolution" -> schemaEvolution,
@@ -390,6 +478,16 @@ object StorageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_compaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_ids,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
+    "s11_zorder" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders WHERE o_custkey <= 96 AND o_totalprice <= 30000.0
+        |GROUP BY o_orderstatus""".stripMargin,
     "s1c_json_scan" ->
       """SELECT doc_id, lang, source, n_chars
         |FROM documents WHERE n_chars > 200""".stripMargin,
