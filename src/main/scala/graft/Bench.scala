@@ -140,6 +140,9 @@ object Bench {
     // SQ8 twin: what the 3.2x memory compression costs in recall
     val sq8Recall = try SparkEntry.queries("x_ann_ivf_sq8")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
+    // PQ+re-rank: recall at 16x compression with a 64-item shortlist
+    val pqRecall = try SparkEntry.queries("x_ann_pq")(spark, sfDir)
+      .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
 
     val stages = Seq(
       "stage_featurize" -> featurize,
@@ -148,7 +151,8 @@ object Bench {
       "stage_end_to_end" -> endToEnd,
       "stage_point_lookup_us" -> pointLookupUs,
       "ivf_kmeans_recall_at_1" -> ivfRecall,
-      "ivf_sq8_recall_at_1" -> sq8Recall) ++ ladderRows
+      "ivf_sq8_recall_at_1" -> sq8Recall,
+      "pq_rerank_recall_at_1" -> pqRecall) ++ ladderRows
     // Key order is load-bearing: the driver archives only the TAIL of
     // this line (~2.2 KB), so the big per-query map goes FIRST and the
     // stage decomposition + headline keys go LAST — truncation then

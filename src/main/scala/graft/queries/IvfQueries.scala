@@ -535,6 +535,81 @@ object IvfQueries {
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
     })),
 
+    // Product quantization + ADC + exact re-rank — the third
+    // compression point of the ANN family (f32 256 B → SQ8 80 B → PQ
+    // 16 B/vector): each 64-dim vector splits into 8 subvectors of 8
+    // dims, each encoded as its nearest per-subspace codeword (8
+    // pinned-seed MLlib KMeans fits of 32 centroids — codebooks are
+    // driver-resident literals, 8·32·8 doubles). Search is classic
+    // asymmetric distance: the query precomputes ONE 32-entry
+    // dot-product lookup table per subspace (8·32 = 256 dots on the
+    // 100-row query side only), after which every candidate costs 8
+    // table lookups — no float vector is ever read in the scan. The
+    // raw ADC top-1 measures pure quantization loss (recall_adc); the
+    // production path re-ranks the ADC top-[[PqShortlist]] shortlist
+    // with exact cosine (full vectors touched for shortlist·|q| rows
+    // only) and reports recall@1 of that. The crossJoin is the same
+    // capped, labeled 100-query baseline shape as bfTop; at corpus
+    // scale the ADC scan runs inside IVF cells (the x_ann_ivf_sq8
+    // composition) — PQ changes the per-candidate byte cost, not the
+    // join shape. Rows-only (fitted codebooks not SQL-expressible);
+    // per-query LUTs + integer codes keep it partition-invariant.
+    "x_ann_pq" -> ((s, d) => pqResult.getOrElseUpdate((s, d), {
+      val tv = graft.plans.TextVectorExprs
+      val books = pqCodebooks(s, d) // [m][k][j]
+      def subCol(src: String, m: Int) =
+        expr(s"slice($src, ${m * PqSubDim + 1}, $PqSubDim)")
+      // corpus → codes (argmin codeword per subspace; (dist, k) struct
+      // min pins ties to the lowest code)
+      val codeCols = (0 until PqM).map { m =>
+        array_min(array((0 until PqSubK).map { k =>
+          struct(tv.l2Sq(subCol("embedding", m), typedLit(books(m)(k))).as("dist"),
+            lit(k).as("c"))
+        }: _*)).getField("c").as(s"code_$m")
+      }
+      val codes = cachedEmb(s, d).select(
+        (col("vec_id").as("n_id") +: col("nsq").as("n_nsq") +: codeCols): _*)
+      // queries → per-subspace LUTs (query ⋅ codeword for all codewords)
+      val lutCols = (0 until PqM).map { m =>
+        array((0 until PqSubK).map { k =>
+          Fns.dotProduct(subCol("q_emb", m), typedLit(books(m)(k)))
+        }: _*).as(s"lut_$m")
+      }
+      val q = queries(s, d).select((col("q_id") +: col("q_emb") +: lutCols): _*)
+      val adc = (0 until PqM).map(m =>
+        element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+      val scored = q.crossJoin(codes)
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_emb"), col("n_id"),
+          (adc / sqrt(col("n_nsq"))).as("adc_cos"))
+      val adcTop = scored
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("adc_cos"), col("n_id"))).as("adc_id"))
+      val shortlist = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc_cos").desc, col("n_id"))))
+        .filter(col("rnk") <= PqShortlist)
+        .select("q_id", "q_emb", "n_id")
+      val reranked = shortlist
+        .join(cachedEmb(s, d).select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("nsq").as("n_nsq")), Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (Fns.dotProduct(col("q_emb"), col("n_emb")) / sqrt(col("n_nsq"))).as("cos"))
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("cos"), col("n_id"))).as("pq_id"))
+      val res = reranked.join(adcTop, Seq("q_id"), "full")
+        .join(bfTop(s, d), Seq("q_id"), "right")
+        .agg(
+          lit(PqM).as("m"), lit(PqSubK).as("ksub"),
+          lit(PqShortlist).as("shortlist"),
+          count(lit(1)).as("n_queries"),
+          avg(coalesce(col("pq_id") === col("bf_id"), lit(false)).cast("double")).as("recall_at_1"),
+          avg(coalesce(col("adc_id") === col("bf_id"), lit(false)).cast("double")).as("recall_adc"),
+          // bytes per stored vector: one code byte per subspace + norm
+          lit(PqM + 8).as("bytes_pq"), lit(4 * Dim).as("bytes_f32"))
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    })),
+
     // The IVF operating curve (nprobe -> recall/cost), the sweep every
     // real ANN deployment tunes by: one row per probe depth with
     // recall@1 and the average fraction of the corpus scanned. ONE
@@ -584,6 +659,32 @@ object IvfQueries {
     }))
   )
 
+  // PQ geometry: 64 dims → 8 subspaces × 8 dims, 32 codewords each
+  // (5-bit codes; stored as one byte) → 16 B/vector incl. the norm.
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqSubK = 32
+  private val PqShortlist = 64
+
+  /** Per-subspace PQ codebooks [m][k][j], 8 pinned-seed KMeans fits on
+    * the 8-dim subvectors; memoized per (session, sfDir). */
+  private val pqBooksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Array[Double]]]]
+  private def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqBooksCache.getOrElseUpdate((s, d), {
+      (0 until PqM).map { m =>
+        val sub = Tables.embeddings(s, d).select(
+          org.apache.spark.ml.functions.array_to_vector(
+            expr(s"slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)")).as("fv"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqSubK).setSeed(42L + m).setMaxIter(20)
+          .setFeaturesCol("fv").setPredictionCol("c")
+          .fit(sub).clusterCenters.map(_.toArray)
+      }.toArray
+    })
+
+  private val pqResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val kmeansResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sq8Result =

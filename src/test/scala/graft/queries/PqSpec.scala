@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN (x_ann_pq): the structural invariants the
+  * rows-only result rests on — the re-ranked path can only improve on
+  * the raw ADC top-1, every query is counted, and the claimed
+  * compression arithmetic is consistent with the PQ geometry.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("x_ann_pq: re-rank dominates raw ADC; row accounts for all queries") {
+    val r = IvfQueries.defs("x_ann_pq")(spark, "/root/testdata/sf0.001").head()
+    val (m, ksub) = (r.getAs[Int]("m"), r.getAs[Int]("ksub"))
+    assert(m * (64 / m) == 64, "subspaces must tile the dimension")
+    assert(ksub <= 256, "codes must fit one byte")
+    assert(r.getAs[Int]("bytes_pq") == m + 8)
+    assert(r.getAs[Long]("n_queries") > 0)
+    val (rr, radc) = (r.getAs[Double]("recall_at_1"), r.getAs[Double]("recall_adc"))
+    assert(rr >= radc,
+      s"exact re-rank of a superset shortlist cannot lose to raw ADC ($rr < $radc)")
+    assert(rr >= 0.9, s"re-ranked recall@1 $rr below the production bar")
+  }
+}
