@@ -25,6 +25,11 @@ object AnalyticsQueries {
     * while the top-k cares only about the head anyway. */
   private val MinSupport = 3
 
+  /** PageRank: part-node id offset (far above any suppkey) and the
+    * fixed, oracle-unrollable iteration count. */
+  private val PrOffset = 1000000L
+  private val PrIters = 3
+
   val defs: Map[String, Q] = Map(
     // P8 — pivot (long → wide): per-user event-type counts as fixed
     // columns. One groupBy shuffle on user_id with map-side partials;
@@ -106,6 +111,105 @@ object AnalyticsQueries {
         .filter(col("dist") <= 2)
     }),
 
+    // A/B experiment read-out — the two-proportion z-test every
+    // product experiment ends with: users hash deterministically into
+    // two arms (pure row function — retries, the oracle, and any
+    // re-run agree on the assignment), conversion = "user purchased at
+    // least once", and the statistic comes out of ONE aggregation over
+    // integer sufficient statistics (per-arm user and converter
+    // counts). Only the FINAL z arithmetic is floating point, in one
+    // fixed-order chain of exactly-rounded ops (divisions, multiplies,
+    // sqrt — all IEEE-correctly-rounded, so both engines agree
+    // bitwise; no erf/libm anywhere). Two shuffles total at any scale:
+    // per-user collapse, then the 2-row arm rollup.
+    "m_ab_ztest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        e.agg(max(col("user_id"))).head().getLong(0), "m_ab_ztest")
+      // conversion = "heavy purchaser" (>= 14 purchase events): every
+      // user purchases at least once in this data, so the any-purchase
+      // definition degenerates to pool = 1 and an undefined z
+      val users = e.groupBy("user_id")
+        .agg((sum((col("event_type") === "purchase").cast("long")) >= 14L)
+          .cast("long").as("converted"))
+        .withColumn("arm", graft.functions.Hashing.bucket(col("user_id"), 2L))
+      val arms = users.agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("conv_b"))
+      arms.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("CAST(conv_a AS DOUBLE) / n_a").as("p_a"),
+        expr("CAST(conv_b AS DOUBLE) / n_b").as("p_b"),
+        expr("""(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               | / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               |        * (1.0 / n_a + 1.0 / n_b))""".stripMargin).as("z"))
+    }),
+
+    // Integer-exact document similarity — the "more-like-this" sparse
+    // self-join: docs become integer tf vectors; pairs share work ONLY
+    // through the inverted token index (equi-join on token, never
+    // all-pairs), stop-token mass is pruned by a RELATIVE df bound
+    // (df·10 ≤ n_docs — an integer compare, scale-free), and the
+    // pairwise score is the raw tf dot product — integer sums, exact
+    // under any partitioning, which is what makes the ranking (and the
+    // oracle hash) deterministic where a float tf-idf dot would drift
+    // with partial-agg order. Pair fan-out is bounded by Σ_t df_t² ≤
+    // maxDf·Σ df_t — the df prune is the 100 TB knob. Top-50 by
+    // (dot desc, pair) — a total order.
+    "t_doc_similarity" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val nDocs = Tables.documents(s, d).count()
+      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") * 10 <= nDocs)
+      val kept = tf.join(df.select("t"), "t")
+      val a = kept.select(col("t"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+      val b = kept.select(col("t"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
+      a.join(b, Seq("t")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"),
+          count(lit(1)).as("n_shared"))
+        .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    }),
+
+    // PageRank over the supplier↔part co-purchase graph — iterative
+    // graph compute WITHOUT GraphX: nodes are namespaced suppliers and
+    // parts, edges the distinct lineitem pairs (symmetric), and three
+    // damped power iterations run as three keyed shuffles (edges join
+    // ranks on src → contributions groupBy dst). The rank lives in
+    // INTEGER micro-units with integer division (contrib = r div deg;
+    // r' = 150000 + 85·Σcontrib div 100): long sums are exact under
+    // any partitioning and `div` floors identically in both engines,
+    // so the whole fixpoint — not just a summary — is hash-checkable;
+    // float ranks would drift with partial-agg order. At scale: edges
+    // partition once by src and every iteration reuses that layout;
+    // iteration count is the knob (fixed here so the oracle can unroll
+    // it), convergence-checked loops checkpoint every ~5 rounds.
+    "x_pagerank" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+      val edges = pairs.select(col("sk").as("src"), (col("pk") + PrOffset).as("dst"))
+        .unionAll(pairs.select((col("pk") + PrOffset).as("src"), col("sk").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges.join(deg, "src")
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to PrIters) {
+        ranks = ed.join(ranks, ed("src") === ranks("node"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy("dst")
+          .agg(expr("150000 + (85 * sum(contrib)) div 100").as("r"))
+          .select(col("dst").as("node"), col("r"))
+      }
+      ranks.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node"),
+          when(col("node") >= PrOffset, lit("part")).otherwise(lit("supplier")).as("kind"),
+          col("r"))
+    }),
+
     // Collocation mining — PMI-style lift over ADJACENT token bigrams:
     // bigrams come from zipping each token list with its own tail
     // (row-local slice+zip+explode, zero shuffle, no positional
@@ -144,6 +248,54 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_ab_ztest" ->
+      """WITH u AS (SELECT user_id,
+        |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14)::BIGINT AS converted,
+        |    ((user_id * 2654435761) % 1000000007) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / n_a AS p_a,
+        |  CAST(conv_b AS DOUBLE) / n_b AS p_b,
+        |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |         * (1.0 / n_a + 1.0 / n_b)) AS z
+        |FROM a""".stripMargin,
+    "t_doc_similarity" ->
+      """WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |kept AS (SELECT tf.* FROM tf
+        |  JOIN (SELECT t FROM tf CROSS JOIN nd
+        |        GROUP BY t, n_docs HAVING count(*) * 10 <= n_docs) d USING (t))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  sum(a.tf * b.tf)::BIGINT AS dot, count(*) AS n_shared
+        |FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY dot DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "x_pagerank" -> {
+      def iter(prev: String, n: Int): String =
+        s"""r$n AS (SELECT dst AS node,
+           |    150000 + (85 * sum(r // deg)::BIGINT) // 100 AS r
+           |  FROM ed JOIN $prev ON ed.src = $prev.node GROUP BY dst)""".stripMargin
+      s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+         |edges AS (SELECT sk AS src, pk + $PrOffset AS dst FROM pairs
+         |          UNION ALL SELECT pk + $PrOffset, sk FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT src AS node, 1000000::BIGINT AS r FROM deg),
+         |${iter("r0", 1)},
+         |${iter("r1", 2)},
+         |${iter("r2", 3)}
+         |SELECT node, CASE WHEN node >= $PrOffset THEN 'part' ELSE 'supplier' END AS kind, r
+         |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
     "p8_pivot" -> {
       val cols = EventTypes.map(t =>
         s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n  ")

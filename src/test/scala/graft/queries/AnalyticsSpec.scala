@@ -59,6 +59,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("m_ab_ztest: arms partition the users and the statistic is finite") {
+    val r = AnalyticsQueries.defs("m_ab_ztest")(spark, "/root/testdata/sf0.001").head()
+    val users = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    assert(!r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+  }
+
+  test("x_pagerank: damped floor holds and co-purchase hubs outrank leaves") {
+    val rows = AnalyticsQueries.defs("x_pagerank")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20)
+    // every rank carries at least the damping constant
+    rows.foreach(r => assert(r.getAs[Long]("r") >= 150000L))
+    // descending with the declared tiebreak
+    val rs = rows.map(r => (-r.getAs[Long]("r"), r.getAs[Long]("node")))
+    assert(rs.sameElements(rs.sorted), "output must follow (r desc, node)")
+  }
+
+  test("t_doc_similarity: scores count only shared rare tokens") {
+    val rows = AnalyticsQueries.defs("t_doc_similarity")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dot") >= r.getAs[Long]("n_shared"),
+        "dot of positive integer tfs is at least the shared-token count")
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), "canonical pair order")
+    }
+  }
+
   test("grouping_id distinguishes rolled-up NULLs across all four cube levels") {
     val res = AnalyticsQueries.defs("a17_grouping_sets")(spark, "/root/testdata/sf0.001")
       .collect()
