@@ -443,6 +443,57 @@ object StorageQueries {
         sumCents(col("o_totalprice")).as("revenue"))
   }
 
+  /** Snapshot diff / change-data-capture by comparison — the "what
+    * changed between yesterday's corpus and today's" audit (Delta's
+    * table_changes, reconstructed on bare parquet): two staged
+    * snapshot versions (v2 = deterministic updates to 1/8 of the
+    * keys, 1/8 deleted, and 1/8 cloned as NEW doc_ids — all pure
+    * doc_id hash functions, so the oracle reproduces the change set
+    * exactly) are RE-READ from disk and full-outer-joined on the key;
+    * each key classifies as added / removed / changed / unchanged and
+    * the declared result is the per-source CDC summary. ONE keyed
+    * shuffle at any scale — and if both snapshots share a bucketed
+    * layout (the s2 technique) the diff is zero-shuffle SMB. Change
+    * detection compares the full text; at 100 TB compare a stored
+    * content fingerprint instead (t_fingerprint) so the diff moves
+    * 16 B/row, not documents.
+    */
+  private val DiffInsOffset = 10000000L
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "snap_diff") { p =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s12_snapshot_diff")
+      val bucket = graft.functions.Hashing.bucket(col("doc_id"), 8L)
+      docs.write.mode("overwrite").parquet(s"$p/v1")
+      val updated = docs.filter(bucket === 0L)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 3L).as("n_chars"))
+      val surviving = docs.filter(bucket =!= 0L && bucket =!= 1L)
+      val inserted = docs.filter(bucket === 2L)
+        .select((col("doc_id") + DiffInsOffset).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"), (col("n_chars") + 4L).as("n_chars"))
+      surviving.unionByName(updated).unionByName(inserted)
+        .write.mode("overwrite").parquet(s"$p/v2")
+    }
+    val v1 = s.read.parquet(s"$tmp/v1").select(col("doc_id"),
+      col("text").as("text_1"), col("source").as("source_1"))
+    val v2 = s.read.parquet(s"$tmp/v2").select(col("doc_id"),
+      col("text").as("text_2"), col("source").as("source_2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_2"), col("source_1")).as("source"),
+        when(col("text_1").isNull, lit("added"))
+          .when(col("text_2").isNull, lit("removed"))
+          .when(col("text_1") =!= col("text_2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy("source")
+      .agg(sum((col("change") === "added").cast("long")).as("n_added"),
+        sum((col("change") === "removed").cast("long")).as("n_removed"),
+        sum((col("change") === "changed").cast("long")).as("n_changed"),
+        sum((col("change") === "unchanged").cast("long")).as("n_unchanged"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -464,6 +515,7 @@ object StorageQueries {
 
   val defs: Map[String, Q] = Map(
     "s10_compaction" -> compaction,
+    "s12_snapshot_diff" -> snapshotDiff,
     "s11_zorder" -> zorderLayout,
     "s9_scd2_history" -> scd2History,
     "s8_upsert_snapshot" -> upsertSnapshot,
@@ -483,6 +535,16 @@ object StorageQueries {
         |  count(DISTINCT doc_id) AS n_ids,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "s12_snapshot_diff" ->
+      """WITH b AS (SELECT source,
+        |    ((doc_id * 2654435761) % 1000000007) % 8 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |  sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(CASE WHEN bucket NOT IN (0, 1) THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+        |FROM b GROUP BY source""".stripMargin,
     "s11_zorder" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue

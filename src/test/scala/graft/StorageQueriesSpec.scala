@@ -69,6 +69,19 @@ class StorageQueriesSpec extends AnyFunSuite {
       s"duplicate doc_ids in compacted output for source ${r.getString(0)}"))
   }
 
+  test("s12_snapshot_diff: the change classes account for every key in either snapshot") {
+    val rows = StorageQueries.defs("s12_snapshot_diff")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val (added, removed, changed, unchanged) = (
+      rows.map(_.getAs[Long]("n_added")).sum,
+      rows.map(_.getAs[Long]("n_removed")).sum,
+      rows.map(_.getAs[Long]("n_changed")).sum,
+      rows.map(_.getAs[Long]("n_unchanged")).sum)
+    // v1 keys = removed + changed + unchanged; additions are net-new ids
+    assert(removed + changed + unchanged == nDocs)
+    assert(added > 0 && removed > 0 && changed > 0, "every change class exercised")
+  }
+
   test("s11_zorder: the bit interleave is the standard Morton order") {
     // interleave(cb=0b0000_0011, pb=0b0000_0101) =
     //   pb bit0@0 + cb bit0@1 + pb bit1@2 + cb bit1@3 + pb bit2@4
