@@ -111,6 +111,64 @@ object AnalyticsQueries {
         .filter(col("dist") <= 2)
     }),
 
+    // Exact ROC-AUC via integer midranks — the threshold-free model
+    // metric the confusion/calibration family lacks. Rank by the
+    // LINEAR MARGIN (monotone in the sigmoid, so the AUC is identical
+    // — and the margin is a fixed-order double chain both engines
+    // reproduce bitwise, where exp would drift a ulp). The Mann-
+    // Whitney identity turns AUC into pure integer arithmetic: per
+    // DISTINCT score, positive/negative counts; doubled midrank
+    // mid2 = 2·cum_before + n + 1 (an integer, so tie handling costs
+    // no floats); U2 = Σ np_s·mid2_s sums exactly under any
+    // partitioning; AUC = (U2 - np(np+1)) / (2·np·nn) is ONE double
+    // division of sub-2^53 integers. The cumulative window runs over
+    // DISTINCT margins (≤ |quantity|·|discount| combos here — tiny);
+    // at billions of distinct scores it becomes range-partitioned
+    // prefix sums, the t_seq_packing technique.
+    "m_roc_auc" -> ((s, d) => {
+      val margin = col("l_quantity") * lit(0.8) + col("l_discount") * lit(-20.0) + lit(0.1)
+      val perScore = Tables.lineitem(s, d)
+        .select(margin.as("score"), (col("l_returnflag") === "R").cast("long").as("y"))
+        .groupBy("score")
+        .agg(sum(col("y")).as("np_s"), sum(lit(1L) - col("y")).as("nn_s"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = perScore.withColumn("cum",
+        coalesce(sum(col("np_s") + col("nn_s")).over(w), lit(0L)))
+        .withColumn("mid2", lit(2L) * col("cum") + col("np_s") + col("nn_s") + lit(1L))
+      ranked.agg(
+        sum("np_s").as("n_pos"), sum("nn_s").as("n_neg"),
+        sum(col("np_s") * col("mid2")).as("u2"))
+        .select(col("n_pos"), col("n_neg"),
+          ((col("u2") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+    }),
+
+    // Calendar resampling / gap filling — the time-series
+    // regularization step before any windowed model: each user's
+    // activity is re-gridded onto a dense daily spine (explode of an
+    // integer day sequence between the user's first and last day), and
+    // missing days materialize as explicit zero rows. Two shuffles at
+    // any scale (per-user extent, then the spine⟕activity join on
+    // (user, day)); spine size is extent-bounded, never |users|·|all
+    // days|. Integer epoch-day buckets and integer micro-sums
+    // throughout (the cohorts/a10 conventions), so the grid is
+    // hash-exact.
+    "t_resample_daily" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("micros"))
+      val act = e.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), sum("micros").as("value_micros"))
+      val spine = e.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(act, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("value_micros"), lit(0L)).as("value_micros"))
+    }),
+
     // A/B experiment read-out — the two-proportion z-test every
     // product experiment ends with: users hash deterministically into
     // two arms (pure row function — retries, the oracle, and any
@@ -248,6 +306,38 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_roc_auc" ->
+      """WITH ps AS (SELECT l_quantity * 0.8 + l_discount * -20.0 + 0.1 AS score,
+        |    sum((l_returnflag = 'R')::BIGINT)::BIGINT AS np_s,
+        |    sum((l_returnflag <> 'R')::BIGINT)::BIGINT AS nn_s
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT np_s, nn_s,
+        |    2 * coalesce(sum(np_s + nn_s) OVER (ORDER BY score
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + np_s + nn_s + 1 AS mid2
+        |  FROM ps),
+        |t AS (SELECT sum(np_s)::BIGINT AS n_pos, sum(nn_s)::BIGINT AS n_neg,
+        |    sum(np_s * mid2)::BIGINT AS u2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |  / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        |FROM t""".stripMargin,
+    "t_resample_daily" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 1000000) AS BIGINT) AS micros
+        |  FROM events),
+        |act AS (SELECT user_id, day, count(*) AS n_events,
+        |    sum(micros)::BIGINT AS value_micros
+        |  FROM e GROUP BY user_id, day),
+        |spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |        FROM e GROUP BY user_id))
+        |SELECT s.user_id, s.day,
+        |  coalesce(a.n_events, 0)::BIGINT AS n_events,
+        |  coalesce(a.value_micros, 0)::BIGINT AS value_micros
+        |FROM spine s LEFT JOIN act a
+        |  ON s.user_id = a.user_id AND s.day = a.day""".stripMargin,
     "m_ab_ztest" ->
       """WITH u AS (SELECT user_id,
         |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14)::BIGINT AS converted,

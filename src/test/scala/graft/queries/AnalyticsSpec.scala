@@ -59,6 +59,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("m_roc_auc: midrank identity matches the brute-force pair count") {
+    val r = AnalyticsQueries.defs("m_roc_auc")(spark, "/root/testdata/sf0.001").head()
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute force: P(score_pos > score_neg) + 0.5 P(=) on the same data
+    val margin = col("l_quantity") * lit(0.8) + col("l_discount") * lit(-20.0) + lit(0.1)
+    val scored = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(margin.as("s"), (col("l_returnflag") === "R").as("y")).collect()
+      .map(row => (row.getDouble(0), row.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var u = 0.0
+    for (p <- pos; n <- neg) u += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+    val brute = u / (pos.length.toLong * neg.length)
+    assert(math.abs(auc - brute) < 1e-12, s"midrank AUC $auc vs brute $brute")
+  }
+
+  test("t_resample_daily: per-user day grid is dense with explicit zero rows") {
+    val rows = AnalyticsQueries.defs("t_resample_daily")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.last - days.head + 1 == days.length, s"user $u grid has gaps")
+      assert(days.distinct.length == days.length, s"user $u grid has duplicates")
+    }
+    assert(rows.exists(_._3 == 0L), "at least one gap day materialized as a zero row")
+  }
+
   test("m_ab_ztest: arms partition the users and the statistic is finite") {
     val r = AnalyticsQueries.defs("m_ab_ztest")(spark, "/root/testdata/sf0.001").head()
     val users = graft.Tables.events(spark, "/root/testdata/sf0.001")
