@@ -494,6 +494,45 @@ object StorageQueries {
         sum((col("change") === "unchanged").cast("long")).as("n_unchanged"))
   }
 
+  /** Targeted delete with proof of absence — the right-to-be-forgotten
+    * pass every stored corpus owes its users: a deletion-key list
+    * (deterministic ~1/16 of doc_ids here) is anti-joined against the
+    * snapshot and the survivors REWRITE to a new snapshot directory
+    * (same never-in-place discipline as s8). The query then PROVES the
+    * delete on every invocation: re-read v2, semi-join the deletion
+    * list — must be empty — and the row accounting must close
+    * (|v1| − |deleted| = |v2|). The declared result aggregates the
+    * re-read survivors, so the oracle hash independently re-proves no
+    * bystander row was touched. Scale shape: one keyed anti-join; at
+    * 100 TB partition the snapshot by key range so only partitions
+    * containing deletion keys rewrite — and keep the deletion list as
+    * the audit artifact.
+    */
+  private def gdprDelete(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "gdpr_delete") { p =>
+      val docs = Tables.documents(s, d)
+      graft.functions.Hashing.requireNoOverflow(
+        docs.agg(max(col("doc_id"))).head().getLong(0), "s13_gdpr_delete")
+      docs.write.mode("overwrite").parquet(s"$p/v1")
+      val v1 = s.read.parquet(s"$p/v1")
+      val del = v1.filter(graft.functions.Hashing.bucket(col("doc_id"), 16L) === 0L)
+        .select("doc_id")
+      v1.join(del, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$p/v2")
+    }
+    val v1 = s.read.parquet(s"$tmp/v1")
+    val v2 = s.read.parquet(s"$tmp/v2")
+    val del = v1.filter(graft.functions.Hashing.bucket(col("doc_id"), 16L) === 0L)
+      .select("doc_id")
+    val leaked = v2.join(del, Seq("doc_id"), "left_semi").count()
+    require(leaked == 0L, s"s13_gdpr_delete: $leaked deleted keys still present")
+    val (n1, nd, n2) = (v1.count(), del.count(), v2.count())
+    require(n1 - nd == n2,
+      s"s13_gdpr_delete: accounting broke ($n1 - $nd != $n2)")
+    v2.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -516,6 +555,7 @@ object StorageQueries {
   val defs: Map[String, Q] = Map(
     "s10_compaction" -> compaction,
     "s12_snapshot_diff" -> snapshotDiff,
+    "s13_gdpr_delete" -> gdprDelete,
     "s11_zorder" -> zorderLayout,
     "s9_scd2_history" -> scd2History,
     "s8_upsert_snapshot" -> upsertSnapshot,
@@ -535,6 +575,11 @@ object StorageQueries {
         |  count(DISTINCT doc_id) AS n_ids,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "s13_gdpr_delete" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 1000000007) % 16 <> 0
+        |GROUP BY source""".stripMargin,
     "s12_snapshot_diff" ->
       """WITH b AS (SELECT source,
         |    ((doc_id * 2654435761) % 1000000007) % 8 AS bucket

@@ -82,6 +82,15 @@ class StorageQueriesSpec extends AnyFunSuite {
     assert(added > 0 && removed > 0 && changed > 0, "every change class exercised")
   }
 
+  test("s13_gdpr_delete: survivors equal the corpus minus the deletion list") {
+    val rows = StorageQueries.defs("s13_gdpr_delete")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.filter(
+      graft.functions.Hashing.bucket(col("doc_id"), 16L) =!= 0L).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == expected)
+    assert(expected < docs.count(), "the deletion list must be non-empty")
+  }
+
   test("s11_zorder: the bit interleave is the standard Morton order") {
     // interleave(cb=0b0000_0011, pb=0b0000_0101) =
     //   pb bit0@0 + cb bit0@1 + pb bit1@2 + cb bit1@3 + pb bit2@4
