@@ -546,7 +546,7 @@ object IvfQueries {
     // 100-row query side only), after which every candidate costs 8
     // table lookups — no float vector is ever read in the scan. The
     // raw ADC top-1 measures pure quantization loss (recall_adc); the
-    // production path re-ranks the ADC top-[[PqShortlist]] shortlist
+    // production path re-ranks the ADC top-[[pqShortlist]] shortlist
     // with exact cosine (full vectors touched for shortlist·|q| rows
     // only) and reports recall@1 of that. The crossJoin is the same
     // capped, labeled 100-query baseline shape as bfTop; at corpus
@@ -557,6 +557,7 @@ object IvfQueries {
     "x_ann_pq" -> ((s, d) => pqResult.getOrElseUpdate((s, d), {
       val tv = graft.plans.TextVectorExprs
       val books = pqCodebooks(s, d) // [m][k][j]
+      val slN = pqShortlist(cachedEmb(s, d).count())
       def subCol(src: String, m: Int) =
         expr(s"slice($src, ${m * PqSubDim + 1}, $PqSubDim)")
       // corpus → codes (argmin codeword per subspace; (dist, k) struct
@@ -588,7 +589,7 @@ object IvfQueries {
       val shortlist = scored
         .withColumn("rnk", row_number().over(
           Window.partitionBy("q_id").orderBy(col("adc_cos").desc, col("n_id"))))
-        .filter(col("rnk") <= PqShortlist)
+        .filter(col("rnk") <= slN)
         .select("q_id", "q_emb", "n_id")
       val reranked = shortlist
         .join(cachedEmb(s, d).select(col("vec_id").as("n_id"),
@@ -601,7 +602,7 @@ object IvfQueries {
         .join(bfTop(s, d), Seq("q_id"), "right")
         .agg(
           lit(PqM).as("m"), lit(PqSubK).as("ksub"),
-          lit(PqShortlist).as("shortlist"),
+          lit(slN).as("shortlist"),
           count(lit(1)).as("n_queries"),
           avg(coalesce(col("pq_id") === col("bf_id"), lit(false)).cast("double")).as("recall_at_1"),
           avg(coalesce(col("adc_id") === col("bf_id"), lit(false)).cast("double")).as("recall_adc"),
@@ -664,7 +665,14 @@ object IvfQueries {
   private val PqM = 8
   private val PqSubDim = Dim / PqM
   private val PqSubK = 32
-  private val PqShortlist = 64
+  /** ADC shortlist: 10% of the corpus, floored at 64 — a FIXED
+    * fraction, not a fixed count (a fixed 64 gave 0.96 recall at 500
+    * vectors but 0.79 at 2000). 10% is the measured operating point
+    * for ≥0.9 recall on RANDOM unit vectors — the worst case for PQ,
+    * exactly like the IVF sweep's 0.51 scan fraction; clustered real
+    * embeddings re-rank far less for the same recall. Measured here:
+    * 0.96 @ sf0.01 (12.8%), 0.94 @ sf0.1 (10%). */
+  private def pqShortlist(n: Long): Int = math.max(64L, n / 10L).toInt
 
   /** Per-subspace PQ codebooks [m][k][j], 8 pinned-seed KMeans fits on
     * the 8-dim subvectors; memoized per (session, sfDir). */
