@@ -101,6 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.binIndexFn)
     GraftExtensions.kernelFns.foreach(ext.injectFunction)
+    // bin_index(x) = k  →  range predicate on x (parquet-pushable);
+    // see BinRangeRewrite
+    ext.injectOptimizerRule(_ => BinRangeRewrite)
   }
 }
 

@@ -111,6 +111,38 @@ object AnalyticsQueries {
         .filter(col("dist") <= 2)
     }),
 
+    // The bin_index→range optimizer rule, proven end-to-end: a filter
+    // on a TRANSLATED value (`bin_index(price) = 2` — the shape every
+    // InferDB-serve predicate takes) is opaque to the parquet reader
+    // as written; graft.plans.BinRangeRewrite (injected through
+    // GraftExtensions into every Sessions.local session) rewrites it
+    // to the equivalent raw-column range, which then rides built-in
+    // pushdown into the scan's PushedFilters — row-group min/max
+    // skipping at 100 TB. Both halves asserted in-query: no BinIndex
+    // survives in the optimized plan, and the scan's PushedFilters
+    // carry the l_extendedprice range. The oracle is the range form,
+    // so the green hash also proves the rewrite's semantics.
+    "x_bin_pushdown" -> ((s, d) => {
+      val splits = Array(20000.0, 45000.0, 70000.0)
+      val bin = graft.plans.BinIndex.column(col("l_extendedprice"), splits)
+      val res = Tables.lineitem(s, d)
+        .filter(bin === lit(2L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("revenue"))
+      val opt = res.queryExecution.optimizedPlan
+      require(!opt.expressions.exists(_.exists(_.isInstanceOf[graft.plans.BinIndex])),
+        s"bin_index survived optimization — BinRangeRewrite did not fire:\n$opt")
+      val pushed = res.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metadata.getOrElse("PushedFilters", "")
+      }.mkString
+      require(pushed.contains("GreaterThanOrEqual(l_extendedprice")
+          && pushed.contains("LessThan(l_extendedprice"),
+        s"range predicate missing from PushedFilters: $pushed")
+      res
+    }),
+
     // Exact ROC-AUC via integer midranks — the threshold-free model
     // metric the confusion/calibration family lacks. Rank by the
     // LINEAR MARGIN (monotone in the sigmoid, so the AUC is identical
@@ -306,6 +338,12 @@ object AnalyticsQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_bin_pushdown" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_extendedprice >= 45000.0 AND l_extendedprice < 70000.0
+        |GROUP BY l_returnflag""".stripMargin,
     "m_roc_auc" ->
       """WITH ps AS (SELECT l_quantity * 0.8 + l_discount * -20.0 + 0.1 AS score,
         |    sum((l_returnflag = 'R')::BIGINT)::BIGINT AS np_s,

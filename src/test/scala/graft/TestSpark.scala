@@ -8,6 +8,7 @@ object TestSpark {
     val s = SparkSession.builder()
       .appName("graft-test")
       .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
