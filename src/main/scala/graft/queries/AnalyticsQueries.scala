@@ -300,6 +300,38 @@ object AnalyticsQueries {
           col("r"))
     }),
 
+    // Length-bucketed batching — the inference/training batching
+    // economics in one query: a batch pads every member to its longest
+    // sequence, so arrival-order batching wastes (B·max − Σlen) tokens
+    // per batch while LENGTH-SORTED batching puts like-sized docs
+    // together. Both strategies are computed over the same corpus
+    // (deterministic total orders: doc_id vs (len, doc_id)) and the
+    // result is the two-row bill: batches, real tokens, padded slots,
+    // waste fraction (one double division of exact integers). The
+    // global row_number is the demo shape (same note as w1/m_roc_auc);
+    // at corpus scale the sort becomes range partitioning by length —
+    // which preserves the like-sized-neighbors property batching needs.
+    "t_batch_padding" -> ((s, d) => {
+      val B = 32
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      def bill(strategy: String, orderBy: String): DataFrame =
+        docs
+          .withColumn("batch",
+            expr(s"(row_number() OVER (ORDER BY $orderBy) - 1) div $B"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("tok"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum("tok").as("real_tokens"),
+            sum(col("n") * col("mx")).as("padded_slots"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("real_tokens"), col("padded_slots"),
+            ((col("padded_slots") - col("real_tokens")).cast("double")
+              / col("padded_slots").cast("double")).as("waste_frac"))
+      bill("arrival", "doc_id")
+        .unionByName(bill("length_sorted", "len, doc_id"))
+    }),
+
     // Collocation mining — PMI-style lift over ADJACENT token bigrams:
     // bigrams come from zipping each token list with its own tail
     // (row-local slice+zip+explode, zero shuffle, no positional
@@ -376,6 +408,26 @@ object AnalyticsQueries {
         |  coalesce(a.value_micros, 0)::BIGINT AS value_micros
         |FROM spine s LEFT JOIN act a
         |  ON s.user_id = a.user_id AND s.day = a.day""".stripMargin,
+    "t_batch_padding" ->
+      """WITH docs AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS len FROM documents),
+        |arrival AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch, len
+        |  FROM docs),
+        |sorted_b AS (SELECT (row_number() OVER (ORDER BY len, doc_id) - 1) // 32 AS batch, len
+        |  FROM docs),
+        |ba AS (SELECT batch, count(*) AS n, max(len) AS mx, sum(len)::BIGINT AS tok
+        |  FROM arrival GROUP BY batch),
+        |bs AS (SELECT batch, count(*) AS n, max(len) AS mx, sum(len)::BIGINT AS tok
+        |  FROM sorted_b GROUP BY batch)
+        |SELECT 'arrival' AS strategy, count(*) AS n_batches,
+        |  sum(tok)::BIGINT AS real_tokens, sum(n * mx)::BIGINT AS padded_slots,
+        |  CAST(sum(n * mx) - sum(tok) AS DOUBLE) / CAST(sum(n * mx) AS DOUBLE) AS waste_frac
+        |FROM ba
+        |UNION ALL
+        |SELECT 'length_sorted', count(*),
+        |  sum(tok)::BIGINT, sum(n * mx)::BIGINT,
+        |  CAST(sum(n * mx) - sum(tok) AS DOUBLE) / CAST(sum(n * mx) AS DOUBLE)
+        |FROM bs""".stripMargin,
     "m_ab_ztest" ->
       """WITH u AS (SELECT user_id,
         |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14)::BIGINT AS converted,

@@ -59,6 +59,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("t_batch_padding: length-sorting never pads more, and pads strictly less here") {
+    val rows = AnalyticsQueries.defs("t_batch_padding")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("real_tokens"), r.getAs[Long]("padded_slots"))).toMap
+    val (realA, padA) = rows("arrival")
+    val (realS, padS) = rows("length_sorted")
+    assert(realA == realS, "both strategies batch the same corpus")
+    assert(padS <= padA, "length-sorted batching cannot pad more")
+    assert(padS < padA, "on variable-length docs the win must be strict")
+    assert(padA >= realA && padS >= realS, "padded slots bound real tokens")
+  }
+
   test("m_roc_auc: midrank identity matches the brute-force pair count") {
     val r = AnalyticsQueries.defs("m_roc_auc")(spark, "/root/testdata/sf0.001").head()
     val auc = r.getAs[Double]("auc")
