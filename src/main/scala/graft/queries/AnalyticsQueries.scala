@@ -201,6 +201,60 @@ object AnalyticsQueries {
           coalesce(col("value_micros"), lit(0L)).as("value_micros"))
     }),
 
+    // O7 — set intersection (completing the union/except/intersect
+    // trio): doc-id sets from two predicates intersected with DISTINCT
+    // semantics; one shuffle on the compared row. At scale prefer a
+    // semi-join when one side is small — INTERSECT shuffles both.
+    "o7_intersect" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.filter(col("lang") === "en").select("doc_id")
+        .intersect(docs.filter(col("n_chars") > 200L).select("doc_id"))
+    }),
+
+    // A18 — median absolute deviation, the robust spread statistic
+    // (stddev breaks on the outliers t9 imputes): per-group exact
+    // interpolated median (one sort-based percentile per group), join
+    // back (broadcast — |groups| rows), then the median of absolute
+    // deviations. Interpolation arithmetic is the same fixed-order
+    // form DuckDB's quantile_cont uses (w5 precedent), so the result
+    // is bitwise. Two keyed aggregations at any scale.
+    "a18_mad" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(min(col("med")).as("median_qty"),
+          percentile(abs(col("l_quantity") - col("med")), lit(0.5)).as("mad_qty"))
+    }),
+
+    // Kolmogorov-Smirnov drift — the binless complement of
+    // m_drift_bins' chi-square: train/serve halves (deterministic hash
+    // split), empirical CDFs as cumulative INTEGER counts over the
+    // distinct-value grid (window over |distinct| rows, tiny here;
+    // range-partitioned prefix sums at billions), D = max |F1 − F2|
+    // where each F is one exact-integer division — so the statistic is
+    // bitwise-reproducible, unlike any sampled/approximate KS. One
+    // groupBy + one small window at any scale.
+    "m_ks_drift" -> ((s, d) => {
+      graft.functions.Hashing.requireNoOverflow(
+        Tables.lineitem(s, d).agg(max(col("l_orderkey"))).head().getLong(0), "m_ks_drift")
+      val li = Tables.lineitem(s, d).select(col("l_quantity").as("v"),
+        graft.functions.Hashing.bucket(col("l_orderkey"), 2L).as("half"))
+      val per = li.groupBy("v").agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      per
+        .withColumn("cum1", sum("c1").over(w)).withColumn("cum2", sum("c2").over(w))
+        .crossJoin(broadcast(li.agg(
+          sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n2"))))
+        .agg(min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+          max(abs(col("cum1").cast("double") / col("n1")
+            - col("cum2").cast("double") / col("n2"))).as("d_stat"))
+    }),
+
     // A/B experiment read-out — the two-proportion z-test every
     // product experiment ends with: users hash deterministically into
     // two arms (pure row function — retries, the oracle, and any
@@ -408,6 +462,35 @@ object AnalyticsQueries {
         |  coalesce(a.value_micros, 0)::BIGINT AS value_micros
         |FROM spine s LEFT JOIN act a
         |  ON s.user_id = a.user_id AND s.day = a.day""".stripMargin,
+    "o7_intersect" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |INTERSECT
+        |SELECT doc_id FROM documents WHERE n_chars > 200""".stripMargin,
+    "a18_mad" ->
+      """WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, min(m.med) AS median_qty,
+        |  quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad_qty
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
+    "m_ks_drift" ->
+      """WITH li AS (SELECT l_quantity AS v,
+        |    ((l_orderkey * 2654435761) % 1000000007) % 2 AS half FROM lineitem),
+        |per AS (SELECT v,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+        |  FROM li GROUP BY v),
+        |cum AS (SELECT v,
+        |    sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+        |    sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum2
+        |  FROM per),
+        |t AS (SELECT
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM li)
+        |SELECT n1, n2,
+        |  max(abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)) AS d_stat
+        |FROM cum CROSS JOIN t GROUP BY n1, n2""".stripMargin,
     "t_batch_padding" ->
       """WITH docs AS (SELECT doc_id,
         |    len(string_split(text, ' '))::BIGINT AS len FROM documents),

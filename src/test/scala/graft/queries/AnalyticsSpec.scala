@@ -59,6 +59,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("o7_intersect: intersection equals the conjunctive filter, distinct") {
+    val sf = "/root/testdata/sf0.001"
+    val got = AnalyticsQueries.defs("o7_intersect")(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    val expect = graft.Tables.documents(spark, sf)
+      .filter(col("lang") === "en" && col("n_chars") > 200L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expect))
+  }
+
+  test("a18_mad: matches a driver-side exact median-of-deviations") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AnalyticsQueries.defs("a18_mad")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else { val lo = s(n / 2 - 1); lo + (s(n / 2) - lo) * 0.5 }
+    }
+    val qs = graft.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    qs.foreach { case (flag, xs) =>
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      assert(rows(flag)._1 == med, s"median for $flag")
+      assert(rows(flag)._2 == mad, s"mad for $flag")
+    }
+  }
+
+  test("m_ks_drift: D is a valid KS statistic and the halves cover the data") {
+    val sf = "/root/testdata/sf0.001"
+    val r = AnalyticsQueries.defs("m_ks_drift")(spark, sf).head()
+    val total = graft.Tables.lineitem(spark, sf).count()
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == total)
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    // identical-distribution halves of the same column: drift must be small
+    assert(d < 0.2, s"hash halves of one column should not drift: D=$d")
+  }
+
   test("t_batch_padding: length-sorting never pads more, and pads strictly less here") {
     val rows = AnalyticsQueries.defs("t_batch_padding")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
