@@ -255,6 +255,23 @@ object AnalyticsQueries {
             - col("cum2").cast("double") / col("n2"))).as("d_stat"))
     }),
 
+    // W7 — value-based RANGE frame (the window feature w4's ROWS
+    // frame cannot express): per-user running 10-minute value sum,
+    // where the frame is defined by the TIME DIFFERENCE, not a row
+    // count — so co-timestamped events enter each other's frames
+    // symmetrically and the result is order-tie independent (a ROWS
+    // frame would depend on the tie order). Integer epoch-µs bounds
+    // and integer micro-sums throughout; one user-keyed window.
+    "w7_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, d).select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("micros"))
+        .select(col("user_id"), col("event_id"),
+          sum("micros").over(w).as("win_micros"))
+    }),
+
     // A/B experiment read-out — the two-proportion z-test every
     // product experiment ends with: users hash deterministically into
     // two arms (pure row function — retries, the oracle, and any
@@ -462,6 +479,12 @@ object AnalyticsQueries {
         |  coalesce(a.value_micros, 0)::BIGINT AS value_micros
         |FROM spine s LEFT JOIN act a
         |  ON s.user_id = a.user_id AND s.day = a.day""".stripMargin,
+    "w7_range_frame" ->
+      """SELECT user_id, event_id,
+        |  sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)::BIGINT AS win_micros
+        |FROM events""".stripMargin,
     "o7_intersect" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
         |INTERSECT
