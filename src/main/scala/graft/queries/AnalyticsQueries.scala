@@ -272,6 +272,31 @@ object AnalyticsQueries {
           sum("micros").over(w).as("win_micros"))
     }),
 
+    // Precision-recall curve — m_roc_auc's sibling for the imbalanced
+    // regime (precision is the metric the AUC hides when positives are
+    // rare): one point per DISTINCT margin threshold, TP/FP as
+    // cumulative INTEGER counts from the top of the score order,
+    // precision and recall one exact-integer division each. The window
+    // runs over distinct margins (tiny here; range-partitioned prefix
+    // sums at scale, same note as m_roc_auc). Every threshold includes
+    // its own group, so tp+fp is never zero.
+    "m_pr_curve" -> ((s, d) => {
+      val margin = col("l_quantity") * lit(0.8) + col("l_discount") * lit(-20.0) + lit(0.1)
+      val perScore = Tables.lineitem(s, d)
+        .select(margin.as("score"), (col("l_returnflag") === "R").cast("long").as("y"))
+        .groupBy("score")
+        .agg(sum(col("y")).as("np_s"), sum(lit(1L) - col("y")).as("nn_s"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      perScore
+        .withColumn("tp", sum("np_s").over(w))
+        .withColumn("fp", sum("nn_s").over(w))
+        .crossJoin(broadcast(perScore.agg(sum("np_s").as("np_tot"))))
+        .select(col("score"), col("tp"), col("fp"),
+          (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+          (col("tp").cast("double") / col("np_tot").cast("double")).as("rec"))
+    }),
+
     // A/B experiment read-out — the two-proportion z-test every
     // product experiment ends with: users hash deterministically into
     // two arms (pure row function — retries, the oracle, and any
@@ -485,6 +510,22 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)::BIGINT AS win_micros
         |FROM events""".stripMargin,
+    "m_pr_curve" ->
+      """WITH ps AS (SELECT l_quantity * 0.8 + l_discount * -20.0 + 0.1 AS score,
+        |    sum((l_returnflag = 'R')::BIGINT)::BIGINT AS np_s,
+        |    sum((l_returnflag <> 'R')::BIGINT)::BIGINT AS nn_s
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT score,
+        |    sum(np_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+        |    sum(nn_s) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+        |  FROM ps),
+        |t AS (SELECT sum(np_s)::BIGINT AS np_tot FROM ps)
+        |SELECT score, tp, fp,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+        |  CAST(tp AS DOUBLE) / CAST(np_tot AS DOUBLE) AS rec
+        |FROM c CROSS JOIN t""".stripMargin,
     "o7_intersect" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
         |INTERSECT

@@ -533,6 +533,48 @@ object StorageQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
   }
 
+  /** Manifest-driven file pruning — the Iceberg/Delta mechanism
+    * reconstructed on bare parquet: the table is laid out range-
+    * partitioned on the predicate column and a MANIFEST (per-file
+    * min/max/count zone map, built once with one grouped pass over
+    * input_file_name) is itself a tiny queryable table. A range query
+    * consults the manifest FIRST, reads only the files whose [lo, hi]
+    * overlap the predicate (asserted: at least half the files prune),
+    * and applies the residual filter for boundary rows. This is file-
+    * level skipping under the ENGINE's control — works on any store,
+    * needs no footer reads for pruned files, and the manifest doubles
+    * as the table-stats source; at 100 TB manifests are per-partition
+    * and maintained incrementally by the write path (s8's discipline).
+    * Declared result = the pruned-read aggregate; its plain-SQL oracle
+    * proves pruning lost no row.
+    */
+  private def manifestPruning(s: SparkSession, d: String): DataFrame = {
+    val tmp = stagedOnce(s, d, "manifest") { p =>
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(s"$p/data")
+      s.read.parquet(s"$p/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/manifest")
+    }
+    val (loB, hiB) = (100000.0, 150000.0)
+    val manifest = s.read.parquet(s"$tmp/manifest")
+    val total = manifest.count()
+    // the overlap test: file survives iff [lo, hi] ∩ [loB, hiB] ≠ ∅
+    val files = manifest.filter(col("hi") >= loB && col("lo") <= hiB)
+      .select("file").collect().map(_.getString(0))
+    require(files.nonEmpty && files.length * 2 <= total,
+      s"s15_manifest_prune: ${files.length}/$total files survived — pruning is not real")
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_totalprice") >= loB && col("o_totalprice") <= hiB)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sumCents(col("o_totalprice")).as("revenue"))
+  }
+
   /** Declared JSONL ingest — the third leg of the source matrix
     * (parquet = query format, CSV + JSONL = ingest formats, each with
     * explicit schema + FAILFAST): documents staged as JSONL once, read
@@ -556,6 +598,7 @@ object StorageQueries {
     "s10_compaction" -> compaction,
     "s12_snapshot_diff" -> snapshotDiff,
     "s13_gdpr_delete" -> gdprDelete,
+    "s15_manifest_prune" -> manifestPruning,
     "s11_zorder" -> zorderLayout,
     "s9_scd2_history" -> scd2History,
     "s8_upsert_snapshot" -> upsertSnapshot,
@@ -575,6 +618,12 @@ object StorageQueries {
         |  count(DISTINCT doc_id) AS n_ids,
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "s15_manifest_prune" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+        |FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+        |GROUP BY o_orderstatus""".stripMargin,
     "s13_gdpr_delete" ->
       """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         |FROM documents

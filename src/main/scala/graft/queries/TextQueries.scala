@@ -457,6 +457,44 @@ object TextQueries {
       out
     }),
 
+    // Asymmetric containment detection — the quote/boilerplate signal
+    // symmetric Jaccard misses: a short doc fully embedded in a long
+    // one has low Jaccard (union is dominated by the long doc) but
+    // containment |A∩B|/|A| ≈ 1. Same LSH candidate discipline as
+    // t_dedup_verified (banded pairs only, shingle sets fetched for
+    // candidate MEMBERS via semi-join, row-local codegen'd
+    // IntersectSize), then the integer threshold 2·inter ≥ |contained|
+    // (containment ≥ 0.5) applied DIRECTIONALLY — each pair can emit
+    // the a-in-b row, the b-in-a row, or both (near-identical docs).
+    // Caveat shared with all MinHash pipelines: banding recall is
+    // tuned for Jaccard, so a tiny-doc-in-huge-doc pair may never
+    // band-collide — at scale containment candidates add a
+    // prefix/suffix fingerprint channel (t_chunk_dedup's frame).
+    "t_containment" -> ((s, d) => {
+      val cand = lshPairs(s, d).cache()
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = Tables.documents(s, d)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .cache()
+      val pairs = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          graft.plans.TextVectorExprs.intersectSize(col("sh_a"), col("sh_b")).cast("long").as("inter"),
+          size(col("sh_a")).cast("long").as("na"), size(col("sh_b")).cast("long").as("nb"))
+      val aInB = pairs.filter(col("inter") * 2 >= col("na"))
+        .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("inter"), col("na").as("n_contained"))
+      val bInA = pairs.filter(col("inter") * 2 >= col("nb"))
+        .select(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("inter"), col("nb").as("n_contained"))
+      val out = aInB.unionByName(bInA).localCheckpoint(true)
+      cand.unpersist(); sets.unpersist()
+      out
+    }),
+
     // Incremental ingest dedup — the daily-crawl shape: a NEW batch
     // (doc_id >= 250) checked against the EXISTING corpus index
     // (doc_id < 250) by 32-token-prefix fingerprint (prefix
@@ -1514,6 +1552,23 @@ object TextQueries {
          |FROM hs t JOIN bench b ON t.h = b.h
          |WHERE t.doc_id >= 50
          |GROUP BY t.doc_id""".stripMargin,
+    "t_containment" ->
+      s"""WITH $minhashCte,
+         |$bandsPairsCte,
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |          FROM pairs p
+         |          JOIN sh a ON a.doc_id = p.doc_a
+         |          JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a AS contained, i.doc_b AS container,
+         |       i.inter::BIGINT AS inter, ca.n::BIGINT AS n_contained
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+         |WHERE i.inter * 2 >= ca.n
+         |UNION ALL
+         |SELECT i.doc_b, i.doc_a, i.inter::BIGINT, cb.n::BIGINT
+         |FROM inter i JOIN cnt cb ON cb.doc_id = i.doc_b
+         |WHERE i.inter * 2 >= cb.n""".stripMargin,
     "t_dedup_verified" ->
       s"""WITH $minhashCte,
          |$bandsPairsCte,

@@ -82,6 +82,18 @@ class StorageQueriesSpec extends AnyFunSuite {
     assert(added > 0 && removed > 0 && changed > 0, "every change class exercised")
   }
 
+  test("s15_manifest_prune: pruned read equals the direct filtered aggregate") {
+    val res = StorageQueries.defs("s15_manifest_prune")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Double]("revenue"))).toMap
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") <= 150000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("revenue"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("cnt"), r.getAs[Double]("revenue"))).toMap
+    assert(res == direct, "manifest-pruned read must lose no row")
+  }
+
   test("s13_gdpr_delete: survivors equal the corpus minus the deletion list") {
     val rows = StorageQueries.defs("s13_gdpr_delete")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

@@ -112,6 +112,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(padA >= realA && padS >= realS, "padded slots bound real tokens")
   }
 
+  test("m_pr_curve: recall is monotone down the threshold order and ends at 1") {
+    val rows = AnalyticsQueries.defs("m_pr_curve")(spark, "/root/testdata/sf0.001")
+      .orderBy(col("score").desc).collect()
+    assert(rows.nonEmpty)
+    var lastRec = 0.0
+    rows.foreach { r =>
+      val (p, rec) = (r.getAs[Double]("prec"), r.getAs[Double]("rec"))
+      assert(p >= 0.0 && p <= 1.0)
+      assert(rec >= lastRec, "recall cannot decrease as the threshold drops")
+      lastRec = rec
+    }
+    assert(lastRec == 1.0, "the loosest threshold recalls every positive")
+    val last = rows.last
+    assert(last.getAs[Long]("tp") + last.getAs[Long]("fp") ==
+      graft.Tables.lineitem(spark, "/root/testdata/sf0.001").count())
+  }
+
   test("m_roc_auc: midrank identity matches the brute-force pair count") {
     val r = AnalyticsQueries.defs("m_roc_auc")(spark, "/root/testdata/sf0.001").head()
     val auc = r.getAs[Double]("auc")

@@ -235,4 +235,27 @@ class DedupScaleSpec extends AnyFunSuite {
       s"64-shard manifest must equal the per-shard recompute (got ${got.size} packs, expected ${expected.size})")
     assert(got.keys.map(_._1).toSet.size > 8, "docs actually spread over >8 shards")
   }
+
+  test("t_containment: directional threshold holds and subsumes the symmetric dups") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextQueries.defs("t_containment")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "the planted near-dups must surface as containments")
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("contained"), r.getAs[Long]("container"))
+      assert(a != b, "a doc cannot contain itself")
+      assert(2 * r.getAs[Long]("inter") >= r.getAs[Long]("n_contained"),
+        "every emitted row must meet the 0.5 containment threshold")
+    }
+    // symmetric verified dups (jaccard >= 0.5) imply containment >= 0.5
+    // of the SMALLER side, so each must reappear here in some direction
+    val sym = TextQueries.defs("t_dedup_verified")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val cont = rows.map(r =>
+      (r.getAs[Long]("contained"), r.getAs[Long]("container"))).toSet
+    sym.foreach { case (a, b) =>
+      assert(cont.contains((a, b)) || cont.contains((b, a)),
+        s"verified dup ($a,$b) missing from the containment output")
+    }
+  }
 }
