@@ -272,6 +272,44 @@ object AnalyticsQueries {
           sum("micros").over(w).as("win_micros"))
     }),
 
+    // J14 — two-table point-in-time (feature-store) join: each click
+    // event is enriched with the feature version VALID AT its event
+    // time from a versioned feature ledger (v1 since epoch; v2 since
+    // the user's first purchase — derived deterministically from the
+    // data, so the oracle reproduces the ledger). The scalable
+    // implementation is the UNION trick: ledger rows and events
+    // interleave in ONE per-user time-ordered window and each event
+    // inherits the last non-null feature at-or-before its timestamp
+    // (ledger rows sort first on ties — inclusive semantics). One
+    // shuffle on user_id, no per-event ledger scan, no range join —
+    // the j9 mechanism generalized to two tables; at 100 TB both
+    // sides pre-partition by the entity key. A correlated
+    // latest-version-per-event subquery is the oracle's simpler
+    // equivalent.
+    "j14_pit_join" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+      val v1 = e.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(0L).as("vf"),
+          (col("user_id") * 10L + 1L).as("feature"))
+      val v2 = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("vf"))
+        .select(col("user_id"), col("vf"), (col("user_id") * 10L + 2L).as("feature"))
+      val ledger = v1.unionByName(v2)
+        .select(col("user_id"), col("vf").as("us"), lit(1).as("is_f"),
+          col("feature"), lit(null: java.lang.Long).as("event_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), lit(0).as("is_f"),
+          lit(null: java.lang.Long).as("feature"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("is_f").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ledger.unionByName(clicks)
+        .withColumn("f_at", last(col("feature"), ignoreNulls = true).over(w))
+        .filter(col("is_f") === 0)
+        .select(col("event_id"), col("user_id"), col("f_at").as("feature"))
+    }),
+
     // Precision-recall curve — m_roc_auc's sibling for the imbalanced
     // regime (precision is the metric the AUC hides when positives are
     // rare): one point per DISTINCT margin threshold, TP/FP as
@@ -510,6 +548,18 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)::BIGINT AS win_micros
         |FROM events""".stripMargin,
+    "j14_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |ledger AS (
+        |  SELECT DISTINCT user_id, 0::BIGINT AS vf, user_id * 10 + 1 AS feature FROM e
+        |  UNION ALL
+        |  SELECT user_id, min(us) AS vf, user_id * 10 + 2 AS feature
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT c.event_id, c.user_id,
+        |  (SELECT l.feature FROM ledger l
+        |   WHERE l.user_id = c.user_id AND l.vf <= c.us
+        |   ORDER BY l.vf DESC LIMIT 1) AS feature
+        |FROM e c WHERE c.event_type = 'click'""".stripMargin,
     "m_pr_curve" ->
       """WITH ps AS (SELECT l_quantity * 0.8 + l_discount * -20.0 + 0.1 AS score,
         |    sum((l_returnflag = 'R')::BIGINT)::BIGINT AS np_s,

@@ -457,6 +457,66 @@ object TextQueries {
       out
     }),
 
+    // Hybrid retrieval — BM25 ⊕ vector ranks fused by Reciprocal Rank
+    // Fusion (RRF, k=60): the production hybrid-search shape where the
+    // lexical and semantic rankers each vote through their RANK, not
+    // their incomparable scores. Both rank lists are total orders
+    // (score desc, id), the fusion is rrf = 1/(60+r_lex) + 1/(60+r_vec)
+    // — exactly TWO fixed-order double terms, so unlike a weighted
+    // score sum it is bitwise-reproducible; a doc missing from one
+    // list contributes 0 from that side (full outer join). Corpus
+    // convention: vec_id keys the same documents as doc_id. At scale
+    // each ranker prunes independently (inverted index / IVF) and RRF
+    // touches only the union of the two top-k lists — here the full
+    // lists keep the oracle exact.
+    "t_hybrid_search" -> ((s, d) => {
+      val terms = Seq("join", "vector", "stream")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("score", expr(
+          """(CAST(n_docs - df AS DOUBLE) + 0.5D) / (CAST(df AS DOUBLE) + 0.5D)
+            | * (CAST(tf AS DOUBLE) * 2.2D
+            |    / (CAST(tf AS DOUBLE)
+            |       + 1.2D * (0.25D + 0.75D
+            |                 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin))
+      val lexScore = scored.groupBy("doc_id")
+        .agg(
+          sum(when(col("term") === terms(0), col("score"))).as("s0"),
+          sum(when(col("term") === terms(1), col("score"))).as("s1"),
+          sum(when(col("term") === terms(2), col("score"))).as("s2"))
+        .select(col("doc_id"),
+          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0))
+            + coalesce(col("s2"), lit(0.0))).as("score"))
+      val lexRank = lexScore.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+      val e = Tables.embeddings(s, d).select(
+        col("vec_id"), col("embedding"), Fns.normSq(col("embedding")).as("nsq"))
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+      val vecRank = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          (Fns.dotProduct(col("q_emb"), col("embedding"))
+            / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cos"))
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).as("vec_rank"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Asymmetric containment detection — the quote/boilerplate signal
     // symmetric Jaccard misses: a short doc fully embedded in a long
     // one has low Jaccard (union is dominated by the long doc) but
@@ -1552,6 +1612,43 @@ object TextQueries {
          |FROM hs t JOIN bench b ON t.h = b.h
          |WHERE t.doc_id >= 50
          |GROUP BY t.doc_id""".stripMargin,
+    "t_hybrid_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |                  len(string_split(text, ' ')) AS dl FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |       WHERE term IN ('join', 'vector', 'stream')
+         |       GROUP BY doc_id, dl, term),
+         |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |         (CAST(n_docs - tdf.df AS DOUBLE) + 0.5) / (CAST(tdf.df AS DOUBLE) + 0.5)
+         |         * (CAST(tf.tf AS DOUBLE) * 2.2
+         |            / (CAST(tf.tf AS DOUBLE)
+         |               + 1.2 * (0.25 + 0.75
+         |                        * (CAST(tf.dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS score
+         |       FROM tf JOIN tdf USING (term) CROSS JOIN stats),
+         |piv AS (SELECT doc_id,
+         |         sum(CASE WHEN term = 'join' THEN score END) AS s0,
+         |         sum(CASE WHEN term = 'vector' THEN score END) AS s1,
+         |         sum(CASE WHEN term = 'stream' THEN score END) AS s2
+         |        FROM sc GROUP BY doc_id),
+         |lex AS (SELECT doc_id, row_number() OVER (
+         |          ORDER BY COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) DESC,
+         |                   doc_id) AS lex_rank
+         |        FROM piv),
+         |e AS (SELECT vec_id, embedding,
+         |        ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |qv AS (SELECT embedding AS q_emb, nsq AS q_nsq FROM e WHERE vec_id = 0),
+         |vr AS (SELECT vec_id AS doc_id, row_number() OVER (
+         |          ORDER BY ${dotSql("q_emb", "embedding")} / (sqrt(q_nsq) * sqrt(nsq)) DESC,
+         |                   vec_id) AS vec_rank
+         |        FROM e CROSS JOIN qv WHERE vec_id <> 0)
+         |SELECT COALESCE(lex.doc_id, vr.doc_id) AS doc_id, lex_rank, vec_rank,
+         |  COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0)
+         |  + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
+         |FROM lex FULL OUTER JOIN vr ON lex.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "t_containment" ->
       s"""WITH $minhashCte,
          |$bandsPairsCte,

@@ -112,6 +112,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(padA >= realA && padS >= realS, "padded slots bound real tokens")
   }
 
+  test("j14_pit_join: every click carries the version valid at its time") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AnalyticsQueries.defs("j14_pit_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e = graft.Tables.events(spark, sf).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us")).collect()
+    val firstPurchase = e.filter(_.getString(2) == "purchase")
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(3)).min }
+    val clicks = e.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(3))).toSeq
+    assert(rows.length == clicks.length, "one enriched row per click")
+    val byEvent = rows.map(r => r._1 -> r._3).toMap
+    clicks.foreach { case (eid, u, us) =>
+      val expected = firstPurchase.get(u) match {
+        case Some(fp) if us >= fp => u * 10 + 2
+        case _ => u * 10 + 1
+      }
+      assert(byEvent(eid) == expected, s"event $eid of user $u")
+    }
+  }
+
+  test("t_hybrid_search: RRF top-10 is bounded and carries at least one rank per row") {
+    val rows = TextQueries.defs("t_hybrid_search")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    var last = Double.MaxValue
+    rows.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-15)
+      assert(!r.isNullAt(1) || !r.isNullAt(2), "a fused row needs at least one rank")
+      assert(rrf <= last, "output must be rrf-descending")
+      last = rrf
+    }
+  }
+
   test("m_pr_curve: recall is monotone down the threshold order and ends at 1") {
     val rows = AnalyticsQueries.defs("m_pr_curve")(spark, "/root/testdata/sf0.001")
       .orderBy(col("score").desc).collect()
