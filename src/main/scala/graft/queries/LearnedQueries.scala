@@ -980,6 +980,33 @@ object LearnedQueries {
     // total, so stream-accumulated ≡ batch-computed exactly. The
     // trending-terms dashboard shape: state is |windows|·|vocab|
     // bounded, shuffles carry (window, token) keys only.
+    // Sliding event-time windows on a REAL stream — the overlapping-
+    // window shape (2 h length, 1 h slide: every event belongs to
+    // exactly 2 windows) the tumbling x_stream_window can't express:
+    // trend smoothing, rate-over-rolling-hour, SLA windows. Same
+    // deterministic 4-micro-batch file replay + synthetic event times
+    // as x_stream_topk; Spark expands each event into its member
+    // windows BEFORE the shuffle (state is |windows| keys, events
+    // never buffer), complete-mode sink. The oracle reproduces the
+    // epoch-aligned window arithmetic as a 2-branch UNION (one per
+    // slide offset), counts and char-sums exact integers.
+    "x_stream_sliding" -> ((s, d) => {
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val stageDir = graft.core.TmpDirs.scratch("stream_sliding_src", d)
+      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val agg = stream
+        .withColumn("ts", timestamp_seconds(pmod(col("doc_id") * lit(7919L), lit(86400L))))
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(unix_timestamp(col("w.start")).as("wstart"),
+          col("n_docs"), col("sum_chars"))
+      val sinkName = s"graft_stream_sliding_${streamSinkSeq.incrementAndGet()}"
+      val q = StreamOps.toMemorySink(agg, sinkName)
+      q.processAllAvailable(); q.stop()
+      s.table(sinkName).select("wstart", "n_docs", "sum_chars")
+    }),
     "x_stream_topk" -> ((s, d) => {
       val raw = s.read.parquet(s"$d/documents.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_topk_src", d)
@@ -1315,6 +1342,15 @@ object LearnedQueries {
          |  unnest([i FOR i IN range(0, (length($asciiText) // 100 + 1)::BIGINT)
          |          IF i % 2 = 0]) AS frame_id
          |FROM documents""".stripMargin,
+    "x_stream_sliding" ->
+      """WITH e AS (SELECT ((doc_id * 7919) % 86400) AS t, n_chars FROM documents),
+        |m AS (SELECT (t // 3600) * 3600 AS wstart, t, n_chars FROM e
+        |      UNION ALL
+        |      SELECT ((t // 3600) - 1) * 3600 AS wstart, t, n_chars FROM e),
+        |v AS (SELECT wstart, n_chars FROM m
+        |      WHERE t >= wstart AND t < wstart + 7200)
+        |SELECT wstart, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM v GROUP BY wstart""".stripMargin,
     "x_stream_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS wstart, event_type,
         |  count(*) AS cnt,
