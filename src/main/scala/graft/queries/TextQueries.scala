@@ -220,6 +220,40 @@ object TextQueries {
     out
   }
 
+  // ---- BPE tokenizer lifecycle (t_bpe_encode) ----
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (java.util.HashMap[String, Integer], Seq[(String, Int)])]
+  private val bpeDictSlot = new DynOracleSlot[Seq[(String, Int)]]
+  private def bpeFitted(s: SparkSession, d: String)
+      : (java.util.HashMap[String, Integer], Seq[(String, Int)]) = {
+    val r = bpeMemo.getOrElseUpdate((s, d), {
+      val sample = Tables.documents(s, d).filter(col("doc_id") < 200L)
+        .select("doc_id", "text").collect()
+        .sortBy(_.getLong(0)).map(_.getString(1)) // pin the sample order
+      val merges = graft.plans.BpeEncode.trainMerges(sample.toSeq, 100)
+      val ranks = graft.plans.BpeEncode.rankMap(merges)
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct().collect().map(_.getString(0)).sorted
+      require(vocab.length <= 4096,
+        s"t_bpe_encode oracle dictionary capped at 4096 words, got ${vocab.length}")
+      val dict = vocab.toSeq.map(w =>
+        w -> graft.plans.BpeEncode.encodeWord(ranks, w).length)
+      (ranks, dict)
+    })
+    bpeDictSlot.put(d, r._2)
+    r
+  }
+  private def bpeOracle: Map[String, String] = bpeDictSlot.only.map { dict =>
+    val cases = dict.map { case (w, n) =>
+      s"WHEN '${w.replace("'", "''")}' THEN $n" }.mkString(" ")
+    "t_bpe_encode" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS ws_tokens,
+         |  sum(CASE w $cases ELSE 0 END)::BIGINT AS bpe_tokens
+         |FROM w GROUP BY doc_id""".stripMargin
+  }.toMap
+
   lazy val defs: Map[String, Q] = defsA ++ defsB
 
   private val defsA: Map[String, Q] = Map(
@@ -455,6 +489,26 @@ object TextQueries {
       val out = pairs.localCheckpoint(true)
       cand.unpersist(); sets.unpersist()
       out
+    }),
+
+    // BPE tokenizer lifecycle — train-small / serve-at-scale (the
+    // InferDB pattern applied to tokenization): classic BPE training
+    // is inherently SEQUENTIAL (each merge changes the statistics the
+    // next merge is chosen from), so 100 merges fit driver-side on a
+    // bounded, deterministically-ordered sample (doc_id < 200 —
+    // production tokenizers train on samples too); ENCODING is
+    // embarrassingly parallel and runs as one fused projection through
+    // the codegen'd BpeEncode kernel (rank table as a plan reference
+    // object — the TreeEnsembleRef discipline). The oracle is generated
+    // from the FITTED per-word token lengths over the corpus vocabulary
+    // (bounded, asserted ≤4096; words never cross merge boundaries, so
+    // doc count = Σ word counts): the green hash proves the
+    // distributed kernel ≡ the driver reference encoder, via DuckDB.
+    "t_bpe_encode" -> ((s, d) => {
+      val (ranks, _) = bpeFitted(s, d)
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        graft.plans.BpeEncode.column(col("text"), ranks).as("bpe_tokens"))
     }),
 
     // Hybrid retrieval — BM25 ⊕ vector ranks fused by Reciprocal Rank
@@ -1534,7 +1588,9 @@ object TextQueries {
        |       ELSE 'zh' END""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = staticOracle ++ bpeOracle
+
+  private lazy val staticOracle: Map[String, String] = Map(
     "t_dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
