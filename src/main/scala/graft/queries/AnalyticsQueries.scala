@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
 
 /** Warehouse-analytics surface beyond the reference's operator list:
   * pivot/unpivot reshaping, multi-level grouping (CUBE + grouping_id),
-  * distribution windows (ntile / percent_rank / cume_dist), fuzzy
-  * dimension matching (edit distance), and collocation mining (PMI-style
-  * lift). Each query keeps the engine-exact emission rules (integer
-  * counts, single fixed-order double chains, total-order tie-breaks) so
-  * the DuckDB oracle matches bitwise.
+  * distribution and RANGE-frame windows, fuzzy dimension matching,
+  * collocation mining (PMI lift), experiment statistics (two-proportion
+  * z-test), exact rank metrics (ROC-AUC, PR curve — doubled integer
+  * midranks), robust statistics (MAD, KS drift), integer-exact sparse
+  * doc similarity and PageRank, point-in-time feature joins, calendar
+  * resampling, batching economics, set completeness, and the
+  * bin_index→range optimizer-rule proof. Each query keeps the
+  * engine-exact emission rules (integer sufficient statistics, single
+  * fixed-order double chains, total-order tie-breaks) so the DuckDB
+  * oracle matches bitwise.
   */
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
