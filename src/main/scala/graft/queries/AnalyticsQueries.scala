@@ -315,6 +315,23 @@ object AnalyticsQueries {
         .select(col("event_id"), col("user_id"), col("f_at").as("feature"))
     }),
 
+    // P10 — winsorization: outliers CLIPPED to the per-group
+    // [p05, p95] band rather than dropped (t9 imputes, a18 measures —
+    // this is the third robust-statistics tool: keep the row, bound
+    // its leverage). Exact interpolated percentiles per group (one
+    // sort-based agg), broadcast join-back (|groups| rows), clip via
+    // least/greatest — both exact on doubles, so the oracle is
+    // bitwise. Two passes at any scale.
+    "p10_winsorize" -> ((s, d) => {
+      val bounds = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+      Tables.lineitem(s, d).join(broadcast(bounds), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          greatest(least(col("l_extendedprice"), col("hi")), col("lo"))
+            .as("price_winsorized"))
+    }),
+
     // Precision-recall curve — m_roc_auc's sibling for the imbalanced
     // regime (precision is the metric the AUC hides when positives are
     // rare): one point per DISTINCT margin threshold, TP/FP as
@@ -553,6 +570,14 @@ object AnalyticsQueries {
         |    PARTITION BY user_id ORDER BY epoch_us(ts)
         |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)::BIGINT AS win_micros
         |FROM events""".stripMargin,
+    "p10_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  greatest(least(l_extendedprice, hi), lo) AS price_winsorized
+        |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag""".stripMargin,
     "j14_pit_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |ledger AS (

@@ -59,6 +59,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bi == Set(("a", "b"), ("b", "c"), ("c", "d")))
   }
 
+  test("p10_winsorize: every value lands inside its group's [p05, p95] band") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = AnalyticsQueries.defs("p10_winsorize")(spark, sf).collect()
+    assert(rows.length == graft.Tables.lineitem(spark, sf).count(), "no row dropped")
+    val byFlag = rows.groupBy(_.getString(2))
+    byFlag.foreach { case (flag, rs) =>
+      val vals = rs.map(_.getAs[Double]("price_winsorized"))
+      val raw = graft.Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0))
+      assert(vals.min >= raw.sorted.apply((0.05 * (raw.length - 1)).floor.toInt),
+        s"$flag: clipped min below the p05 neighborhood")
+      assert(vals.max <= raw.max && vals.min >= raw.min)
+      assert(vals.distinct.length < raw.distinct.length || raw.distinct.length <= 2,
+        s"$flag: clipping must collapse the tails")
+    }
+  }
+
   test("o7_intersect: intersection equals the conjunctive filter, distinct") {
     val sf = "/root/testdata/sf0.001"
     val got = AnalyticsQueries.defs("o7_intersect")(spark, sf)
