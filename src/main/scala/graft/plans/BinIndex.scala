@@ -26,7 +26,11 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongT
   */
 case class BinIndex(child: Expression, splits: Array[Double])
     extends UnaryExpression {
-  require(splits.sameElements(splits.sorted), "splits must be sorted")
+  // Strictly increasing: binarySearch's index is unspecified among
+  // duplicates, and BinRangeRewrite's [s(k-1), s(k)) range for an
+  // inner bin would silently go empty on a duplicated split value.
+  require(splits.length < 2 || splits.zip(splits.tail).forall { case (a, b) => a < b },
+    "splits must be strictly increasing")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

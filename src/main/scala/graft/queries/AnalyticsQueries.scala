@@ -306,8 +306,13 @@ object AnalyticsQueries {
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"), lit(0).as("is_f"),
           lit(null: java.lang.Long).as("feature"), col("event_id"))
+      // `feature` tiebreak: if a user's v2 lands at the same microsecond
+      // as v1 (first purchase at epoch 0), the two ledger rows would
+      // otherwise be mutually unordered and last() nondeterministic —
+      // feature asc makes the HIGHER version win, matching the oracle's
+      // ORDER BY vf DESC, feature DESC LIMIT 1.
       val w = Window.partitionBy("user_id")
-        .orderBy(col("us"), col("is_f").desc, col("event_id"))
+        .orderBy(col("us"), col("is_f").desc, col("feature"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
       ledger.unionByName(clicks)
         .withColumn("f_at", last(col("feature"), ignoreNulls = true).over(w))
@@ -588,7 +593,7 @@ object AnalyticsQueries {
         |SELECT c.event_id, c.user_id,
         |  (SELECT l.feature FROM ledger l
         |   WHERE l.user_id = c.user_id AND l.vf <= c.us
-        |   ORDER BY l.vf DESC LIMIT 1) AS feature
+        |   ORDER BY l.vf DESC, l.feature DESC LIMIT 1) AS feature
         |FROM e c WHERE c.event_type = 'click'""".stripMargin,
     "m_pr_curve" ->
       """WITH ps AS (SELECT l_quantity * 0.8 + l_discount * -20.0 + 0.1 AS score,

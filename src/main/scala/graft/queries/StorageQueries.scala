@@ -372,19 +372,25 @@ object StorageQueries {
     * lost no rows.
     */
   private val CompactTargetBytes = 4L << 20
+  // Shared by the staged write and the re-check so they can't diverge.
+  // Clamped to frag.length - 1: coalesce can never RAISE the partition
+  // count, and compaction must strictly improve the layout — once the
+  // input exceeds (n_frag - 1) * target at a larger SF, we settle for
+  // files somewhat above target rather than crash or no-op.
+  private def plannedCompactFiles(frag: Array[java.io.File]): Int = {
+    val byBytes = math.ceil(frag.map(_.length).sum.toDouble / CompactTargetBytes).toInt
+    math.max(1, math.min(byBytes, frag.length - 1))
+  }
   private def compaction(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "compaction") { p =>
       Tables.documents(s, d).repartition(64)
         .write.mode("overwrite").parquet(s"$p/frag")
-      val fragBytes = parquetFiles(s"$p/frag").map(_.length).sum
-      val nOut = math.max(1,
-        math.ceil(fragBytes.toDouble / CompactTargetBytes).toInt)
+      val nOut = plannedCompactFiles(parquetFiles(s"$p/frag"))
       s.read.parquet(s"$p/frag").coalesce(nOut)
         .write.mode("overwrite").parquet(s"$p/compact")
     }
     val frag = parquetFiles(s"$tmp/frag")
-    val planned = math.max(1,
-      math.ceil(frag.map(_.length).sum.toDouble / CompactTargetBytes).toInt)
+    val planned = plannedCompactFiles(frag)
     val out = parquetFiles(s"$tmp/compact")
     require(out.length == planned && out.length < frag.length,
       s"s10_compaction: expected $planned files (< ${frag.length}), found ${out.length}")
