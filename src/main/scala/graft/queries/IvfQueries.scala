@@ -558,24 +558,13 @@ object IvfQueries {
       val tv = graft.plans.TextVectorExprs
       val books = pqCodebooks(s, d) // [m][k][j]
       val slN = pqShortlist(cachedEmb(s, d).count())
-      def subCol(src: String, m: Int) =
-        expr(s"slice($src, ${m * PqSubDim + 1}, $PqSubDim)")
       // corpus → codes (argmin codeword per subspace; (dist, k) struct
       // min pins ties to the lowest code)
-      val codeCols = (0 until PqM).map { m =>
-        array_min(array((0 until PqSubK).map { k =>
-          struct(tv.l2Sq(subCol("embedding", m), typedLit(books(m)(k))).as("dist"),
-            lit(k).as("c"))
-        }: _*)).getField("c").as(s"code_$m")
-      }
+      val codeCols = pqCodeCols(books)
       val codes = cachedEmb(s, d).select(
         (col("vec_id").as("n_id") +: col("nsq").as("n_nsq") +: codeCols): _*)
       // queries → per-subspace LUTs (query ⋅ codeword for all codewords)
-      val lutCols = (0 until PqM).map { m =>
-        array((0 until PqSubK).map { k =>
-          Fns.dotProduct(subCol("q_emb", m), typedLit(books(m)(k)))
-        }: _*).as(s"lut_$m")
-      }
+      val lutCols = pqLutCols(books)
       val q = queries(s, d).select((col("q_id") +: col("q_emb") +: lutCols): _*)
       val adc = (0 until PqM).map(m =>
         element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)
@@ -609,6 +598,104 @@ object IvfQueries {
           // bytes per stored vector: one code byte per subspace + norm
           lit(PqM + 8).as("bytes_pq"), lit(4 * Dim).as("bytes_f32"))
       s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    })),
+
+    // IVFADC — PQ composed INSIDE the on-disk inverted file (VERDICT r8
+    // Next #1): the cell-partitioned index stores 8 PQ code bytes + the
+    // norm per vector (16 B — the layout every production vector store
+    // serves from), a query batch reads ONLY its probed cells back
+    // (directory-level partition pruning, asserted on the scan), and the
+    // ADC LUT scan runs as a cell-keyed EQUI-JOIN over those cells —
+    // the crossJoin of the x_ann_pq demo is gone from the PQ path. The
+    // ADC shortlist re-ranks with exact cosine (full vectors touched for
+    // shortlist·|q| rows only). Two operating points in one row:
+    //  - recall_at_1: the full 100-query set at the tuned nprobe=24
+    //    point, so the number is comparable to x_ann_pq's full-scan
+    //    0.94 (the gap is the honest price of scanning ~half the cells);
+    //  - cells_read/cells_total: a small serve batch (8 queries,
+    //    nprobe=4 — the x_ann_disk_probe shape) whose probed-cell union
+    //    is genuinely sparse, with its own recall reported, because at
+    //    K=64 a 100-query batch at nprobe=24 legitimately touches every
+    //    cell (production K is thousands, where batch unions stay
+    //    sparse; the per-task I/O bound nprobe/K holds regardless).
+    // Rows-only (fitted centers + codebooks not SQL-expressible).
+    "x_ann_ivf_pq" -> ((s, d) => ivfPqResult.getOrElseUpdate((s, d), {
+      val tv = graft.plans.TextVectorExprs
+      val centers = fittedCenters(s, d)
+      val books = pqCodebooks(s, d)
+      val slN = pqShortlist(cachedEmb(s, d).count())
+      // the on-disk IVFADC index: one directory per coarse cell
+      val dir = graft.core.TmpDirs.scratch("ann_ivfpq_disk", d)
+      cachedEmb(s, d).select(
+        (col("vec_id").as("n_id") +: col("nsq").as("n_nsq") +:
+          nearestCell(col("embedding"), centers).as("cell") +:
+          pqCodeCols(books)): _*)
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      // one search: probe nprobe cells/query, LUT-ADC scan inside
+      // probed cells only, exact re-rank of the ADC shortlist
+      def search(q0: org.apache.spark.sql.DataFrame, nprobe: Int)
+          : (org.apache.spark.sql.DataFrame, Int) = {
+        val ql = q0.select((col("q_id") +: col("q_emb") +: pqLutCols(books)): _*)
+        val qCells = ql.select(col("*"),
+          explode(array(centers.zipWithIndex.map { case (c, k) =>
+            struct(lit(k).as("cell"), tv.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+          }: _*)).as("c"))
+          .select(col("*"), col("c.cell"), col("c.dist")).drop("c")
+        val probe = qCells
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+          .filter(col("rnk") <= nprobe).drop("dist", "rnk")
+        // probed-cell union: ≤ |queries|·nprobe ids — driver-tiny
+        val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        val inv = s.read.parquet(dir)
+          .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+        val scans = inv.queryExecution.sparkPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        require(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
+          "cell partition pruning missing from the IVFADC scan")
+        val adc = (0 until PqM).map(m =>
+          element_at(col(s"lut_$m"), col(s"code_$m") + 1)).reduce(_ + _)
+        val scored = probe.join(inv, Seq("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"), col("q_emb"), col("n_id"),
+            (adc / sqrt(col("n_nsq"))).as("adc_cos"))
+        val shortlist = scored
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("adc_cos").desc, col("n_id"))))
+          .filter(col("rnk") <= slN)
+          .select("q_id", "q_emb", "n_id")
+        val top = shortlist
+          .join(cachedEmb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("n_emb"), col("nsq").as("n_nsq")), Seq("n_id"))
+          .select(col("q_id"), col("n_id"),
+            (Fns.dotProduct(col("q_emb"), col("n_emb")) / sqrt(col("n_nsq"))).as("cos"))
+          .groupBy("q_id")
+          .agg(min_by(col("n_id"), struct(-col("cos"), col("n_id"))).as("pq_id"))
+        (top, probedCells.length)
+      }
+      def recallVs(top: org.apache.spark.sql.DataFrame,
+          truth: org.apache.spark.sql.DataFrame): Double = {
+        val r = top.join(truth, Seq("q_id"), "right")
+          .agg(avg(coalesce(col("pq_id") === col("bf_id"), lit(false)).cast("double")))
+          .head().getDouble(0)
+        math.rint(r * 1e4) / 1e4
+      }
+      val q = queries(s, d).select(col("q_id"), col("q_emb"))
+      val (fullTop, fullCells) = search(q, FittedNProbe)
+      val recallFull = recallVs(fullTop, bfTop(s, d))
+      val (demoTop, demoCells) = search(q.filter(col("q_id") < 8), 4)
+      require(demoCells < FittedK,
+        s"IVFADC pruning demo degenerated: $demoCells/$FittedK cells probed")
+      val recallDemo = recallVs(demoTop, bfTop(s, d).filter(col("q_id") < 8))
+      import s.implicits._
+      Seq((PqM.toLong, PqSubK.toLong, FittedNProbe.toLong, slN.toLong, q.count(),
+        recallFull, fullCells.toLong, 4L, q.filter(col("q_id") < 8).count(),
+        recallDemo, demoCells.toLong,
+        FittedK.toLong, (PqM + 8).toLong, (4 * Dim).toLong))
+        .toDF("m", "ksub", "nprobe", "shortlist", "n_queries", "recall_at_1",
+          "cells_probed_full", "demo_nprobe", "demo_n_queries",
+          "demo_recall_at_1", "cells_read", "cells_total", "bytes_pq", "bytes_f32")
     })),
 
     // The IVF operating curve (nprobe -> recall/cost), the sweep every
@@ -665,6 +752,29 @@ object IvfQueries {
   private val PqM = 8
   private val PqSubDim = Dim / PqM
   private val PqSubK = 32
+  /** PQ subvector m of a 64-dim embedding column (1-based slice). */
+  private def pqSub(src: String, m: Int) =
+    expr(s"slice($src, ${m * PqSubDim + 1}, $PqSubDim)")
+
+  /** code_m columns: argmin codeword per subspace; (dist, k) struct min
+    * pins ties to the lowest code. */
+  private def pqCodeCols(books: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until PqM).map { m =>
+      array_min(array((0 until PqSubK).map { k =>
+        struct(graft.plans.TextVectorExprs.l2Sq(pqSub("embedding", m),
+          typedLit(books(m)(k))).as("dist"), lit(k).as("c"))
+      }: _*)).getField("c").as(s"code_$m")
+    }
+
+  /** lut_m columns: per-subspace dot-product lookup table (query side,
+    * q_emb ⋅ codeword for all PqSubK codewords). */
+  private def pqLutCols(books: Array[Array[Array[Double]]]): Seq[Column] =
+    (0 until PqM).map { m =>
+      array((0 until PqSubK).map { k =>
+        Fns.dotProduct(pqSub("q_emb", m), typedLit(books(m)(k)))
+      }: _*).as(s"lut_$m")
+    }
+
   /** ADC shortlist: 10% of the corpus, floored at 64 — a FIXED
     * fraction, not a fixed count (a fixed 64 gave 0.96 recall at 500
     * vectors but 0.79 at 2000). 10% is the measured operating point
@@ -692,6 +802,8 @@ object IvfQueries {
     })
 
   private val pqResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ivfPqResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val kmeansResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

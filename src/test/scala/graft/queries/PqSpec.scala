@@ -23,4 +23,19 @@ class PqSpec extends AnyFunSuite {
       s"exact re-rank of a superset shortlist cannot lose to raw ADC ($rr < $radc)")
     assert(rr >= 0.9, s"re-ranked recall@1 $rr below the production bar")
   }
+
+  test("x_ann_ivf_pq: composed IVFADC serves from pruned cells with bounded loss") {
+    val r = IvfQueries.defs("x_ann_ivf_pq")(spark, "/root/testdata/sf0.001").head()
+    assert(r.getAs[Long]("n_queries") > 0)
+    assert(r.getAs[Long]("bytes_pq") == r.getAs[Long]("m") + 8)
+    // the pruning demo must genuinely skip cells (require in-query too)
+    assert(r.getAs[Long]("cells_read") < r.getAs[Long]("cells_total"))
+    // nprobe=4 of 64 cells can read at most 8·4 distinct directories
+    assert(r.getAs[Long]("cells_read") <=
+      r.getAs[Long]("demo_n_queries") * r.getAs[Long]("demo_nprobe"))
+    // full-set recall can trail the unrestricted-ADC x_ann_pq only by
+    // the cell-miss rate; at the tuned nprobe=24 point that is small
+    assert(r.getAs[Double]("recall_at_1") >= 0.8,
+      s"IVFADC recall@1 ${r.getAs[Double]("recall_at_1")} collapsed")
+  }
 }
