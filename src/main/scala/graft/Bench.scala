@@ -28,6 +28,21 @@ object Bench {
   private def bestOf(iters: Int)(f: => Long): Double =
     (1 to iters).map(_ => time(f)._1).min
 
+  /** Per-query protocol: best-of-`iters` for sub-second rows, but any
+    * row whose best run is ≥ 1 s gets a third shot and reports the
+    * MEDIAN — the ≥1 s rows are the ones where a single contended run
+    * skews best-of-2 (x33 flapped 1.8× round-over-round on unchanged
+    * code, VERDICT r8 "What's wrong" #1), and one extra multi-second
+    * run costs little relative to the row itself. */
+  private def robustQueryTime(iters: Int)(f: => Long): Double = {
+    val ts = scala.collection.mutable.ArrayBuffer.tabulate(iters)(_ => time(f)._1)
+    if (ts.min < 1.0) ts.min
+    else {
+      while (ts.length < 3) ts += time(f)._1
+      ts.sorted.apply(ts.length / 2)
+    }
+  }
+
   /** median of `iters` timed runs — the GRADED stage_* rows use this:
     * they are sub-second, so 5 runs are cheap, and the median survives a
     * contended driver machine where best-of-2 flapped 5× round-over-
@@ -108,7 +123,7 @@ object Bench {
     // the comparable quantity round-over-round. Queries re-invoke
     // cleanly: scratch dirs clear on entry (TmpDirs.scratch).
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try bestOf(iters)(evalAll(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val t = try robustQueryTime(iters)(evalAll(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       name -> t
     }
 
@@ -161,8 +176,17 @@ object Bench {
     val qs = (queryTimes ++ stages)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
-    println(
-      f"""{"queries":$qs,"sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"metric":"inferdb_serve_end_to_end","unit":"sec","value":$endToEnd%.4f}""")
+    val line =
+      f"""{"queries":$qs,"sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"metric":"inferdb_serve_end_to_end","unit":"sec","value":$endToEnd%.4f}"""
+    println(line)
+    // The driver archives only the TAIL of stdout (~2.2 KB) — r8 lost
+    // 123 of 196 per-query timings to truncation. Persist the complete
+    // line where the round artifacts live so every timing is gradable.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }
