@@ -128,11 +128,29 @@ object ExtraQueries {
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))),
 
     // Beyond parity: HLL approximate distinct (the 100 TB cardinality
-    // tool; rows-only — sketch internals differ across engines).
-    "a12_approx_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d).agg(
-        approx_count_distinct("l_partkey").as("approx_parts"),
-        approx_count_distinct("l_orderkey").as("approx_orders"))),
+    // tool). The sketch's internals differ across engines, so the
+    // RECORDED check (VERDICT r8 Next #2) is the error-bound invariant:
+    // the row carries the exact cardinalities (DuckDB re-counts them)
+    // plus a per-column boolean pinning the HLL estimate within 4×rsd
+    // of exact — deterministic for this data+seed, and a sketch
+    // regression flips the hashed boolean, failing the gate loudly.
+    "a12_approx_distinct" -> ((s, d) => {
+      val r = Tables.lineitem(s, d).agg(
+        approx_count_distinct("l_partkey").as("ap"),
+        approx_count_distinct("l_orderkey").as("ao"),
+        count_distinct(col("l_partkey")).as("ep"),
+        count_distinct(col("l_orderkey")).as("eo")).head()
+      val (ap, ao, ep, eo) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // default rsd 0.05 → 4×rsd = 20% relative slack (loose on purpose:
+      // the check must hold at every SF, not just the tuned one)
+      def ok(est: Long, exact: Long): Boolean =
+        math.abs(est - exact) <= math.max(4L, math.ceil(0.2 * exact).toLong)
+      require(ok(ap, ep), s"HLL partkey estimate $ap too far from exact $ep")
+      require(ok(ao, eo), s"HLL orderkey estimate $ao too far from exact $eo")
+      import s.implicits._
+      Seq((ep, eo, ok(ap, ep), ok(ao, eo)))
+        .toDF("exact_parts", "exact_orders", "approx_parts_ok", "approx_orders_ok")
+    }),
 
     // Beyond parity: EXACT second moments at scale — mean/variance/
     // stddev of money without FP drift. A naive sum-of-doubles varies
@@ -291,22 +309,30 @@ object ExtraQueries {
           col("approx").getItem(1).as("p50"),
           col("approx").getItem(2).as("p90"))
       // rank-guarantee audit: for each group and quantile, the exact
-      // rank of the estimate must be within eps*n of q*n
+      // rank of the estimate must be within eps*n of q*n. The audit
+      // verdicts are the RECORDED check (VERDICT r8 Next #2): sketch
+      // values differ across engines, so the declared row carries the
+      // DuckDB-recountable group size plus one hashed boolean per
+      // quantile — a guarantee violation flips the boolean (and throws).
       val rows = res.collect()
-      rows.foreach { r =>
+      val out = rows.map { r =>
         val flag = r.getString(0); val n = r.getLong(1)
-        Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.9 -> r.getDouble(4))
-          .foreach { case (q, est) =>
+        val oks = Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.9 -> r.getDouble(4))
+          .map { case (q, est) =>
             val below = li.filter(col("l_returnflag") === flag &&
               col("l_quantity") <= est).count()
             val slack = (eps * n).ceil.toLong + 1
-            require(math.abs(below - q * n) <= slack + (
+            val pass = math.abs(below - q * n) <= slack + (
               // plateau correction: ties can push the <=-rank far right
-              li.filter(col("l_returnflag") === flag && col("l_quantity") === est).count()),
+              li.filter(col("l_returnflag") === flag && col("l_quantity") === est).count())
+            require(pass,
               s"approx_percentile broke its rank guarantee: group $flag q=$q est=$est rank=$below of $n")
+            pass
           }
+        (flag, n, oks(0), oks(1), oks(2))
       }
-      res
+      import s.implicits._
+      out.toSeq.toDF("l_returnflag", "n", "p25_ok", "p50_ok", "p90_ok")
     }),
 
     // Beyond parity: count-min-sketch heavy hitters — the third sketch
@@ -335,20 +361,29 @@ object ExtraQueries {
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
       val slack = (eps * cms.totalCount()).ceil.toLong
+      // the one-sided guarantees are the RECORDED check (VERDICT r8
+      // Next #2): the estimate itself is Spark-sketch-specific, so the
+      // declared row carries the exact top-20 (DuckDB re-derives it)
+      // plus the hashed bounds verdict — a sketch break flips it.
       val rows = exact.map { r =>
         val (tok, tf) = (r.getString(0), r.getLong(1))
         val est = cms.estimateCount(tok)
         require(est >= tf, s"CMS undercounted '$tok': $est < $tf")
         require(est <= tf + slack,
           s"CMS overcounted '$tok' beyond eps*N: $est > $tf + $slack")
-        (tok, tf, est)
+        (tok, tf, est >= tf && est <= tf + slack)
       }
       import s.implicits._
-      rows.toSeq.toDF("token", "tf", "cms_est")
+      rows.toSeq.toDF("token", "tf", "cms_bounds_ok")
     }),
 
-    // T7 — KMeans featurizer fit (MLlib, fixed seed; rows-only) +
-    // serve-side nearest-centroid assignment counts.
+    // T7 — KMeans featurizer fit (MLlib, fixed seed): per-cluster
+    // assignment counts. ORACLE-CHECKED (VERDICT r8 Next #2): the fitted
+    // 2-D centers are recorded for the dump, and DuckDB independently
+    // RE-DERIVES every assignment from those literals (argmin L2, first
+    // minimum) and re-counts — the same fitted-literal oracle mechanism
+    // as w3b_kmeans_fitted_assign, so the fit row is no longer a bare
+    // spark row count.
     "x_kmeans_fit" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -358,12 +393,20 @@ object ExtraQueries {
         .transform(e)
       val km = new KMeans().setK(4).setSeed(42).setFeaturesCol("fv")
         .setPredictionCol("cluster")
-      km.fit(fv).transform(fv)
+      val model = km.fit(fv)
+      kmCentersSlot.put(d, model.clusterCenters.map(_.toArray))
+      model.transform(fv)
         .groupBy("cluster").agg(count(lit(1)).as("n"))
     }),
 
-    // T8 — PCA featurizer fit (MLlib; rows-only): project embeddings
-    // to 2 components, report component-space extents.
+    // T8 — PCA featurizer fit: project embeddings to 2 components.
+    // ORACLE-CHECKED (VERDICT r8 Next #2): the declared projection is
+    // computed from the FITTED loadings through the codegen'd
+    // sequential dot product (the serve-path arithmetic both engines
+    // reproduce bitwise — MLlib's BLAS gemv is not guaranteed
+    // order-identical), and an in-query assert pins the MLlib transform
+    // to the served values within 1e-9 so the declared row still
+    // certifies the fit itself.
     "x_pca_project" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -374,17 +417,72 @@ object ExtraQueries {
       val fv = new VectorAssembler()
         .setInputCols(Array("x0", "x1", "x2", "x3")).setOutputCol("fv").transform(e)
       val pca = new PCA().setInputCol("fv").setOutputCol("pc").setK(2).fit(fv)
-      pca.transform(fv).select(
-        col("vec_id"),
-        element_at(vector_to_array(col("pc")), 1).as("pc1"),
-        element_at(vector_to_array(col("pc")), 2).as("pc2"))
+      val comps = Array.tabulate(2)(j => Array.tabulate(4)(i => pca.pc(i, j)))
+      pcaCompsSlot.put(d, comps)
+      val arr = array(col("x0"), col("x1"), col("x2"), col("x3"))
+      val both = pca.transform(fv).select(col("vec_id"),
+        graft.functions.Fns.dotProduct(arr, typedLit(comps(0))).as("pc1"),
+        graft.functions.Fns.dotProduct(arr, typedLit(comps(1))).as("pc2"),
+        element_at(vector_to_array(col("pc")), 1).as("mpc1"),
+        element_at(vector_to_array(col("pc")), 2).as("mpc2"))
+      val drift = both.agg(max(greatest(abs(col("pc1") - col("mpc1")),
+        abs(col("pc2") - col("mpc2")))).as("m")).head().getDouble(0)
+      require(drift < 1e-9,
+        s"PCA serve projection drifted $drift from the MLlib transform")
+      both.select("vec_id", "pc1", "pc2")
     })
   )
 
   private def mcScoreSql(m: LinearModel): String =
     SqlGen.sigmoidRef(SqlGen.linear(mcTermsSql, m.coefs.toIndexedSeq, m.intercept))
 
-  val oracle: Map[String, String] = Map(
+  // Fitted-literal slots for the dynamic oracles (same mechanism as
+  // IvfQueries: the dump runs AFTER every query, so the slots hold the
+  // exact doubles the parquet outputs were computed from).
+  private val kmCentersSlot = new DynOracleSlot[Array[Array[Double]]]
+  private val pcaCompsSlot = new DynOracleSlot[Array[Array[Double]]]
+
+  /** Exact-bits DuckDB double literal ('…'::DOUBLE — bare decimals
+    * detour through DECIMAL and mis-round, see IvfQueries.litArr). */
+  private def dlit(x: Double): String = s"'$x'::DOUBLE"
+
+  def oracle: Map[String, String] = {
+    val kmFit = kmCentersSlot.only.map { cs =>
+      "x_kmeans_fit" ->
+        s"""WITH e AS (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings),
+           |cells AS (${cs.zipWithIndex.map { case (c, k) =>
+               s"SELECT vec_id, $k AS cluster, (x - ${dlit(c(0))}) * (x - ${dlit(c(0))}) + (y - ${dlit(c(1))}) * (y - ${dlit(c(1))}) AS dist FROM e"
+             }.mkString(" UNION ALL ")}),
+           |assigned AS (SELECT vec_id, cluster FROM (
+           |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+           |  FROM cells) WHERE rn = 1)
+           |SELECT cluster, count(*) AS n FROM assigned GROUP BY cluster""".stripMargin
+    }
+    val pcaProj = pcaCompsSlot.only.map { comps =>
+      def dot(c: Array[Double]) =
+        s"""list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2] FOR z IN list_zip(
+           |    [embedding[1]::DOUBLE, embedding[2]::DOUBLE, embedding[3]::DOUBLE, embedding[4]::DOUBLE],
+           |    [${c.map(dlit).mkString(", ")}])]), (a, v) -> a + v)""".stripMargin
+      "x_pca_project" ->
+        s"SELECT vec_id, ${dot(comps(0))} AS pc1, ${dot(comps(1))} AS pc2 FROM embeddings"
+    }
+    staticOracle ++ kmFit ++ pcaProj
+  }
+
+  private val staticOracle: Map[String, String] = Map(
+    "a12_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+        |  true AS approx_parts_ok, true AS approx_orders_ok
+        |FROM lineitem""".stripMargin,
+    "a14_countmin_topk" ->
+      """SELECT token, count(*)::BIGINT AS tf, true AS cms_bounds_ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "w5b_approx_quantile" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  true AS p25_ok, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a16_exact_variance" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents,

@@ -801,9 +801,9 @@ object TextQueries {
     // built filter (and every count below) is partition-layout
     // independent. False positives only — the safe direction for
     // decontamination — and the exact broadcast join rides along here
-    // to COUNT them: the row is (doc, bloom_hits, exact_hits), with a
-    // fail-loud no-false-negative check. Rows-only (the bloom's
-    // internal hashing is Spark-specific); specs pin fpp + determinism.
+    // to COUNT them. Declared rows are the exactly-contaminated docs
+    // (DuckDB re-derives them) + a hashed per-doc no-false-negative
+    // verdict; fpp is bounded by an in-query require and the specs.
     "t_decontaminate_bloom" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
@@ -831,11 +831,23 @@ object TextQueries {
           coalesce(col("exact"), lit(0L)).as("e"))
         .groupBy("doc_id")
         .agg(sum("b").as("bloom_hits"), sum("e").as("exact_hits"))
-        .filter(col("bloom_hits") > 0)
       val fneg = perDoc.filter(col("exact_hits") > col("bloom_hits")).count()
       require(fneg == 0L,
         s"bloom decontamination produced $fneg false-negative docs — impossible by construction")
-      perDoc
+      // fpp stays measured in-query: bloom-flagged docs with zero exact
+      // hits must stay rare at 16 bits/item (loose deterministic bound)
+      val fpDocs = perDoc.filter(col("bloom_hits") > 0 && col("exact_hits") === 0).count()
+      val cleanDocs = perDoc.filter(col("exact_hits") === 0).count()
+      require(fpDocs <= math.max(5L, cleanDocs / 20),
+        s"bloom false-positive docs $fpDocs of $cleanDocs clean — fpp broke its design point")
+      // RECORDED check (VERDICT r8 Next #2): the bloom's own hit counts
+      // are Spark-sketch-specific, so the declared rows are the EXACT
+      // contaminated docs (DuckDB re-derives doc_id + exact_hits — the
+      // t_decontaminate arithmetic) plus the hashed no-false-negative
+      // verdict per doc; a bloom break flips it (and throws above).
+      perDoc.filter(col("exact_hits") > 0)
+        .select(col("doc_id"), col("exact_hits"),
+          (col("bloom_hits") >= col("exact_hits")).as("bloom_caught"))
     }),
 
     // N-gram novelty / boilerplate score (a CCNet-style LM proxy in
@@ -1665,6 +1677,14 @@ object TextQueries {
          |hs AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
          |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 50)
          |SELECT t.doc_id, count(*) AS n_shared
+         |FROM hs t JOIN bench b ON t.h = b.h
+         |WHERE t.doc_id >= 50
+         |GROUP BY t.doc_id""".stripMargin,
+    "t_decontaminate_bloom" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, ${chSql("shingle")} AS h FROM sh),
+         |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 50)
+         |SELECT t.doc_id, count(*)::BIGINT AS exact_hits, true AS bloom_caught
          |FROM hs t JOIN bench b ON t.h = b.h
          |WHERE t.doc_id >= 50
          |GROUP BY t.doc_id""".stripMargin,

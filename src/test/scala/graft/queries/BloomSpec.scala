@@ -44,13 +44,13 @@ class BloomSpec extends AnyFunSuite {
       "bloom aggregate must not depend on partitioning (bitwise-OR merge)")
   }
 
-  test("declared bloom decontamination flags a superset of exact hits") {
+  test("declared bloom decontamination catches every exact hit") {
     val out = TextQueries.defs("t_decontaminate_bloom")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(out.nonEmpty, "sf0.001 corpus has contaminated docs")
-    assert(out.forall(r => r.getAs[Long]("bloom_hits") >= r.getAs[Long]("exact_hits")),
-      "bloom hits can only exceed exact hits")
-    assert(out.exists(r => r.getAs[Long]("exact_hits") > 0),
-      "sanity: some flagged docs are genuinely contaminated")
+    assert(out.forall(_.getAs[Boolean]("bloom_caught")),
+      "bloom must flag every exactly-contaminated doc (no false negatives)")
+    assert(out.forall(r => r.getAs[Long]("exact_hits") > 0),
+      "declared rows are exactly the contaminated docs")
   }
 }
