@@ -100,6 +100,8 @@ object IvfQueries {
   // wrong dir's literals.
   private val centersSlot = new DynOracleSlot[Array[Array[Double]]]
   private val pcaSlot = new DynOracleSlot[Array[Array[Double]]]
+  // (codebooks [m][c][j], shortlist size) for the PQ oracles
+  private val pqSlot = new DynOracleSlot[(Array[Array[Array[Double]]], Int)]
 
   /** Per-cell membership cap for the declared semantic dedup: far above
     * any balanced-quantizer cell at test scale (no-op there), so its only
@@ -558,6 +560,7 @@ object IvfQueries {
       val tv = graft.plans.TextVectorExprs
       val books = pqCodebooks(s, d) // [m][k][j]
       val slN = pqShortlist(cachedEmb(s, d).count())
+      pqSlot.put(d, (books, slN))
       // corpus → codes (argmin codeword per subspace; (dist, k) struct
       // min pins ties to the lowest code)
       val codeCols = pqCodeCols(books)
@@ -624,6 +627,7 @@ object IvfQueries {
       val centers = fittedCenters(s, d)
       val books = pqCodebooks(s, d)
       val slN = pqShortlist(cachedEmb(s, d).count())
+      pqSlot.put(d, (books, slN))
       // the on-disk IVFADC index: one directory per coarse cell
       val dir = graft.core.TmpDirs.scratch("ann_ivfpq_disk", d)
       cachedEmb(s, d).select(
@@ -679,7 +683,8 @@ object IvfQueries {
         val r = top.join(truth, Seq("q_id"), "right")
           .agg(avg(coalesce(col("pq_id") === col("bf_id"), lit(false)).cast("double")))
           .head().getDouble(0)
-        math.rint(r * 1e4) / 1e4
+        // floor(x·1e4 + 0.5): the form the generated oracle reproduces
+        math.floor(r * 1e4 + 0.5) / 1e4
       }
       val q = queries(s, d).select(col("q_id"), col("q_emb"))
       val (fullTop, fullCells) = search(q, FittedNProbe)
@@ -740,9 +745,11 @@ object IvfQueries {
         .agg(avgScan.head, avgScan.tail: _*).head()
       import s.implicits._
       val nq = recallRow.getLong(0)
+      // floor(x·1e4 + 0.5), not rint: DuckDB has no half-even round,
+      // and this form is reproduced bit-for-bit by the oracle
       probes.zipWithIndex.map { case (p, i) =>
-        (p.toLong, nq, math.rint(recallRow.getDouble(i + 1) * 1e4) / 1e4,
-         math.rint(scanRow.getDouble(i) / total * 1e4) / 1e4)
+        (p.toLong, nq, math.floor(recallRow.getDouble(i + 1) * 1e4 + 0.5) / 1e4,
+         math.floor(scanRow.getDouble(i) / total * 1e4 + 0.5) / 1e4)
       }.toDF("nprobe", "n_queries", "recall_at_1", "scan_frac")
     }))
   )
@@ -870,8 +877,291 @@ object IvfQueries {
           s"${dotSql("embedding", litArr(c))} AS pc${j + 1}"
         }.mkString(", ") + " FROM embeddings")
     }
-    staticOracle ++ fittedAssign ++ pcaServe
+    // The tuned-IVF recall row, FULLY re-derived (VERDICT r8 Next #2):
+    // DuckDB rebuilds the inverted file from the fitted centers, probes
+    // the same nprobe cells per query, takes the same (cos desc, n_id)
+    // top-1, recomputes the brute-force ground truth, and re-averages
+    // recall — every double in the declared row is independently
+    // recomputed, fit internals excepted (the centers enter as the
+    // recorded literals, same mechanism as w3b).
+    val ivfKmeans = centersSlot.only.map { cs =>
+      "x_ann_ivf_kmeans" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS q_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells WHERE vec_id < 100) WHERE rn <= $FittedNProbe),
+           |cand AS (SELECT p.q_id, i.n_id,
+           |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+           |  FROM probe p
+           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+           |  JOIN e q ON q.vec_id = p.q_id
+           |  JOIN e n ON n.vec_id = i.n_id),
+           |ivf AS (SELECT q_id, n_id AS ivf_id, cos AS ivf_cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |$bfTopSql
+           |SELECT $FittedK AS k, $FittedNProbe AS nprobe,
+           |  count(*)::BIGINT AS n_queries,
+           |  avg(CAST(coalesce(i.ivf_id = b.bf_id, false) AS DOUBLE)) AS recall_at_1,
+           |  avg(CAST(coalesce(i.ivf_cos <= b.bf_cos + 1e-12, true) AS DOUBLE)) AS no_beat_frac
+           |FROM bftop b LEFT JOIN ivf i ON i.q_id = b.q_id""".stripMargin
+    }
+    // The operating curve, fully re-derived: the rank of the true
+    // neighbor's cell per query answers every probe depth (same
+    // one-pass identity the Spark side uses); scan fractions re-sum
+    // the probed cell sizes. avg() is written as an explicit exact
+    // integer-sum / count so both engines divide the same bits.
+    val ivfSweep = centersSlot.only.map { cs =>
+      val probesVals = Seq(1, 4, 8, 16, 24, 32).map(p => s"($p)").mkString(", ")
+      "x_ann_ivf_sweep" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1),
+           |sizes AS (SELECT cell, count(*) AS cell_n FROM inv GROUP BY cell),
+           |qr AS (SELECT vec_id AS q_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rnk
+           |  FROM cells WHERE vec_id < 100),
+           |$bfTopSql,
+           |tcr AS (SELECT b.q_id, r.rnk FROM bftop b
+           |  JOIN inv i ON i.n_id = b.bf_id
+           |  JOIN qr r ON r.q_id = b.q_id AND r.cell = i.cell),
+           |ps(p) AS (VALUES $probesVals),
+           |rec AS (SELECT ps.p, sum(CAST(t.rnk <= ps.p AS DOUBLE)) / count(*) AS r,
+           |    count(*)::BIGINT AS nq
+           |  FROM ps CROSS JOIN tcr t GROUP BY ps.p),
+           |sc AS (SELECT ps.p, q.q_id,
+           |    sum(CASE WHEN q.rnk <= ps.p THEN s.cell_n ELSE 0 END) AS s
+           |  FROM ps CROSS JOIN qr q JOIN sizes s ON s.cell = q.cell
+           |  GROUP BY ps.p, q.q_id),
+           |sca AS (SELECT p, sum(s::DOUBLE) / count(*) AS a FROM sc GROUP BY p),
+           |tot AS (SELECT count(*)::DOUBLE AS total FROM embeddings)
+           |SELECT rec.p::BIGINT AS nprobe, rec.nq AS n_queries,
+           |  floor(rec.r * 10000 + 0.5) / 10000 AS recall_at_1,
+           |  floor(sca.a / tot.total * 10000 + 0.5) / 10000 AS scan_frac
+           |FROM rec JOIN sca ON sca.p = rec.p CROSS JOIN tot""".stripMargin
+    }
+    // IVF × SQ8, fully re-derived: DuckDB re-quantizes every vector
+    // (the t_embed_quantize chain), rebuilds the inverted file from the
+    // fitted centers, re-runs the asymmetric ADC scan inside probed
+    // cells, and re-averages recall against its own brute-force truth.
+    val ivfSq8 = centersSlot.only.map { cs =>
+      "x_ann_ivf_sq8" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |am AS (SELECT vec_id, embedding, nsq,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+           |  FROM e),
+           |q8 AS (SELECT vec_id, embedding, nsq,
+           |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END AS amax0,
+           |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0
+           |      / (CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END) + 0.5)) AS q
+           |  FROM am),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS q_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells WHERE vec_id < 100) WHERE rn <= $FittedNProbe),
+           |cand AS (SELECT p.q_id, i.n_id,
+           |    list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2] FOR z IN list_zip(qe.embedding, n8.q)]), (a, v) -> a + v)
+           |      * n8.amax0 / sqrt(n8.nsq) AS adc
+           |  FROM probe p
+           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+           |  JOIN e qe ON qe.vec_id = p.q_id
+           |  JOIN q8 n8 ON n8.vec_id = i.n_id),
+           |sqtop AS (SELECT q_id, n_id AS sq8_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |$bfTopSql
+           |SELECT $FittedK AS k, $FittedNProbe AS nprobe,
+           |  count(*)::BIGINT AS n_queries,
+           |  avg(CAST(coalesce(t.sq8_id = b.bf_id, false) AS DOUBLE)) AS recall_at_1,
+           |  ${Dim + 16} AS bytes_sq8, ${4 * Dim} AS bytes_f32
+           |FROM bftop b LEFT JOIN sqtop t ON t.q_id = b.q_id""".stripMargin
+    }
+    // PQ + ADC + exact re-rank, fully re-derived: DuckDB re-encodes
+    // every vector against the fitted codebooks (argmin per subspace),
+    // rebuilds the per-query LUT dots, folds the 8 subspace
+    // contributions in the same left-assoc order, re-ranks the same
+    // shortlist with exact cosine, and re-averages both recalls.
+    val pq = pqSlot.only.map { case (books, slN) =>
+      "x_ann_pq" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |books(m, c, w) AS (VALUES ${pqBooksValues(books)}),
+           |dims(m) AS (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}),
+           |sv AS (SELECT vec_id, dims.m,
+           |    embedding[dims.m * $PqSubDim + 1 : dims.m * $PqSubDim + $PqSubDim] AS sub
+           |  FROM embeddings, dims),
+           |cd AS (SELECT vec_id, m, c FROM (
+           |  SELECT s.vec_id, s.m, b.c, row_number() OVER (PARTITION BY s.vec_id, s.m
+           |      ORDER BY ${l2SubSql("s.sub", "b.w")}, b.c) AS rn
+           |  FROM sv s JOIN books b ON b.m = s.m) WHERE rn = 1),
+           |ql AS (SELECT q.vec_id AS q_id, q.m, b.c, ${dotSql("q.sub", "b.w")} AS lv
+           |  FROM sv q JOIN books b ON b.m = q.m WHERE q.vec_id < 100),
+           |adc AS (SELECT ql.q_id, cd.vec_id AS n_id,
+           |    list_reduce(list(ql.lv ORDER BY ql.m), (a, v) -> a + v) AS adc0
+           |  FROM ql JOIN cd ON cd.m = ql.m AND cd.c = ql.c
+           |  WHERE ql.q_id <> cd.vec_id
+           |  GROUP BY ql.q_id, cd.vec_id),
+           |sc AS (SELECT a.q_id, a.n_id, a.adc0 / sqrt(e.nsq) AS adc_cos
+           |  FROM adc a JOIN e ON e.vec_id = a.n_id),
+           |ranked AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc_cos DESC, n_id) AS rn FROM sc),
+           |adctop AS (SELECT q_id, n_id AS adc_id FROM ranked WHERE rn = 1),
+           |rr AS (SELECT s.q_id, s.n_id,
+           |    ${dotSql("q.embedding", "n.embedding")} / sqrt(n.nsq) AS cos
+           |  FROM ranked s JOIN e q ON q.vec_id = s.q_id JOIN e n ON n.vec_id = s.n_id
+           |  WHERE s.rn <= $slN),
+           |pqtop AS (SELECT q_id, n_id AS pq_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+           |  FROM rr) WHERE rn = 1),
+           |$bfTopSql
+           |SELECT $PqM AS m, $PqSubK AS ksub, $slN AS shortlist,
+           |  count(*)::BIGINT AS n_queries,
+           |  avg(CAST(coalesce(p.pq_id = b.bf_id, false) AS DOUBLE)) AS recall_at_1,
+           |  avg(CAST(coalesce(a.adc_id = b.bf_id, false) AS DOUBLE)) AS recall_adc,
+           |  ${PqM + 8} AS bytes_pq, ${4 * Dim} AS bytes_f32
+           |FROM bftop b
+           |LEFT JOIN pqtop p ON p.q_id = b.q_id
+           |LEFT JOIN adctop a ON a.q_id = b.q_id""".stripMargin
+    }
+    // The on-disk serving demo, fully re-derived: same SQ8 asymmetric
+    // scan as ivfSq8 but over the 8-query batch at nprobe=4, plus the
+    // probed-cell union recounted by DuckDB.
+    val diskProbe = centersSlot.only.map { cs =>
+      "x_ann_disk_probe" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |am AS (SELECT vec_id, embedding, nsq,
+           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+           |  FROM e),
+           |q8 AS (SELECT vec_id, nsq,
+           |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END AS amax0,
+           |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0
+           |      / (CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END) + 0.5)) AS q
+           |  FROM am),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS q_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells WHERE vec_id < 8) WHERE rn <= 4),
+           |cand AS (SELECT p.q_id, i.n_id,
+           |    list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2] FOR z IN list_zip(qe.embedding, n8.q)]), (a, v) -> a + v)
+           |      * n8.amax0 / sqrt(n8.nsq) AS adc
+           |  FROM probe p
+           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+           |  JOIN e qe ON qe.vec_id = p.q_id
+           |  JOIN q8 n8 ON n8.vec_id = i.n_id),
+           |dtop AS (SELECT q_id, n_id AS disk_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |$bfTopSql
+           |SELECT $FittedK AS k, 4 AS nprobe,
+           |  count(*)::BIGINT AS n_queries,
+           |  avg(CAST(coalesce(t.disk_id = b.bf_id, false) AS DOUBLE)) AS recall_at_1,
+           |  (SELECT count(DISTINCT cell) FROM probe)::INTEGER AS cells_read,
+           |  $FittedK AS cells_total
+           |FROM bftop b LEFT JOIN dtop t ON t.q_id = b.q_id
+           |WHERE b.q_id < 8""".stripMargin
+    }
+    // The composed IVFADC row, fully re-derived at both operating
+    // points (full set at nprobe=24, pruning demo at nprobe=4); the
+    // probed-cell unions are recounted by DuckDB.
+    val ivfPq = (centersSlot.only zip pqSlot.only).headOption.map { case (cs, (books, slN)) =>
+      def searchCtes(sfx: String, qMax: Int, nprobe: Int): String =
+        s"""probe$sfx AS (SELECT vec_id AS q_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells WHERE vec_id < $qMax) WHERE rn <= $nprobe),
+           |adc$sfx AS (SELECT p.q_id, i.n_id,
+           |    list_reduce(list(ql.lv ORDER BY ql.m), (a, v) -> a + v) AS adc0
+           |  FROM probe$sfx p
+           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+           |  JOIN cd ON cd.vec_id = i.n_id
+           |  JOIN ql ON ql.q_id = p.q_id AND ql.m = cd.m AND ql.c = cd.c
+           |  GROUP BY p.q_id, i.n_id),
+           |sc$sfx AS (SELECT a.q_id, a.n_id, a.adc0 / sqrt(e.nsq) AS adc_cos
+           |  FROM adc$sfx a JOIN e ON e.vec_id = a.n_id),
+           |ranked$sfx AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adc_cos DESC, n_id) AS rn FROM sc$sfx),
+           |rr$sfx AS (SELECT s.q_id, s.n_id,
+           |    ${dotSql("q.embedding", "n.embedding")} / sqrt(n.nsq) AS cos
+           |  FROM ranked$sfx s JOIN e q ON q.vec_id = s.q_id JOIN e n ON n.vec_id = s.n_id
+           |  WHERE s.rn <= $slN),
+           |top$sfx AS (SELECT q_id, n_id AS pq_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+           |  FROM rr$sfx) WHERE rn = 1)""".stripMargin
+      def recallSel(sfx: String, where: String): String =
+        s"""(SELECT floor(avg(CAST(coalesce(t.pq_id = b.bf_id, false) AS DOUBLE)) * 10000 + 0.5) / 10000
+           |   FROM bftop b LEFT JOIN top$sfx t ON t.q_id = b.q_id $where)""".stripMargin
+      "x_ann_ivf_pq" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |books(m, c, w) AS (VALUES ${pqBooksValues(books)}),
+           |dims(m) AS (VALUES ${(0 until PqM).map(m => s"($m)").mkString(", ")}),
+           |sv AS (SELECT vec_id, dims.m,
+           |    embedding[dims.m * $PqSubDim + 1 : dims.m * $PqSubDim + $PqSubDim] AS sub
+           |  FROM embeddings, dims),
+           |cd AS (SELECT vec_id, m, c FROM (
+           |  SELECT s.vec_id, s.m, b.c, row_number() OVER (PARTITION BY s.vec_id, s.m
+           |      ORDER BY ${l2SubSql("s.sub", "b.w")}, b.c) AS rn
+           |  FROM sv s JOIN books b ON b.m = s.m) WHERE rn = 1),
+           |ql AS (SELECT q.vec_id AS q_id, q.m, b.c, ${dotSql("q.sub", "b.w")} AS lv
+           |  FROM sv q JOIN books b ON b.m = q.m WHERE q.vec_id < 100),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1),
+           |${searchCtes("_f", 100, FittedNProbe)},
+           |${searchCtes("_d", 8, 4)},
+           |$bfTopSql
+           |SELECT $PqM::BIGINT AS m, $PqSubK::BIGINT AS ksub,
+           |  $FittedNProbe::BIGINT AS nprobe, $slN::BIGINT AS shortlist,
+           |  (SELECT count(*) FROM bftop)::BIGINT AS n_queries,
+           |  ${recallSel("_f", "")} AS recall_at_1,
+           |  (SELECT count(DISTINCT cell) FROM probe_f)::BIGINT AS cells_probed_full,
+           |  4::BIGINT AS demo_nprobe,
+           |  (SELECT count(*) FROM bftop WHERE q_id < 8)::BIGINT AS demo_n_queries,
+           |  ${recallSel("_d", "WHERE b.q_id < 8")} AS demo_recall_at_1,
+           |  (SELECT count(DISTINCT cell) FROM probe_d)::BIGINT AS cells_read,
+           |  $FittedK::BIGINT AS cells_total,
+           |  ${PqM + 8}::BIGINT AS bytes_pq, ${4 * Dim}::BIGINT AS bytes_f32""".stripMargin
+    }
+    staticOracle ++ fittedAssign ++ pcaServe ++ ivfKmeans ++ ivfSweep ++ ivfSq8 ++
+      pq ++ diskProbe ++ ivfPq
   }
+
+  /** VALUES rows (m, c, [8 doubles]) for the fitted PQ codebooks. */
+  private def pqBooksValues(books: Array[Array[Array[Double]]]): String =
+    (for { m <- books.indices; c <- books(m).indices }
+      yield s"($m, $c, ${litArr(books(m)(c))})").mkString(", ")
+
+  /** Sequential Σ (a_i - b_i)² over two list expressions (the l2Sq
+    * kernel's fold order). */
+  private def l2SubSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, [(z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2]) FOR z IN list_zip($a, $b)]), (acc, v) -> acc + v)"
+
+  /** One SELECT per fitted center: (vec_id, cell, dist) over all
+    * vectors — the argmin/rank substrate every fitted-ANN oracle shares. */
+  private def fittedCellsUnion(cs: Array[Array[Double]]): String =
+    cs.zipWithIndex.map { case (c, k) =>
+      s"SELECT vec_id, $k AS cell, ${distSqLitSql("embedding", c)} AS dist FROM embeddings"
+    }.mkString(" UNION ALL ")
+
+  /** Brute-force cosine top-1 CTEs (`bf`, `bftop`) — the shared ground
+    * truth; expects a CTE `e(vec_id, embedding, nsq)` in scope. */
+  private val bfTopSql: String =
+    s"""bf AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+       |  FROM e q JOIN e n ON q.vec_id < 100 AND q.vec_id <> n.vec_id),
+       |bftop AS (SELECT q_id, n_id AS bf_id, cos AS bf_cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |  FROM bf) WHERE rn = 1)""".stripMargin
 
   private val staticOracle: Map[String, String] = Map(
     "t_cell_centroids" ->
