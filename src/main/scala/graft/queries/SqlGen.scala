@@ -196,13 +196,18 @@ object SqlGen {
     * @param featSql feature name -> SQL expression over `table`
     *                (identity when absent).
     */
-  def fittedProbeSql(
+  /** The fitted-probe oracle split into composable pieces:
+    * (cte block `probe AS (...), kv(...), pfx…`, final probe SELECT) —
+    * so callers can either run the probe standalone
+    * ([[fittedProbeSql]]) or embed it as one CTE of a larger
+    * re-derivation (the learned-lifecycle report oracles). */
+  def fittedProbeParts(
       f: graft.InferDbPipeline.Fitted,
       table: String,
       idCols: Seq[String],
       featSql: Map[String, String],
       predName: String,
-      maxEntries: Int = 4096): Option[String] = {
+      maxEntries: Int = 4096): Option[(String, String)] = {
     if (f.selected.isEmpty) return None
     val kvRows = f.kv.kv.select("key", "value").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
@@ -223,14 +228,63 @@ object SqlGen {
       s"LEFT JOIN pfx$l ON ${keyOf(l)} = pfx$l.k"
     }
     val fallbacks = "kv.v" +: pfxRows.map { case (l, _) => s"pfx$l.v" }
-    Some(
-      s"""WITH probe AS (
+    val ctes =
+      s"""probe AS (
          |  SELECT ${(idCols ++ comps).mkString(", ")} FROM $table),
-         |${(values("kv", kvRows) +: pfxCtes).mkString(",\n")}
-         |SELECT ${idCols.map(c => s"p.$c").mkString(", ")},
+         |${(values("kv", kvRows) +: pfxCtes).mkString(",\n")}""".stripMargin
+    val select =
+      s"""SELECT ${idCols.map(c => s"p.$c").mkString(", ")},
          |  coalesce(${fallbacks.mkString(", ")}, ${dlit(round6(f.kv.globalValue))}) AS $predName
          |FROM probe p
          |LEFT JOIN kv ON ${keyOf(f.selected.length)} = kv.k
-         |${pfxJoins.mkString("\n")}""".stripMargin)
+         |${pfxJoins.mkString("\n")}""".stripMargin
+    Some((ctes, select))
   }
+
+  def fittedProbeSql(
+      f: graft.InferDbPipeline.Fitted,
+      table: String,
+      idCols: Seq[String],
+      featSql: Map[String, String],
+      predName: String,
+      maxEntries: Int = 4096): Option[String] =
+    fittedProbeParts(f, table, idCols, featSql, predName, maxEntries)
+      .map { case (ctes, select) => s"WITH $ctes\n$select" }
+
+  /** [[mlpClassSql]]'s network split into composable pieces: CTE block
+    * (`mh` hidden layer, `mz` output margins — both carrying `src`'s
+    * columns through) + the argmax class expression over `zs`, so the
+    * MLP class can be one column of a larger re-derivation. */
+  def mlpClassParts(m: graft.models.MlpModel, featSql: Seq[String], src: String): (String, String) = {
+    val hExprs = m.b0.indices.map { j =>
+      val terms = featSql.zipWithIndex.collect {
+        case (f, i) if m.w0(i)(j) != 0.0 => s"$f * ${dlit(m.w0(i)(j))}"
+      }
+      val z = (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) +
+        s" + ${dlit(m.b0(j))}"
+      if (m.hiddenActivation == "sigmoid") s"(1.0 / (1.0 + exp(-($z))))"
+      else relu(z)
+    }
+    val outs = m.b1.indices.map { k =>
+      val terms = m.b0.indices.collect {
+        case j if m.w1(j)(k) != 0.0 => s"h$j * ${dlit(m.w1(j)(k))}"
+      }
+      (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) + s" + ${dlit(m.b1(k))}"
+    }
+    val ctes =
+      s"""mh AS (SELECT *, ${hExprs.zipWithIndex.map { case (e, j) => s"$e AS h$j" }.mkString(", ")}
+         |  FROM $src),
+         |mz AS (SELECT *, [${outs.mkString(", ")}] AS zs FROM mh)""".stripMargin
+    (ctes, "(list_position(zs, list_aggregate(zs, 'max')) - 1)::BIGINT")
+  }
+
+  /** Binary-report F1 in the single-division algebraic form over
+    * integer counter SQL — mirrors Metrics.binaryReport bit for bit. */
+  def f1Sql(tp: String, fp: String, fn: String): String =
+    s"(CASE WHEN 2 * $tp + $fp + $fn = 0 THEN 0.0 ELSE (2 * $tp)::DOUBLE / (2 * $tp + $fp + $fn) END)"
+
+  /** floor(x·1e6 + 0.5)/1e6 — the metric-rounding form both engines
+    * reproduce on identical input bits. */
+  def floorRound6(x: String): String = s"floor(($x) * 1000000 + 0.5) / 1000000"
+  def floorRound4(x: String): String = s"floor(($x) * 10000 + 0.5) / 10000"
 }
