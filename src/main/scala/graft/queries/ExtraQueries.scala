@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * multi-aggregate featurizer fits (A10), categorical array-position
   * translate (F12), IQR outlier imputation (T9 serve side), multi-class
   * linear argmax (W2 model variant), and the MLlib featurizer fits
-  * (T7 KMeans / T8 PCA — train-time, rows-only).
+  * (T7 KMeans / T8 PCA — train-time, fitted-literal oracles).
   */
 object ExtraQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -287,7 +287,7 @@ object ExtraQueries {
     // per-group sort; the Greenwald-Khanna sketch behind
     // approx_percentile is one mergeable pass with an eps rank
     // guarantee — the only viable form when the column has billions of
-    // rows. Rows-only (sketch internals differ across engines), but
+    // rows. Sketch values are engine-specific, but
     // the rank guarantee is asserted loudly in-query: each estimate
     // must sit within eps·n ranks of the requested quantile (checked
     // against the exact sorted positions, driver-bounded: 3 quantiles
@@ -344,7 +344,7 @@ object ExtraQueries {
     // at scale this is how per-token frequencies are served without
     // a second corpus pass. CMS with a pinned seed is DETERMINISTIC
     // and insertion-order-independent (counters add), so the output is
-    // partition-invariant; rows-only (no DuckDB CMS) but the two
+    // partition-invariant; no DuckDB CMS exists, but the two
     // one-sided guarantees are asserted loudly in-query: the estimate
     // never undercounts, and overcounts by at most eps·N here (the
     // probabilistic bound holds deterministically for this seed+data —

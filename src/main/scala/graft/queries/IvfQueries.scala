@@ -347,8 +347,8 @@ object IvfQueries {
     // quantizer is the pinned-seed MLlib KMeans fit instead of the
     // deterministic grid, and the row carries recall@1 against the
     // brute-force top-1 so the fitted quantizer's quality is measured,
-    // not assumed. Rows-only (MLlib cluster internals are not
-    // SQL-expressible); same cell-keyed equi-join search shape.
+    // not assumed. Oracle re-derives the whole search + recall from
+    // the recorded center literals (r9); same cell-keyed equi-join shape.
     "x_ann_ivf_kmeans" -> ((s, d) => kmeansResult.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
       val e = cachedEmb(s, d)
@@ -433,9 +433,9 @@ object IvfQueries {
     // factors dropped from the argmax. Same fitted quantizer and
     // operating point as x_ann_ivf_kmeans, so the row measures exactly
     // what the 4× compression costs in recall@1 against the same
-    // brute-force ground truth. Rows-only (fitted centers + codes not
-    // SQL-expressible); sequential per-row array folds keep it
-    // partition-invariant.
+    // brute-force ground truth. Oracle re-quantizes and re-searches
+    // from the recorded literals (r9); sequential per-row array folds
+    // keep it partition-invariant.
     "x_ann_ivf_sq8" -> ((s, d) => sq8Result.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
       val e = cachedEmb(s, d)
@@ -484,9 +484,9 @@ object IvfQueries {
     // batch (8 queries, the grid nprobe=4) keeps the probed-cell union
     // genuinely sparse so the pruning is real, and the row reports
     // cells_read / cells_total as the honest disk-scan fraction next
-    // to recall@1 vs the same brute-force ground truth. Rows-only
-    // (fitted centers + codes not SQL-expressible); layout staged once
-    // per (session, dir).
+    // to recall@1 vs the same brute-force ground truth. Oracle
+    // re-derives the probe + recall from the recorded literals (r9);
+    // layout staged once per (session, dir).
     "x_ann_disk_probe" -> ((s, d) => diskProbeMemo.getOrElseUpdate((s, d), {
       val centers = fittedCenters(s, d)
       val tv = graft.plans.TextVectorExprs
@@ -554,8 +554,9 @@ object IvfQueries {
     // capped, labeled 100-query baseline shape as bfTop; at corpus
     // scale the ADC scan runs inside IVF cells (the x_ann_ivf_sq8
     // composition) — PQ changes the per-candidate byte cost, not the
-    // join shape. Rows-only (fitted codebooks not SQL-expressible);
-    // per-query LUTs + integer codes keep it partition-invariant.
+    // join shape. Oracle re-encodes + re-searches from the recorded
+    // codebooks (r9); per-query LUTs + integer codes keep it
+    // partition-invariant.
     "x_ann_pq" -> ((s, d) => pqResult.getOrElseUpdate((s, d), {
       val tv = graft.plans.TextVectorExprs
       val books = pqCodebooks(s, d) // [m][k][j]
@@ -621,7 +622,8 @@ object IvfQueries {
     //    K=64 a 100-query batch at nprobe=24 legitimately touches every
     //    cell (production K is thousands, where batch unions stay
     //    sparse; the per-task I/O bound nprobe/K holds regardless).
-    // Rows-only (fitted centers + codebooks not SQL-expressible).
+    // Oracle re-derives both operating points from the recorded
+    // center + codebook literals (r9).
     "x_ann_ivf_pq" -> ((s, d) => ivfPqResult.getOrElseUpdate((s, d), {
       val tv = graft.plans.TextVectorExprs
       val centers = fittedCenters(s, d)

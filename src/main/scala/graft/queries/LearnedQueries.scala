@@ -98,6 +98,21 @@ object LearnedQueries {
     * members (dt, knn): cls F1 (model vs index) + reg RMSLE in the
     * price domain (model vs index), both fits memoized per model. */
   private def zooRow(s: SparkSession, d: String, model: String): DataFrame = {
+    // record the fitted artifacts so the row's oracle can re-derive all
+    // four metrics (model serves + index probes) from literals
+    model match {
+      case "dt" =>
+        fittedDtRoot(s, d); fittedDtRegRoot(s, d)
+        dtClsFitSlot.put(d, fittedZooCls(s, d, model).fitted)
+        dtRegFitSlot.put(d, fittedZooReg(s, d, model).fitted)
+      case "knn" =>
+        fittedKnn(s, d)
+        val rm = fittedZooReg(s, d, model).mlModel.asInstanceOf[graft.models.KnnModel]
+        knnRegModelSlot.put(d, (rm.sample, rm.k))
+        knnClsFitSlot.put(d, fittedZooCls(s, d, model).fitted)
+        knnRegFitSlot.put(d, fittedZooReg(s, d, model).fitted)
+      case _ => ()
+    }
     val (clsModelF1, clsIndexF1) = {
       val t = fittedZooCls(s, d, model)
       // the scored frame is also memoized+cached: the model transform
@@ -126,8 +141,8 @@ object LearnedQueries {
          .head().getDouble(0))
     }
     import s.implicits._
-    Seq((math.rint(clsModelF1 * 1e6) / 1e6, math.rint(clsIndexF1 * 1e6) / 1e6,
-         math.rint(regModelR * 1e4) / 1e4, math.rint(regIndexR * 1e4) / 1e4))
+    Seq((math.floor(clsModelF1 * 1e6 + 0.5) / 1e6, math.floor(clsIndexF1 * 1e6 + 0.5) / 1e6,
+         math.floor(regModelR * 1e4 + 0.5) / 1e4, math.floor(regIndexR * 1e4 + 0.5) / 1e4))
       .toDF("cls_model_f1", "cls_index_f1", "reg_model_rmsle", "reg_index_rmsle")
   }
 
@@ -143,6 +158,18 @@ object LearnedQueries {
   private val catFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val persistSlot = new DynOracleSlot[InferDbPipeline.Fitted]
   private val regSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  // the regression lifecycle's LinearRegression (coefs, intercept)
+  private val regModelSlot = new DynOracleSlot[(Array[Double], Double)]
+  // the width-stress lifecycle's fitted index + LR literals
+  private val widthFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val widthModelSlot = new DynOracleSlot[(Array[Double], Double)]
+  // zoo lifecycle fitted indexes (cls + reg per model) and the knn
+  // REGRESSION reference sample (knnSlot holds the cls one)
+  private val dtClsFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val dtRegFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val knnClsFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val knnRegFitSlot = new DynOracleSlot[InferDbPipeline.Fitted]
+  private val knnRegModelSlot = new DynOracleSlot[(Seq[(Seq[Double], Double)], Int)]
   private val mlpSlot = new DynOracleSlot[graft.models.MlpModel]
   private val dtSlot = new DynOracleSlot[org.apache.spark.ml.tree.Node]
   private val mcSlot = new DynOracleSlot[InferDbPipeline.Fitted]
@@ -527,10 +554,14 @@ object LearnedQueries {
       val cfg = InferDbPipeline.Config(
         features = Seq("l_quantity", "l_discount", "l_tax"),
         target = "target", task = Task.Regression, maxBins = 8)
-      InferDbPipeline.fitWithModel(df, cfg)
+      InferDbPipeline.fitLifecycle(df, cfg)
     }
-    regSlot.put(d, t._1)
-    t
+    regSlot.put(d, t.fitted)
+    // the LinearRegression literals, so the lifecycle row's oracle can
+    // re-derive the MODEL rmsle too
+    val m = t.mlModel.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    regModelSlot.put(d, (m.coefficients.toArray, m.intercept))
+    (t.fitted, t.withPred)
   }
 
   val defs: Map[String, Q] = Map(
@@ -570,7 +601,8 @@ object LearnedQueries {
     }),
 
     // One-row parity report: model-vs-index F1 (the reference's core
-    // effectiveness claim, transpiler.py:3295-3320). Rows-only.
+    // effectiveness claim, transpiler.py:3295-3320). Oracle re-derives
+    // both sides from fitted literals (r9).
     "x_learned_parity" -> ((s, d) => {
       val (f, withPred) = fitted(s, d)
       val scored = f.transform(withPred, "index_pred")
@@ -588,7 +620,8 @@ object LearnedQueries {
     // nn_inference.sql): MLlib MultilayerPerceptronClassifier -> index
     // memorizes its predictions; the trained weights are ALSO extracted
     // into the fused MlpModel scorer and checked against the MLlib
-    // predictions in-query (fused_agreement). Rows-only.
+    // predictions in-query (fused_agreement). Oracle re-derives the
+    // network + probe from fitted literals (r9).
     "x_learned_mlp" -> ((s, d) => {
       val t = fittedMlp(s, d)
       mlpFitSlot.put(d, t.fitted) // index literals for the oracle
@@ -614,7 +647,8 @@ object LearnedQueries {
     // model can only earn its F1 if the fitted one-hot indicators
     // actually reach the VectorAssembler — oh_weight is the max |coef|
     // over the one-hot slots (0.0 would mean the categorical never made
-    // it into the model). Rows-only.
+    // it into the model). Oracle re-derives both sides from fitted
+    // literals (r9).
     "x_learned_categorical" -> ((s, d) => {
       val t = fittedCat(s, d)
       fittedCatServe(s, d) // record the LR literals for the oracle
@@ -681,7 +715,8 @@ object LearnedQueries {
           coefs, bs).as("pred_class"))
     }),
 
-    // Multinomial-NB fit lifecycle (rows-only: the MLlib fit is not
+    // Multinomial-NB fit lifecycle (oracle re-counts the corpus stats
+    // and re-derives accuracy through the fitted log-probs; the fit is not
     // SQL-expressible): one row with extraction fidelity (compiled
     // kernel == MLlib transform over the training frame) and the
     // honest lang-ID accuracy of token counts on this corpus.
@@ -824,14 +859,15 @@ object LearnedQueries {
     // standalone_experiments.py:10-17): classification + regression fit
     // in one row — the index must reproduce an axis-aligned step model
     // exactly (trees and bin boundaries are the same function family).
-    // Rows-only.
+    // Oracle re-derives all four metrics from fitted literals (r9).
     "x_learned_dt" -> ((s, d) => zooRow(s, d, "dt")),
 
     // kNN lifecycle (the reference zoo's last member,
     // standalone_experiments.py:10-17): the model is a bounded
     // deterministic-sample kNN served as one codegen'd shuffle-free
     // projection (models/Knn.scala); the index then memorizes its
-    // predictions like any other model. Rows-only.
+    // predictions like any other model. Oracle re-derives all four
+    // metrics from fitted literals (r9).
     "x_learned_knn" -> ((s, d) => zooRow(s, d, "knn")),
 
     // The reference's one-row report. The timing protocol still runs
@@ -868,7 +904,7 @@ object LearnedQueries {
         .head().getDouble(0)
       import s.implicits._
       Seq((f.selected.mkString(","), f.indexEntries,
-        math.rint(mR * 1e4) / 1e4, math.rint(iR * 1e4) / 1e4))
+        math.floor(mR * 1e4 + 0.5) / 1e4, math.floor(iR * 1e4 + 0.5) / 1e4))
         .toDF("selected_features", "index_entries", "model_rmsle", "index_rmsle")
     }),
 
@@ -876,7 +912,7 @@ object LearnedQueries {
     // query (VERDICT r4 next-round #1 stretch): the fitted index scores
     // the full lineitem table; the oracle is generated from the fitted
     // literals exactly like x_learned_e2e's. The fit itself stays
-    // rows-only in x_learned_regression.
+    // re-derived from the same fitted literals in x_learned_regression.
     "x_learned_regression_serve" -> ((s, d) => {
       val (f, _) = fittedReg(s, d)
       f.transform(
@@ -922,10 +958,12 @@ object LearnedQueries {
     // the 2-job batched binning must not degenerate into 784 jobs, and
     // maxBins=24 pushes every selected feature onto the codegen'd
     // BinIndex binary-search path (a 24-way CASE chain × 784 features
-    // would blow up codegen). Rows-only; fit wall-time is carried in
-    // the output row (fit_sec), so the one-row RESULT is memoized like
-    // the other learned rows — a bench best-of-2 re-invocation reads
-    // the row instead of paying the ~40 s fit a second time.
+    // would blow up codegen). The one-row RESULT is memoized like the
+    // other learned rows — a bench best-of-2 re-invocation reads the
+    // row instead of paying the ~40 s fit a second time. Fit wall-time
+    // stays an in-query require (> 0, logged) so the declared row is
+    // fully deterministic and its oracle re-derives BOTH prediction
+    // sides from the fitted literals over the synthetic feature SQL.
     "x_width_stress" -> ((s, d) => memoized(s, d, "width_stress_row") {
       val width = 784
       val feats = (0 until width).map { i =>
@@ -943,17 +981,23 @@ object LearnedQueries {
         // in ONE batched job, then walk only the 16 best
         maxCandidates = 16)
       val t0 = System.nanoTime()
-      val (f, withPred) = InferDbPipeline.fitWithModel(base, cfg)
-      val scored = f.transform(withPred, "index_pred")
+      val t = InferDbPipeline.fitLifecycle(base, cfg)
+      val f = t.fitted
+      widthFitSlot.put(d, f)
+      val wlr = t.mlModel
+        .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      widthModelSlot.put(d, (wlr.coefficients.toArray, wlr.intercept))
+      val scored = f.transform(t.withPred, "index_pred")
       val agree = scored.agg(
         avg((round(col("index_pred")) === col("__model_pred")).cast("double")))
         .head().getDouble(0)
       val fitSec = (System.nanoTime() - t0) / 1e9
+      require(fitSec > 0.0, "width-stress fit did not run")
       import s.implicits._
       Seq((width.toLong, f.selected.length.toLong, f.indexEntries,
-           math.rint(agree * 1e4) / 1e4, math.rint(fitSec * 100) / 100))
+           math.floor(agree * 1e4 + 0.5) / 1e4))
         .toDF("n_features", "n_selected", "index_entries",
-          "model_index_agreement", "fit_sec")
+          "model_index_agreement")
     }),
 
     // Index-size sensitivity (the reference's sizes microbench): the
@@ -1060,6 +1104,63 @@ object LearnedQueries {
         .filter(col("rn") <= 3)
         .select("wstart", "token", "cnt")
     }),
+    // Watermark-EVICTING trending top-k (VERDICT r8 Next #5) — the
+    // production form of x_stream_topk: complete mode re-emits full
+    // state every trigger, so at a real 100 TB stream the append-mode +
+    // watermark variant is the one you'd run. Event time must ADVANCE
+    // with the replay for eviction to be observable, so the 4 staged
+    // batches are hour-blocked (batch i carries only ts in
+    // [i·2h, i·2h+2h)) and their file modification times pin the replay
+    // order (StreamOps.stageOrderedFiles). A single far-future sentinel
+    // doc in a 5th file pushes the watermark past every real window so
+    // the tail windows FLUSH (append emits a window only once its end
+    // passes the watermark); the sentinel's own window is excluded from
+    // the declared result and from the oracle by the same wstart cut.
+    // Two in-query proofs: state rows were REMOVED by the watermark
+    // (eviction happened), and nothing was late-dropped (the replay
+    // order held) — so the append-mode accumulation equals the batch
+    // recomputation bitwise, which the oracle then hash-checks.
+    "x_stream_topk_update" -> ((s, d) => {
+      val raw = s.read.parquet(s"$d/documents.parquet")
+      val stageDir = graft.core.TmpDirs.scratch("stream_topk_upd_src", d)
+      val parts = (0 until 4).map(i =>
+        raw.filter(pmod(col("doc_id"), lit(4L)) === i))
+      val sentinel = raw.orderBy("doc_id").limit(1)
+        .withColumn("doc_id", lit(-1L))
+      StreamOps.stageOrderedFiles(parts :+ sentinel, stageDir)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir)
+      val ts = timestamp_seconds(
+        when(col("doc_id") < 0, lit(200000L))
+          .otherwise(pmod(col("doc_id"), lit(4L)) * lit(7200L) +
+            pmod(col("doc_id") * lit(7919L), lit(7200L))))
+      val counts = stream
+        .withColumn("ts", ts)
+        .withWatermark("ts", "30 minutes")
+        .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("token"), col("cnt"))
+      val sinkName = s"graft_stream_topk_upd_${streamSinkSeq.incrementAndGet()}"
+      val q = StreamOps.toMemorySink(counts, sinkName,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      q.processAllAvailable()
+      val progress = q.recentProgress.flatMap(_.stateOperators)
+      val removed = progress.map(_.numRowsRemoved).sum
+      val lateDropped = progress.map(_.numRowsDroppedByWatermark).sum
+      q.stop()
+      require(removed > 0L,
+        "append-mode top-k never evicted state — the watermark is not advancing")
+      require(lateDropped == 0L,
+        s"$lateDropped rows late-dropped — the staged replay order broke")
+      s.table(sinkName).filter(col("wstart") < 86400L)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("wstart").orderBy(col("cnt").desc, col("token"))))
+        .filter(col("rn") <= 3)
+        .select("wstart", "token", "cnt")
+    }),
+
     // mapGroupsWithState sessionization (the custom-state escape hatch),
     // run on the batch frame — identical code on a stream. The trailing
     // (final) session per user is deterministic given a total event
@@ -1530,10 +1631,131 @@ object LearnedQueries {
                |FROM c""".stripMargin
         }
     }
+    // Regression lifecycle row: model and index RMSLE both re-derived
+    // in the log-price domain from fitted literals — the ln/exp chains
+    // agree across engines at the row's 1e-4 rounding (the a8_rmsle
+    // precedent holds at 1e-6).
+    val regRow = (regSlot.only zip regModelSlot.only).headOption.flatMap {
+      case (f, (coefs, b)) =>
+        SqlGen.fittedProbeParts(f, "lineitem",
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+          Map.empty, "ipred").map { case (ctes, sel) =>
+          val margin = SqlGen.linearExact(
+            Seq("l_quantity", "l_discount", "l_tax"), coefs.toSeq, b)
+          "x_learned_regression" ->
+            s"""WITH $ctes,
+               |ix AS ($sel),
+               |j AS (SELECT l_extendedprice,
+               |    exp($margin) - 1.0 AS model_price,
+               |    exp(ipred) - 1.0 AS index_price
+               |  FROM ix),
+               |r AS (SELECT
+               |    sqrt(sum(pow(ln(model_price + 1) - ln(l_extendedprice + 1), 2)) / count(*)) AS mr,
+               |    sqrt(sum(pow(ln(index_price + 1) - ln(l_extendedprice + 1), 2)) / count(*)) AS ir
+               |  FROM j)
+               |SELECT ${SqlGen.slit(f.selected.mkString(","))} AS selected_features,
+               |  (SELECT count(*) FROM kv)::BIGINT AS index_entries,
+               |  ${SqlGen.floorRound4("mr")} AS model_rmsle,
+               |  ${SqlGen.floorRound4("ir")} AS index_rmsle
+               |FROM r""".stripMargin
+        }
+    }
+    // Width-stress row: index probe + the 784-term LR margin re-derived
+    // over the synthetic feature formulas; agreement re-averaged.
+    val widthRow = (widthFitSlot.only zip widthModelSlot.only).headOption.flatMap {
+      case (f, (coefs, b)) =>
+        def featSqlOf(i: Int) =
+          s"(embedding[${i % 64 + 1}]::DOUBLE * ${i / 64 + 1} + ${SqlGen.dlit(i * 0.001)})"
+        val featMap = f.selected.map { n =>
+          n -> featSqlOf(n.stripPrefix("f_").toInt) }.toMap
+        SqlGen.fittedProbeParts(f, "embeddings", Seq("embedding"), featMap, "ipred")
+          .map { case (ctes, sel) =>
+            val margin = SqlGen.linearExactList(
+              (0 until 784).map(featSqlOf), coefs.toSeq, b)
+            "x_width_stress" ->
+              s"""WITH $ctes,
+                 |ix AS ($sel),
+                 |j AS (SELECT CAST(round(ipred) AS BIGINT) AS ip,
+                 |    (CASE WHEN $margin > 0.0 THEN 1 ELSE 0 END)::BIGINT AS mp
+                 |  FROM ix),
+                 |a AS (SELECT sum(CAST(ip = mp AS DOUBLE)) / count(*) AS agree FROM j)
+                 |SELECT 784::BIGINT AS n_features,
+                 |  ${f.selected.length}::BIGINT AS n_selected,
+                 |  (SELECT count(*) FROM kv)::BIGINT AS index_entries,
+                 |  ${SqlGen.floorRound4("agree")} AS model_index_agreement
+                 |FROM a""".stripMargin
+          }
+    }
+    // Zoo lifecycle rows (dt, knn): classification F1s and regression
+    // RMSLEs all re-derived — model serves from the recorded tree/knn
+    // literals, index sides through prefix-disambiguated probe CTEs,
+    // two scans of lineitem (cls + reg lifecycles), one query.
+    def zooOracle(name: String, clsF: InferDbPipeline.Fitted,
+        regF: InferDbPipeline.Fitted, clsModelExpr: String,
+        regModelExpr: String): Option[(String, String)] =
+      for {
+        (cCtes, cSel) <- SqlGen.fittedProbeParts(clsF, "lineitem",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          Map("price_k" -> "(l_extendedprice / 1000.0)"), "ipred", ctePrefix = "c")
+        (rCtes, rSel) <- SqlGen.fittedProbeParts(regF, "lineitem",
+          Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice"),
+          Map.empty, "ipred", ctePrefix = "r")
+      } yield name ->
+        s"""WITH $cCtes,
+           |cix AS ($cSel),
+           |cj AS (SELECT (l_extendedprice > 30000.0)::BIGINT AS t,
+           |    CAST(round(ipred) AS BIGINT) AS ip,
+           |    CAST(round($clsModelExpr) AS BIGINT) AS mp
+           |  FROM cix),
+           |cc AS (SELECT
+           |    sum((mp = 1 AND t = 1)::BIGINT)::BIGINT AS mtp,
+           |    sum((mp = 1 AND t = 0)::BIGINT)::BIGINT AS mfp,
+           |    sum((mp = 0 AND t = 1)::BIGINT)::BIGINT AS mfn,
+           |    sum((ip = 1 AND t = 1)::BIGINT)::BIGINT AS itp,
+           |    sum((ip = 1 AND t = 0)::BIGINT)::BIGINT AS ifp,
+           |    sum((ip = 0 AND t = 1)::BIGINT)::BIGINT AS ifn
+           |  FROM cj),
+           |$rCtes,
+           |rix AS ($rSel),
+           |rj AS (SELECT l_extendedprice,
+           |    exp($regModelExpr) - 1.0 AS model_price,
+           |    exp(ipred) - 1.0 AS index_price
+           |  FROM rix),
+           |rr AS (SELECT
+           |    sqrt(sum(pow(ln(model_price + 1) - ln(l_extendedprice + 1), 2)) / count(*)) AS mr,
+           |    sqrt(sum(pow(ln(index_price + 1) - ln(l_extendedprice + 1), 2)) / count(*)) AS ir
+           |  FROM rj)
+           |SELECT
+           |  ${SqlGen.floorRound6(SqlGen.f1Sql("mtp", "mfp", "mfn"))} AS cls_model_f1,
+           |  ${SqlGen.floorRound6(SqlGen.f1Sql("itp", "ifp", "ifn"))} AS cls_index_f1,
+           |  ${SqlGen.floorRound4("mr")} AS reg_model_rmsle,
+           |  ${SqlGen.floorRound4("ir")} AS reg_index_rmsle
+           |FROM cc CROSS JOIN rr""".stripMargin
+    val dtRow = for {
+      clsF <- dtClsFitSlot.only
+      regF <- dtRegFitSlot.only
+      clsRoot <- dtSlot.only if graft.models.TreeServe.nodeCount(clsRoot) <= 4096
+      regRoot <- dtRegSlot.only if graft.models.TreeServe.nodeCount(regRoot) <= 4096
+      entry <- zooOracle("x_learned_dt", clsF, regF,
+        graft.models.TreeServe.sql(clsRoot, numericFeatSql),
+        graft.models.TreeServe.sql(regRoot, regFeats))
+    } yield entry
+    val knnRow = for {
+      clsF <- knnClsFitSlot.only
+      regF <- knnRegFitSlot.only
+      (cSample, ck) <- knnSlot.only
+        if cSample.nonEmpty && cSample.size >= ck && ck % 2 == 1 &&
+          cSample.forall(p => p._2 == 0.0 || p._2 == 1.0) && cSample.size <= 4096
+      (rSample, rk) <- knnRegModelSlot.only
+        if rSample.nonEmpty && rSample.size >= rk && rSample.size <= 4096
+      entry <- zooOracle("x_learned_knn", clsF, regF,
+        SqlGen.knnClassExpr(cSample, ck, numericFeatSql),
+        SqlGen.knnRegExpr(rSample, rk, regFeats))
+    } yield entry
     staticOracle ++ e2e ++ persistServe ++ regServe ++ mcServe ++ mlpServe ++ dtServe ++
       lrServe ++ softmaxServe ++ nbServe ++ gbtServe ++ catServe ++ knnServe ++
       dtRegServe ++ gbtRegServe ++ dtCatServe ++ gbtCatServe ++ parity ++ report ++
-      mcRow ++ mlpRow ++ nbRow ++ catRow
+      mcRow ++ mlpRow ++ nbRow ++ catRow ++ regRow ++ widthRow ++ dtRow ++ knnRow
   }
 
   private val staticOracle: Map[String, String] = Map(
@@ -1580,6 +1802,18 @@ object LearnedQueries {
     "x_stream_topk" ->
       """WITH toks AS (
         |  SELECT (((doc_id * 7919) % 86400) // 3600) * 3600 AS wstart,
+        |         unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT wstart, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |r AS (SELECT wstart, token, cnt,
+        |        row_number() OVER (PARTITION BY wstart ORDER BY cnt DESC, token) AS rn
+        |      FROM c)
+        |SELECT wstart, token, cnt FROM r WHERE rn <= 3""".stripMargin,
+    // the update/append variant's hour-blocked synthetic time, same
+    // integer window floor; the sentinel window sits past the cut
+    "x_stream_topk_update" ->
+      """WITH toks AS (
+        |  SELECT ((((doc_id % 4) * 7200 + (doc_id * 7919) % 7200) // 3600) * 3600) AS wstart,
         |         unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |c AS (SELECT wstart, token, count(*) AS cnt FROM toks GROUP BY 1, 2),

@@ -183,6 +183,29 @@ object SqlGen {
        |FROM t""".stripMargin
   }
 
+  /** Sorted top-k neighbor list expression — the shared core of the
+    * kNN serve forms: structs sort by (distance, label), matching
+    * KnnRef's deterministic (d asc, l asc) ranking. */
+  def knnTopSql(sample: Seq[(Seq[Double], Double)], k: Int, featSql: Seq[String]): String = {
+    val structs = sample.map { case (f, l) =>
+      val dist = featSql.zip(f).map { case (fx, sv) =>
+        s"($fx - ${dlit(sv)}) * ($fx - ${dlit(sv)})"
+      }.mkString(" + ")
+      s"{'d': $dist, 'l': ${dlit(l)}}"
+    }
+    s"list_sort([${structs.mkString(", ")}])[1:$k]"
+  }
+
+  /** kNN majority-vote class as an EXPRESSION (0/1 labels, odd k —
+    * [[knnClassSql]]'s guard set); ties to the smaller label via `>`. */
+  def knnClassExpr(sample: Seq[(Seq[Double], Double)], k: Int, featSql: Seq[String]): String =
+    s"(CASE WHEN len([x FOR x IN ${knnTopSql(sample, k, featSql)} IF x.l = 1.0]) * 2 > $k THEN 1 ELSE 0 END)"
+
+  /** kNN regression vote as an EXPRESSION: mean of the k nearest labels
+    * summed in (d, l) order — KnnRef.vote's exact fold. */
+  def knnRegExpr(sample: Seq[(Seq[Double], Double)], k: Int, featSql: Seq[String]): String =
+    s"(list_reduce(list_prepend(0.0, [x.l FOR x IN ${knnTopSql(sample, k, featSql)}]), (a, v) -> a + v) / $k)"
+
   /** Oracle SQL for the fitted KV-index serve path (`Fitted.transform`
     * + round to 6 decimals): translate raw columns through the FITTED
     * bin specs, probe VALUES-inlined kv/prefix tables, coalesce to the
@@ -207,7 +230,8 @@ object SqlGen {
       idCols: Seq[String],
       featSql: Map[String, String],
       predName: String,
-      maxEntries: Int = 4096): Option[(String, String)] = {
+      maxEntries: Int = 4096,
+      ctePrefix: String = ""): Option[(String, String)] = {
     if (f.selected.isEmpty) return None
     val kvRows = f.kv.kv.select("key", "value").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
@@ -223,20 +247,20 @@ object SqlGen {
       s"(${binSql(f.bins(feat), featSql.getOrElse(feat, feat))}) AS b$i"
     }
     def keyOf(n: Int) = (0 until n).map(i => s"p.b$i").mkString(" || '.' || ")
-    val pfxCtes = pfxRows.map { case (l, rows) => values(s"pfx$l", rows) }
+    val pfxCtes = pfxRows.map { case (l, rows) => values(s"${ctePrefix}pfx$l", rows) }
     val pfxJoins = pfxRows.map { case (l, _) =>
-      s"LEFT JOIN pfx$l ON ${keyOf(l)} = pfx$l.k"
+      s"LEFT JOIN ${ctePrefix}pfx$l ON ${keyOf(l)} = ${ctePrefix}pfx$l.k"
     }
-    val fallbacks = "kv.v" +: pfxRows.map { case (l, _) => s"pfx$l.v" }
+    val fallbacks = s"${ctePrefix}kv.v" +: pfxRows.map { case (l, _) => s"${ctePrefix}pfx$l.v" }
     val ctes =
-      s"""probe AS (
+      s"""${ctePrefix}probe AS (
          |  SELECT ${(idCols ++ comps).mkString(", ")} FROM $table),
-         |${(values("kv", kvRows) +: pfxCtes).mkString(",\n")}""".stripMargin
+         |${(values(s"${ctePrefix}kv", kvRows) +: pfxCtes).mkString(",\n")}""".stripMargin
     val select =
       s"""SELECT ${idCols.map(c => s"p.$c").mkString(", ")},
          |  coalesce(${fallbacks.mkString(", ")}, ${dlit(round6(f.kv.globalValue))}) AS $predName
-         |FROM probe p
-         |LEFT JOIN kv ON ${keyOf(f.selected.length)} = kv.k
+         |FROM ${ctePrefix}probe p
+         |LEFT JOIN ${ctePrefix}kv ON ${keyOf(f.selected.length)} = ${ctePrefix}kv.k
          |${pfxJoins.mkString("\n")}""".stripMargin
     Some((ctes, select))
   }
@@ -250,6 +274,16 @@ object SqlGen {
       maxEntries: Int = 4096): Option[String] =
     fittedProbeParts(f, table, idCols, featSql, predName, maxEntries)
       .map { case (ctes, select) => s"WITH $ctes\n$select" }
+
+  /** [[linearExact]] as a list fold — same left-associated order and
+    * the same bits, but O(1) parser depth (a flat 784-term `a + b + …`
+    * chain exceeds DuckDB's binder recursion limit). Zero-weight terms
+    * are KEPT: that matches the model's full dot product (x*0.0 adds
+    * ±0.0, which is bitwise-neutral in the fold). */
+  def linearExactList(terms: Seq[String], coefs: Seq[Double], intercept: Double): String = {
+    val prods = terms.zip(coefs).map { case (t, w) => s"($t) * ${dlit(w)}" }
+    s"(list_reduce(list_prepend(0.0, [${prods.mkString(", ")}]), (a, v) -> a + v) + ${dlit(intercept)})"
+  }
 
   /** [[mlpClassSql]]'s network split into composable pieces: CTE block
     * (`mh` hidden layer, `mz` output margins — both carrying `src`'s
