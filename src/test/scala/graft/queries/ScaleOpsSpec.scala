@@ -141,7 +141,12 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("a14_countmin_topk: estimates bracket the exact counts (bounds also asserted in-query)") {
     val out = ExtraQueries.defs("a14_countmin_topk")(spark, sf).collect()
     assert(out.length == 20)
-    out.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"undercount in $r"))
+    // r9 shape: the sketch estimate itself stays engine-internal; the
+    // declared row carries exact tf plus the hashed bounds verdict
+    out.foreach { r =>
+      assert(r.getLong(1) > 0, s"empty exact count in $r")
+      assert(r.getAs[Boolean]("cms_bounds_ok"), s"CMS bounds verdict false in $r")
+    }
   }
 
   test("x_nb_serve: compiled NB kernel agrees with MLlib's transform exactly") {
