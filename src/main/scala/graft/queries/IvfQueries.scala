@@ -705,6 +705,60 @@ object IvfQueries {
           "demo_recall_at_1", "cells_read", "cells_total", "bytes_pq", "bytes_f32")
     })),
 
+    // FILTERED vector search — the query every production vector store
+    // must answer ("nearest doc WHERE lang = X / license = Y"): the
+    // metadata predicate (here vec_id % 3 = 0, selectivity ~1/3) is
+    // PRE-FILTERED into the inverted file before the cell-keyed probe,
+    // so candidates never include disallowed vectors — the post-filter
+    // alternative silently loses recall when the true filtered neighbor
+    // was not in the unfiltered top-k. Recall is measured against the
+    // FILTERED brute-force truth (the only honest denominator). Same
+    // fitted quantizer + operating point as x_ann_ivf_kmeans; the
+    // oracle re-derives the filtered search and recall end to end.
+    "x_ann_ivf_filtered" -> ((s, d) => filteredResult.getOrElseUpdate((s, d), {
+      val centers = fittedCenters(s, d)
+      val e = cachedEmb(s, d)
+      val allowed = e.filter(pmod(col("vec_id"), lit(3L)) === 0L)
+      val inv = allowed.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nsq").as("n_nsq"), nearestCell(col("embedding"), centers).as("cell"))
+      val q0 = queries(s, d)
+      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
+        struct(lit(k).as("cell"),
+          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("q_nsq"),
+        col("c.cell"), col("c.dist"))
+      val probe = qCells
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rnk") <= FittedNProbe)
+        .select("q_id", "q_emb", "q_nsq", "cell")
+      def cosCol = (Fns.dotProduct(col("q_emb"), col("n_emb"))
+        / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos")
+      val fTop = probe.join(inv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cosCol)
+        .groupBy("q_id")
+        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
+        .select(col("q_id"), col("x.n_id").as("f_id"))
+      // FILTERED ground truth: brute force over the allowed subset only
+      val bfF = q0
+        .crossJoin(allowed.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_emb"), col("nsq").as("n_nsq")))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"), cosCol)
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("cos"), col("n_id"))).as("bf_id"))
+      val res = fTop.join(bfF, Seq("q_id"), "right")
+        .agg(
+          lit(FittedK).as("k"), lit(FittedNProbe).as("nprobe"),
+          count(lit(1)).as("n_queries"),
+          avg(coalesce(col("f_id") === col("bf_id"), lit(false)).cast("double")).as("recall_at_1"))
+        .crossJoin(allowed.agg(count(lit(1)).as("n_allowed"))
+          .crossJoin(e.agg(count(lit(1)).as("n_total")))
+          .select((col("n_allowed").cast("double") / col("n_total")).as("selectivity")))
+      s.createDataFrame(java.util.Arrays.asList(res.collect(): _*), res.schema)
+    })),
+
     // The IVF operating curve (nprobe -> recall/cost), the sweep every
     // real ANN deployment tunes by: one row per probe depth with
     // recall@1 and the average fraction of the corpus scanned. ONE
@@ -819,6 +873,8 @@ object IvfQueries {
   private val sq8Result =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val diskProbeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val filteredResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sweepResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -1134,8 +1190,43 @@ object IvfQueries {
            |  $FittedK::BIGINT AS cells_total,
            |  ${PqM + 8}::BIGINT AS bytes_pq, ${4 * Dim}::BIGINT AS bytes_f32""".stripMargin
     }
+    // Filtered search, fully re-derived: inverted file restricted to
+    // the allowed subset, filtered brute-force truth, recall and
+    // selectivity re-averaged.
+    val ivfFiltered = centersSlot.only.map { cs =>
+      "x_ann_ivf_filtered" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+           |cells AS (${fittedCellsUnion(cs)}),
+           |inv AS (SELECT vec_id AS n_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells) WHERE rn = 1 AND vec_id % 3 = 0),
+           |probe AS (SELECT vec_id AS q_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |  FROM cells WHERE vec_id < 100) WHERE rn <= $FittedNProbe),
+           |cand AS (SELECT p.q_id, i.n_id,
+           |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+           |  FROM probe p
+           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+           |  JOIN e q ON q.vec_id = p.q_id
+           |  JOIN e n ON n.vec_id = i.n_id),
+           |ftop AS (SELECT q_id, n_id AS f_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |bf AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |    ${dotSql("q.embedding", "n.embedding")} / (sqrt(q.nsq) * sqrt(n.nsq)) AS cos
+           |  FROM e q JOIN e n ON q.vec_id < 100 AND q.vec_id <> n.vec_id AND n.vec_id % 3 = 0),
+           |bftop AS (SELECT q_id, n_id AS bf_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+           |  FROM bf) WHERE rn = 1)
+           |SELECT $FittedK AS k, $FittedNProbe AS nprobe,
+           |  count(*)::BIGINT AS n_queries,
+           |  avg(CAST(coalesce(t.f_id = b.bf_id, false) AS DOUBLE)) AS recall_at_1,
+           |  (SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0)::DOUBLE
+           |    / (SELECT count(*) FROM embeddings) AS selectivity
+           |FROM bftop b LEFT JOIN ftop t ON t.q_id = b.q_id""".stripMargin
+    }
     staticOracle ++ fittedAssign ++ pcaServe ++ ivfKmeans ++ ivfSweep ++ ivfSq8 ++
-      pq ++ diskProbe ++ ivfPq
+      pq ++ diskProbe ++ ivfPq ++ ivfFiltered
   }
 
   /** VALUES rows (m, c, [8 doubles]) for the fitted PQ codebooks. */

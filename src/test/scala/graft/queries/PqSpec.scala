@@ -38,4 +38,14 @@ class PqSpec extends AnyFunSuite {
     assert(r.getAs[Double]("recall_at_1") >= 0.8,
       s"IVFADC recall@1 ${r.getAs[Double]("recall_at_1")} collapsed")
   }
+
+  test("x_ann_ivf_filtered: pre-filtered search holds recall against the filtered truth") {
+    val r = IvfQueries.defs("x_ann_ivf_filtered")(spark, "/root/testdata/sf0.001").head()
+    assert(r.getAs[Long]("n_queries") > 0)
+    val sel = r.getAs[Double]("selectivity")
+    assert(sel > 0.2 && sel < 0.5, s"predicate selectivity $sel drifted from ~1/3")
+    assert(r.getAs[Double]("recall_at_1") >= 0.8,
+      s"filtered recall@1 ${r.getAs[Double]("recall_at_1")} collapsed — the predicate must " +
+        "restrict candidates, not the probe quality")
+  }
 }
