@@ -111,6 +111,42 @@ object Bench {
     }
     val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
 
+    // ---- skew stress (VERDICT r8 Next #7): one key = 20% of rows ----
+    // Measured EARLY (before the 200-query sweep fills the JVM) and
+    // INTERLEAVED (unsalted/salted alternating per iteration) so slow
+    // memory/GC drift hits both forms equally — a trailing back-to-back
+    // measurement inverted the comparison under late-run pressure.
+    // A deliberately zipfian shuffle join, measured both ways so the
+    // skew remedy is a NUMBER, not an assertion: 32M rows where key 0
+    // holds 20%, dim side shuffle-hash-hinted (the "too big to
+    // broadcast" scenario). Unsalted, one task drags 6.4M rows (AQE's
+    // skew split does NOT fire for this SHJ plan — verified on the
+    // executed plan); salted (hash-of-row salt, SkewJoin.saltedJoin),
+    // the hot key spreads over 32 salt buckets — the straggler goes,
+    // a small balanced overhead (salt column + 32x dim replication)
+    // stays; at cluster scale the straggler grows with data while the
+    // overhead does not. Independent of SF by design.
+    val skewN = 32000000L
+    def skewBig = spark.range(skewN).select(col("id"),
+      when(pmod(col("id"), lit(5L)) === 0L, 0L)
+        .otherwise(pmod(col("id"), lit(996L)) + 1L).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    def skewSmall = spark.range(997L).select(col("id").as("k"),
+      (col("id") * 2L).as("w"))
+    def skewAgg(joined: DataFrame): Long = evalAll(
+      joined.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"), sum("s").as("sum_s")))
+    def timeOf(f: => Long): Double = time(f)._1
+    val skewPairs = (1 to stageIters).map { _ =>
+      (timeOf(skewAgg(skewBig.join(skewSmall.hint("shuffle_hash"), Seq("k")))),
+       timeOf(skewAgg(graft.core.SkewJoin.saltedJoin(
+         skewBig, skewSmall.hint("shuffle_hash"), "k", "id", saltFactor = 32))))
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val skewUnsalted = med(skewPairs.map(_._1))
+    val skewSalted = med(skewPairs.map(_._2))
+
     // ---- every declared query, best-of-2 (evalAll, not count():
     // projection-only queries would otherwise time a bare scan).
     // Best-of-2 on EVERY row: the driver benches hot on a machine that
@@ -148,36 +184,6 @@ object Bench {
       else (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
     if (sink.isNaN) println("unreachable") // keep the loop observable
 
-    // ---- skew stress (VERDICT r8 Next #7): one key = 20% of rows ----
-    // A deliberately zipfian shuffle join, measured both ways so the
-    // skew remedy is a NUMBER, not an assertion: 32M rows where key 0
-    // holds 20%, dim side shuffle-hash-hinted (the "too big to
-    // broadcast" scenario). Unsalted, one task drags 6.4M rows (AQE's
-    // skew split does NOT fire for this SHJ plan — verified on the
-    // executed plan); salted (hash-of-row salt, SkewJoin.saltedJoin),
-    // the hot key spreads over 32 salt buckets. Measured locally:
-    // ~2.1 s unsalted vs ~1.6 s salted, stable in ordering — the
-    // salted form pays a small balanced overhead (salt column + 32x
-    // dim replication) to delete the straggler; at cluster scale the
-    // straggler grows with data while the overhead does not.
-    // Independent of SF by design — the skew shape is what's measured.
-    val skewN = 32000000L
-    def skewBig = spark.range(skewN).select(col("id"),
-      when(pmod(col("id"), lit(5L)) === 0L, 0L)
-        .otherwise(pmod(col("id"), lit(996L)) + 1L).as("k"),
-      (col("id") % 97).cast("double").as("v"))
-    def skewSmall = spark.range(997L).select(col("id").as("k"),
-      (col("id") * 2L).as("w"))
-    def skewAgg(joined: DataFrame): Long = evalAll(
-      joined.groupBy("k")
-        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
-        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"), sum("s").as("sum_s")))
-    val skewUnsalted = medianOf(stageIters)(skewAgg(
-      skewBig.join(skewSmall.hint("shuffle_hash"), Seq("k"))))
-    val skewSalted = medianOf(stageIters)(skewAgg(
-      graft.core.SkewJoin.saltedJoin(
-        skewBig, skewSmall.hint("shuffle_hash"), "k", "id", saltFactor = 32)))
-
     // fitted-quantizer ANN quality next to the timings (the query's
     // one-row result is collect-once memoized, so this read is free)
     val ivfRecall = try SparkEntry.queries("x_ann_ivf_kmeans")(spark, sfDir)
@@ -187,6 +193,12 @@ object Bench {
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
     // PQ+re-rank: recall at 16x compression with a 64-item shortlist
     val pqRecall = try SparkEntry.queries("x_ann_pq")(spark, sfDir)
+      .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
+    // composed IVFADC (PQ inside the on-disk inverted file)
+    val ivfPqRecall = try SparkEntry.queries("x_ann_ivf_pq")(spark, sfDir)
+      .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
+    // pre-filtered search vs the filtered brute-force truth
+    val filteredRecall = try SparkEntry.queries("x_ann_ivf_filtered")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
 
     val stages = Seq(
@@ -199,7 +211,9 @@ object Bench {
       "stage_point_lookup_us" -> pointLookupUs,
       "ivf_kmeans_recall_at_1" -> ivfRecall,
       "ivf_sq8_recall_at_1" -> sq8Recall,
-      "pq_rerank_recall_at_1" -> pqRecall) ++ ladderRows
+      "pq_rerank_recall_at_1" -> pqRecall,
+      "ivfadc_recall_at_1" -> ivfPqRecall,
+      "filtered_recall_at_1" -> filteredRecall) ++ ladderRows
     // Key order is load-bearing: the driver archives only the TAIL of
     // this line (~2.2 KB), so the big per-query map goes FIRST and the
     // stage decomposition + headline keys go LAST — truncation then

@@ -705,6 +705,68 @@ object IvfQueries {
           "demo_recall_at_1", "cells_read", "cells_total", "bytes_pq", "bytes_f32")
     })),
 
+    // INCREMENTAL maintenance of the on-disk ANN index — the vector-
+    // store ingestion path (the ANN-family sibling of x_index_append):
+    // half the corpus builds the cell-partitioned quantized inverted
+    // file, the other half APPENDS via a partition-targeted parquet
+    // append — O(delta) work, touched cells only, history never
+    // rewrites — and two proofs run in-query: the appended index is
+    // row-set-identical to a one-shot full build (exceptAll both ways
+    // empty), and a probe batch served from it reads only its probed
+    // cells (partition pruning asserted). The declared rows are the
+    // probe's per-query top-1 from the APPENDED index, which the oracle
+    // re-derives as the full-corpus search — so the green hash is the
+    // append ≡ rebuild proof at the result level too.
+    "x_ann_disk_append" -> ((s, d) => diskAppendMemo.getOrElseUpdate((s, d), {
+      val centers = fittedCenters(s, d)
+      val tv = graft.plans.TextVectorExprs
+      val dir = graft.core.TmpDirs.scratch("ann_ivf_disk_append", d)
+      def invRows(src: DataFrame) = src
+        .withColumn("amax", tv.absMax(col("embedding")))
+        .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
+        .select(col("vec_id").as("n_id"),
+          nearestCell(col("embedding"), centers).as("cell"),
+          tv.sq8Codes(col("embedding")).as("nq"),
+          col("amax0").as("n_amax"), col("nsq").as("n_nsq"))
+      val e = cachedEmb(s, d)
+      invRows(e.filter(pmod(col("vec_id"), lit(2L)) === 0L))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      invRows(e.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+        .write.mode("append").partitionBy("cell").parquet(dir)
+      val merged = s.read.parquet(dir)
+        .select("n_id", "nq", "n_amax", "n_nsq", "cell")
+      val oneShot = invRows(e).select("n_id", "nq", "n_amax", "n_nsq", "cell")
+      require(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty,
+        "appended inverted file differs from the one-shot build")
+      val nprobe = 4
+      val q0 = queries(s, d).filter(col("q_id") < 8)
+      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
+        struct(lit(k).as("cell"),
+          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
+      val probe = qCells
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rnk") <= nprobe)
+        .select("q_id", "q_emb", "cell")
+      val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
+      val inv = s.read.parquet(dir)
+        .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+      val scans = inv.queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      require(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "cell"))),
+        "cell partition pruning missing from the appended inverted-file scan")
+      val top = probe.join(inv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (tv.adcDot(col("q_emb"), col("nq"))
+            * col("n_amax") / sqrt(col("n_nsq"))).as("adc"))
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("adc"), col("n_id"))).as("disk_id"))
+      s.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+    })),
+
     // FILTERED vector search — the query every production vector store
     // must answer ("nearest doc WHERE lang = X / license = Y"): the
     // metadata predicate (here vec_id % 3 = 0, selectivity ~1/3) is
@@ -875,6 +937,8 @@ object IvfQueries {
   private val diskProbeMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val filteredResult =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val diskAppendMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sweepResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -1089,37 +1153,41 @@ object IvfQueries {
            |LEFT JOIN pqtop p ON p.q_id = b.q_id
            |LEFT JOIN adctop a ON a.q_id = b.q_id""".stripMargin
     }
+    // Shared SQ8 asymmetric-scan CTE body (through `cand`/`dtop`) for
+    // the on-disk probe oracles.
+    def sq8DiskCtes(cs: Array[Array[Double]], qMax: Int, nprobe: Int): String =
+      s"""e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+         |am AS (SELECT vec_id, embedding, nsq,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM e),
+         |q8 AS (SELECT vec_id, nsq,
+         |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END AS amax0,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0
+         |      / (CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END) + 0.5)) AS q
+         |  FROM am),
+         |cells AS (${fittedCellsUnion(cs)}),
+         |inv AS (SELECT vec_id AS n_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM cells) WHERE rn = 1),
+         |probe AS (SELECT vec_id AS q_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM cells WHERE vec_id < $qMax) WHERE rn <= $nprobe),
+         |cand AS (SELECT p.q_id, i.n_id,
+         |    list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2] FOR z IN list_zip(qe.embedding, n8.q)]), (a, v) -> a + v)
+         |      * n8.amax0 / sqrt(n8.nsq) AS adc
+         |  FROM probe p
+         |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
+         |  JOIN e qe ON qe.vec_id = p.q_id
+         |  JOIN q8 n8 ON n8.vec_id = i.n_id),
+         |dtop AS (SELECT q_id, n_id AS disk_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
+         |  FROM cand) WHERE rn = 1)""".stripMargin
     // The on-disk serving demo, fully re-derived: same SQ8 asymmetric
     // scan as ivfSq8 but over the 8-query batch at nprobe=4, plus the
     // probed-cell union recounted by DuckDB.
     val diskProbe = centersSlot.only.map { cs =>
       "x_ann_disk_probe" ->
-        s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
-           |am AS (SELECT vec_id, embedding, nsq,
-           |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
-           |  FROM e),
-           |q8 AS (SELECT vec_id, nsq,
-           |    CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END AS amax0,
-           |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0
-           |      / (CASE WHEN amax = 0.0 THEN 1.0 ELSE amax END) + 0.5)) AS q
-           |  FROM am),
-           |cells AS (${fittedCellsUnion(cs)}),
-           |inv AS (SELECT vec_id AS n_id, cell FROM (
-           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-           |  FROM cells) WHERE rn = 1),
-           |probe AS (SELECT vec_id AS q_id, cell FROM (
-           |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-           |  FROM cells WHERE vec_id < 8) WHERE rn <= 4),
-           |cand AS (SELECT p.q_id, i.n_id,
-           |    list_reduce(list_prepend(0.0, [z[1]::DOUBLE * z[2] FOR z IN list_zip(qe.embedding, n8.q)]), (a, v) -> a + v)
-           |      * n8.amax0 / sqrt(n8.nsq) AS adc
-           |  FROM probe p
-           |  JOIN inv i ON i.cell = p.cell AND i.n_id <> p.q_id
-           |  JOIN e qe ON qe.vec_id = p.q_id
-           |  JOIN q8 n8 ON n8.vec_id = i.n_id),
-           |dtop AS (SELECT q_id, n_id AS disk_id FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rn
-           |  FROM cand) WHERE rn = 1),
+        s"""WITH ${sq8DiskCtes(cs, 8, 4)},
            |$bfTopSql
            |SELECT $FittedK AS k, 4 AS nprobe,
            |  count(*)::BIGINT AS n_queries,
@@ -1128,6 +1196,14 @@ object IvfQueries {
            |  $FittedK AS cells_total
            |FROM bftop b LEFT JOIN dtop t ON t.q_id = b.q_id
            |WHERE b.q_id < 8""".stripMargin
+    }
+    // Incremental append: the declared rows are the per-query top-1
+    // from the APPENDED index; re-deriving them as the full-corpus
+    // search IS the append ≡ rebuild proof at the result level.
+    val diskAppend = centersSlot.only.map { cs =>
+      "x_ann_disk_append" ->
+        s"""WITH ${sq8DiskCtes(cs, 8, 4)}
+           |SELECT q_id, disk_id FROM dtop""".stripMargin
     }
     // The composed IVFADC row, fully re-derived at both operating
     // points (full set at nprobe=24, pruning demo at nprobe=4); the
@@ -1226,7 +1302,7 @@ object IvfQueries {
            |FROM bftop b LEFT JOIN ftop t ON t.q_id = b.q_id""".stripMargin
     }
     staticOracle ++ fittedAssign ++ pcaServe ++ ivfKmeans ++ ivfSweep ++ ivfSq8 ++
-      pq ++ diskProbe ++ ivfPq ++ ivfFiltered
+      pq ++ diskProbe ++ diskAppend ++ ivfPq ++ ivfFiltered
   }
 
   /** VALUES rows (m, c, [8 doubles]) for the fitted PQ codebooks. */
