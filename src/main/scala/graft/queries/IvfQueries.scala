@@ -767,6 +767,79 @@ object IvfQueries {
       s.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
     })),
 
+    // COMPACTION of the appended inverted file — the maintenance pass
+    // that closes the on-disk ANN lifecycle (build → append →
+    // COMPACT → probe): four incremental appends leave multiple small
+    // files per cell directory (each append writes its own file per
+    // touched cell — the small-files problem, per cell), and the
+    // compaction rewrites the index so every cell holds exactly ONE
+    // file (hash-repartition by cell keeps each cell's rows in one
+    // task — no cross-cell shuffle beyond the keyed exchange).
+    // Asserted in-query: some cell had > 1 file before, every cell has
+    // exactly 1 after, and the row count is unchanged. The declared
+    // rows are the probe's top-1 from the COMPACTED index — the oracle
+    // re-derives them as the full-corpus search, proving the layout
+    // rewrite changed bytes-on-disk, not answers.
+    "x_ann_disk_compact" -> ((s, d) => diskCompactMemo.getOrElseUpdate((s, d), {
+      val centers = fittedCenters(s, d)
+      val tv = graft.plans.TextVectorExprs
+      val dir = graft.core.TmpDirs.scratch("ann_ivf_disk_compact", d)
+      def invRows(src: DataFrame) = src
+        .withColumn("amax", tv.absMax(col("embedding")))
+        .withColumn("amax0", when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax")))
+        .select(col("vec_id").as("n_id"),
+          nearestCell(col("embedding"), centers).as("cell"),
+          tv.sq8Codes(col("embedding")).as("nq"),
+          col("amax0").as("n_amax"), col("nsq").as("n_nsq"))
+      val e = cachedEmb(s, d)
+      // 4 incremental appends → several files per touched cell
+      (0 until 4).foreach { i =>
+        invRows(e.filter(pmod(col("vec_id"), lit(4L)) === i.toLong))
+          .write.mode(if (i == 0) "overwrite" else "append")
+          .partitionBy("cell").parquet(dir)
+      }
+      def filesPerCell(p: String): Map[String, Int] =
+        new java.io.File(p).listFiles().filter(_.isDirectory)
+          .filter(_.getName.startsWith("cell="))
+          .map(f => f.getName -> f.listFiles().count(_.getName.endsWith(".parquet")))
+          .toMap
+      val before = filesPerCell(dir)
+      require(before.values.exists(_ > 1),
+        "compaction demo degenerated: no cell accumulated multiple append files")
+      val nRows = s.read.parquet(dir).count()
+      val compactDir = graft.core.TmpDirs.scratch("ann_ivf_disk_compacted", d)
+      s.read.parquet(dir)
+        .repartition(FittedK, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(compactDir)
+      val after = filesPerCell(compactDir)
+      require(after.values.forall(_ == 1),
+        s"compaction left a multi-file cell: $after")
+      require(s.read.parquet(compactDir).count() == nRows,
+        "compaction changed the row count")
+      val nprobe = 4
+      val q0 = queries(s, d).filter(col("q_id") < 8)
+      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
+        struct(lit(k).as("cell"),
+          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
+      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
+      val probe = qCells
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("rnk") <= nprobe)
+        .select("q_id", "q_emb", "cell")
+      val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
+      val inv = s.read.parquet(compactDir)
+        .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+      val top = probe.join(inv, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (tv.adcDot(col("q_emb"), col("nq"))
+            * col("n_amax") / sqrt(col("n_nsq"))).as("adc"))
+        .groupBy("q_id")
+        .agg(min_by(col("n_id"), struct(-col("adc"), col("n_id"))).as("disk_id"))
+      s.createDataFrame(java.util.Arrays.asList(top.collect(): _*), top.schema)
+    })),
+
     // FILTERED vector search — the query every production vector store
     // must answer ("nearest doc WHERE lang = X / license = Y"): the
     // metadata predicate (here vec_id % 3 = 0, selectivity ~1/3) is
@@ -939,6 +1012,8 @@ object IvfQueries {
   private val filteredResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val diskAppendMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val diskCompactMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sweepResult =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -1205,6 +1280,13 @@ object IvfQueries {
         s"""WITH ${sq8DiskCtes(cs, 8, 4)}
            |SELECT q_id, disk_id FROM dtop""".stripMargin
     }
+    // Compaction: same result-level proof — any storage layout of the
+    // same vectors must serve the same top-1.
+    val diskCompact = centersSlot.only.map { cs =>
+      "x_ann_disk_compact" ->
+        s"""WITH ${sq8DiskCtes(cs, 8, 4)}
+           |SELECT q_id, disk_id FROM dtop""".stripMargin
+    }
     // The composed IVFADC row, fully re-derived at both operating
     // points (full set at nprobe=24, pruning demo at nprobe=4); the
     // probed-cell unions are recounted by DuckDB.
@@ -1302,7 +1384,7 @@ object IvfQueries {
            |FROM bftop b LEFT JOIN ftop t ON t.q_id = b.q_id""".stripMargin
     }
     staticOracle ++ fittedAssign ++ pcaServe ++ ivfKmeans ++ ivfSweep ++ ivfSq8 ++
-      pq ++ diskProbe ++ diskAppend ++ ivfPq ++ ivfFiltered
+      pq ++ diskProbe ++ diskAppend ++ diskCompact ++ ivfPq ++ ivfFiltered
   }
 
   /** VALUES rows (m, c, [8 doubles]) for the fitted PQ codebooks. */
