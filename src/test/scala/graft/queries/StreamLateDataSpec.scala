@@ -70,4 +70,25 @@ class StreamLateDataSpec extends AnyFunSuite {
       s"stream output $out != batch-minus-late $expected — the late event leaked in (windows -3600/0 would gain it)")
     assert(!out.contains(-3600L), "the late event's private window must not exist")
   }
+
+  test("stageOrderedFiles: replay order follows staging order, not content") {
+    import spark.implicits._
+    val dir = graft.core.TmpDirs.scratch("stage_order_spec", "spec")
+    // stage DESCENDING content so any content- or size-based ordering
+    // would disagree with the staged order
+    val parts = Seq(Seq(30L), Seq(20L, 21L), Seq(10L)).map(_.toDF("v"))
+    StreamOps.stageOrderedFiles(parts, dir)
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized { batches += b.collect().map(_.getLong(0)).toSeq.sorted }
+        ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batches.filter(_.nonEmpty).toSeq == Seq(Seq(30L), Seq(20L, 21L), Seq(10L)),
+      s"replay order diverged from staging order: $batches")
+  }
 }
