@@ -550,13 +550,13 @@ object IvfQueries {
     // raw ADC top-1 measures pure quantization loss (recall_adc); the
     // production path re-ranks the ADC top-[[pqShortlist]] shortlist
     // with exact cosine (full vectors touched for shortlist·|q| rows
-    // only) and reports recall@1 of that. The crossJoin is the same
-    // capped, labeled 100-query baseline shape as bfTop; at corpus
-    // scale the ADC scan runs inside IVF cells (the x_ann_ivf_sq8
-    // composition) — PQ changes the per-candidate byte cost, not the
-    // join shape. Oracle re-encodes + re-searches from the recorded
-    // codebooks (r9); per-query LUTs + integer codes keep it
-    // partition-invariant.
+    // only) and reports recall@1 of that. The crossJoin here exists
+    // ONLY to measure pure quantization loss against an unrestricted
+    // scan — the production composition is x_ann_ivf_pq, where the ADC
+    // scan runs as a cell-keyed equi-join inside the probed cells of
+    // the on-disk inverted file. Oracle re-encodes + re-searches from
+    // the recorded codebooks (r9); per-query LUTs + integer codes keep
+    // it partition-invariant.
     "x_ann_pq" -> ((s, d) => pqResult.getOrElseUpdate((s, d), {
       val tv = graft.plans.TextVectorExprs
       val books = pqCodebooks(s, d) // [m][k][j]
