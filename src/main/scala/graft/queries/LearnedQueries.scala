@@ -889,8 +889,11 @@ object LearnedQueries {
       val (f, withPred) = fitted(s, d)
       val rep = graft.report.Report.classificationReport(s, f, withPred, "target")
       rep.select(col("solution"), col("size_entries"), col("accuracy"),
-        col("precision"), col("recall"), col("f1"), col("n_iterations"),
-        col("batch_size"),
+        col("precision"), col("recall"), col("f1"),
+        // the reference's standalone report carries the trie's maximum
+        // path length; our cascade's analog is the selected key length
+        lit(f.selected.length).as("max_path_length"),
+        col("n_iterations"), col("batch_size"),
         (col("featurize_s") > 0.0 && col("translate_s") > 0.0 &&
           col("score_s") > 0.0 && col("end_to_end_s") >= col("score_s"))
           .as("timed_ok"))
@@ -1586,6 +1589,7 @@ object LearnedQueries {
                |  (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END) AS "precision",
                |  (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END) AS recall,
                |  ${SqlGen.f1Sql("tp", "fp", "fn")} AS f1,
+               |  ${f.selected.length} AS max_path_length,
                |  5 AS n_iterations,
                |  (SELECT count(*) FROM lineitem)::BIGINT AS batch_size,
                |  true AS timed_ok
