@@ -408,9 +408,27 @@ object ExtraQueries {
       val km = new KMeans().setK(4).setSeed(42).setFeaturesCol("fv")
         .setPredictionCol("cluster")
       val model = km.fit(fv)
-      kmCentersSlot.put(d, model.clusterCenters.map(_.toArray))
-      model.transform(fv)
-        .groupBy("cluster").agg(count(lit(1)).as("n"))
+      val cs = model.clusterCenters.map(_.toArray)
+      kmCentersSlot.put(d, cs)
+      // DECLARED assignments use the exact-arithmetic argmin over the
+      // fitted literals (the oracle's own formula) — MLlib's transform
+      // goes through fastSquaredDistance (norm-bound shortcut, ~1e-6
+      // relative error) and could flip a Voronoi-boundary point against
+      // the exact oracle; its agreement is asserted below instead, with
+      // a 1-in-10k tolerance for exactly such boundary ulps.
+      val exact = fv.withColumn("cluster",
+        array_min(array(cs.zipWithIndex.map { case (c, k) =>
+          struct(((col("x") - lit(c(0))) * (col("x") - lit(c(0)))
+            + (col("y") - lit(c(1))) * (col("y") - lit(c(1)))).as("dist"),
+            lit(k).as("cluster"))
+        }: _*)).getField("cluster"))
+      val n = fv.count()
+      val disagree = exact.select(col("vec_id"), col("cluster"))
+        .join(model.transform(fv).select(col("vec_id"), col("cluster").as("mcl")), "vec_id")
+        .filter(col("cluster") =!= col("mcl")).count()
+      require(disagree <= math.max(1L, n / 10000),
+        s"MLlib assignment diverged from the exact argmin on $disagree of $n points")
+      exact.groupBy("cluster").agg(count(lit(1)).as("n"))
     }),
 
     // T8 — PCA featurizer fit: project embeddings to 2 components.
@@ -456,9 +474,8 @@ object ExtraQueries {
   private val kmCentersSlot = new DynOracleSlot[Array[Array[Double]]]
   private val pcaCompsSlot = new DynOracleSlot[Array[Array[Double]]]
 
-  /** Exact-bits DuckDB double literal ('…'::DOUBLE — bare decimals
-    * detour through DECIMAL and mis-round, see IvfQueries.litArr). */
-  private def dlit(x: Double): String = s"'$x'::DOUBLE"
+  // exact-bits DuckDB double literal — the one shared definition
+  private def dlit(x: Double): String = SqlGen.dlit(x)
 
   def oracle: Map[String, String] = {
     val kmFit = kmCentersSlot.only.map { cs =>

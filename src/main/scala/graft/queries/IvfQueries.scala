@@ -145,6 +145,23 @@ object IvfQueries {
       .filter(col("cos") >= 0.45)
   }
 
+  /** The `nprobe` nearest fitted cells per query row: explode over the
+    * centroid matrix, rank by (dist, cell), keep rnk <= nprobe. Every
+    * input column is carried through; one definition keeps the
+    * tie-break in lockstep across all probe call sites AND the shared
+    * oracle CTE generator. `q0` must carry `q_id` and the `embCol`. */
+  private def probeCells(q0: DataFrame, centers: Array[Array[Double]],
+      nprobe: Int, embCol: String = "q_emb"): DataFrame =
+    q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
+        struct(lit(k).as("cell"),
+          graft.plans.TextVectorExprs.l2Sq(col(embCol), typedLit(c)).as("dist"))
+      }: _*)).as("c"))
+      .select(col("*"), col("c.cell"), col("c.dist")).drop("c")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+      .filter(col("rnk") <= nprobe)
+      .drop("dist", "rnk")
+
   /** argmin-cell over an explicit centroid matrix (codegen'd L2). */
   private def nearestCell(emb: Column, centers: Array[Array[Double]]): Column =
     array_min(array(centers.zipWithIndex.map { case (c, k) =>
@@ -355,17 +372,7 @@ object IvfQueries {
       val inv = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nsq").as("n_nsq"), nearestCell(col("embedding"), centers).as("cell"))
       val q0 = queries(s, d)
-      // nprobe nearest fitted cells per query
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("q_nsq"),
-        col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= FittedNProbe)
-        .select("q_id", "q_emb", "q_nsq", "cell")
+      val probe = probeCells(q0, centers, FittedNProbe)
       def cosCol = (Fns.dotProduct(col("q_emb"), col("n_emb"))
         / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos")
       val ivfTop = probe.join(inv, Seq("cell"))
@@ -448,15 +455,7 @@ object IvfQueries {
           tv.sq8Codes(col("embedding")).as("nq"),
           col("amax0").as("n_amax"), col("nsq").as("n_nsq"))
       val q0 = queries(s, d)
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= FittedNProbe)
-        .select("q_id", "q_emb", "cell")
+      val probe = probeCells(q0.select("q_id", "q_emb"), centers, FittedNProbe)
       val sqTop = probe.join(inv, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
@@ -501,15 +500,7 @@ object IvfQueries {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       val nprobe = 4
       val q0 = queries(s, d).filter(col("q_id") < 8)
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= nprobe)
-        .select("q_id", "q_emb", "cell")
+      val probe = probeCells(q0.select("q_id", "q_emb"), centers, nprobe)
       // probed-cell union: bounded by |queries|·nprobe ≤ 32 — driver-tiny
       val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
       require(probedCells.length < FittedK,
@@ -642,15 +633,7 @@ object IvfQueries {
       def search(q0: org.apache.spark.sql.DataFrame, nprobe: Int)
           : (org.apache.spark.sql.DataFrame, Int) = {
         val ql = q0.select((col("q_id") +: col("q_emb") +: pqLutCols(books)): _*)
-        val qCells = ql.select(col("*"),
-          explode(array(centers.zipWithIndex.map { case (c, k) =>
-            struct(lit(k).as("cell"), tv.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-          }: _*)).as("c"))
-          .select(col("*"), col("c.cell"), col("c.dist")).drop("c")
-        val probe = qCells
-          .withColumn("rnk", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-          .filter(col("rnk") <= nprobe).drop("dist", "rnk")
+        val probe = probeCells(ql, centers, nprobe)
         // probed-cell union: ≤ |queries|·nprobe ids — driver-tiny
         val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
         val inv = s.read.parquet(dir)
@@ -740,15 +723,7 @@ object IvfQueries {
         "appended inverted file differs from the one-shot build")
       val nprobe = 4
       val q0 = queries(s, d).filter(col("q_id") < 8)
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= nprobe)
-        .select("q_id", "q_emb", "cell")
+      val probe = probeCells(q0.select("q_id", "q_emb"), centers, nprobe)
       val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
       val inv = s.read.parquet(dir)
         .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
@@ -818,15 +793,7 @@ object IvfQueries {
         "compaction changed the row count")
       val nprobe = 4
       val q0 = queries(s, d).filter(col("q_id") < 8)
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= nprobe)
-        .select("q_id", "q_emb", "cell")
+      val probe = probeCells(q0.select("q_id", "q_emb"), centers, nprobe)
       val probedCells = probe.select("cell").distinct().collect().map(_.getInt(0)).sorted
       val inv = s.read.parquet(compactDir)
         .filter(col("cell").isin(probedCells.map(Integer.valueOf).toSeq: _*))
@@ -857,16 +824,7 @@ object IvfQueries {
       val inv = allowed.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nsq").as("n_nsq"), nearestCell(col("embedding"), centers).as("cell"))
       val q0 = queries(s, d)
-      val qCells = q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
-        struct(lit(k).as("cell"),
-          graft.plans.TextVectorExprs.l2Sq(col("q_emb"), typedLit(c)).as("dist"))
-      }: _*)).as("c")).select(col("q_id"), col("q_emb"), col("q_nsq"),
-        col("c.cell"), col("c.dist"))
-      val probe = qCells
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
-        .filter(col("rnk") <= FittedNProbe)
-        .select("q_id", "q_emb", "q_nsq", "cell")
+      val probe = probeCells(q0, centers, FittedNProbe)
       def cosCol = (Fns.dotProduct(col("q_emb"), col("n_emb"))
         / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos")
       val fTop = probe.join(inv, Seq("cell"))

@@ -101,29 +101,13 @@ object SqlGen {
       idCols: Seq[String],
       table: String,
       predName: String): String = {
-    val hExprs = m.b0.indices.map { j =>
-      val terms = featSql.zipWithIndex.collect {
-        case (f, i) if m.w0(i)(j) != 0.0 => s"$f * ${dlit(m.w0(i)(j))}"
-      }
-      val z = (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) +
-        s" + ${dlit(m.b0(j))}"
-      if (m.hiddenActivation == "sigmoid") s"(1.0 / (1.0 + exp(-($z))))"
-      else relu(z)
-    }
-    val outs = m.b1.indices.map { k =>
-      val terms = m.b0.indices.collect {
-        case j if m.w1(j)(k) != 0.0 => s"h$j * ${dlit(m.w1(j)(k))}"
-      }
-      (if (terms.isEmpty) "0.0" else terms.mkString(" + ")) + s" + ${dlit(m.b1(k))}"
-    }
+    // one network construction — the lifecycle-row oracle composes the
+    // same parts, so a future network-SQL change cannot diverge them
+    val (ctes, classExpr) = mlpClassParts(m, featSql, table)
     val ids = idCols.mkString(", ")
-    s"""WITH h AS (
-       |  SELECT $ids, ${hExprs.zipWithIndex.map { case (e, j) => s"$e AS h$j" }.mkString(", ")}
-       |  FROM $table),
-       |z AS (SELECT $ids, [${outs.mkString(", ")}] AS zs FROM h)
-       |SELECT $ids,
-       |  (list_position(zs, list_aggregate(zs, 'max')) - 1)::BIGINT AS $predName
-       |FROM z""".stripMargin
+    s"""WITH $ctes
+       |SELECT $ids, $classExpr AS $predName
+       |FROM mz""".stripMargin
   }
 
   /** Oracle SQL for a FITTED multiclass softmax-LR class prediction
