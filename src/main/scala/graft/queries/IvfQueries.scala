@@ -150,7 +150,7 @@ object IvfQueries {
     * input column is carried through; one definition keeps the
     * tie-break in lockstep across all probe call sites AND the shared
     * oracle CTE generator. `q0` must carry `q_id` and the `embCol`. */
-  private def probeCells(q0: DataFrame, centers: Array[Array[Double]],
+  private[queries] def probeCells(q0: DataFrame, centers: Array[Array[Double]],
       nprobe: Int, embCol: String = "q_emb"): DataFrame =
     q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
         struct(lit(k).as("cell"),

@@ -49,3 +49,40 @@ class PqSpec extends AnyFunSuite {
         "restrict candidates, not the probe quality")
   }
 }
+
+/** The shared probe helper every fitted-ANN query routes through: its
+  * (dist, cell) tie order and column carry-through are pinned against a
+  * driver-side brute-force recompute, so a one-site edit to the probe
+  * cannot silently shift only some queries.
+  */
+class ProbeCellsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("probeCells returns exactly the nprobe nearest cells in (dist, cell) order") {
+    import spark.implicits._
+    val centers = Array(
+      Array(0.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0), Array(2.0, 2.0))
+    val qs = Seq(
+      (0L, Seq(0.1f, 0.0f)),
+      (1L, Seq(1.9f, 1.9f)),
+      (2L, Seq(0.5f, 0.5f))) // equidistant to cells 1 and 2 -> cell tiebreak
+    val q0 = qs.toDF("q_id", "q_emb")
+    val out = IvfQueries.probeCells(q0, centers, nprobe = 2)
+      .select("q_id", "cell").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    def brute(emb: Seq[Float], n: Int): Seq[Int] =
+      centers.zipWithIndex.map { case (c, k) =>
+        (c.zip(emb).map { case (a, b) => (b - a) * (b - a) }.sum.toDouble, k)
+      }.sortBy(identity).take(n).map(_._2).toSeq
+    qs.foreach { case (id, emb) =>
+      assert(out(id) == brute(emb, 2).toSet, s"query $id probed ${out(id)}")
+    }
+    // the equidistant query must break the (0,0)-vs-(1,0)/(0,1) tie by
+    // the LOWER cell id deterministically
+    assert(out(2L).contains(0) || out(2L).contains(1),
+      s"tie order broke: ${out(2L)}")
+    // carry-through: every input column survives
+    val cols = IvfQueries.probeCells(q0, centers, 1).columns.toSeq
+    assert(cols == Seq("q_id", "q_emb", "cell"), cols.toString)
+  }
+}
