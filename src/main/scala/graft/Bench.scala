@@ -111,24 +111,29 @@ object Bench {
     }
     val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
 
-    // ---- skew stress (VERDICT r8 Next #7): one key = 20% of rows ----
+    // ---- skew stress (VERDICT r9 Next #4): one key = 50% of rows ----
     // Measured EARLY (before the 200-query sweep fills the JVM) and
     // INTERLEAVED (unsalted/salted alternating per iteration) so slow
     // memory/GC drift hits both forms equally — a trailing back-to-back
     // measurement inverted the comparison under late-run pressure.
     // A deliberately zipfian shuffle join, measured both ways so the
     // skew remedy is a NUMBER, not an assertion: 32M rows where key 0
-    // holds 20%, dim side shuffle-hash-hinted (the "too big to
-    // broadcast" scenario). Unsalted, one task drags 6.4M rows (AQE's
+    // holds HALF the table, dim side shuffle-hash-hinted (the "too big
+    // to broadcast" scenario). Unsalted, one task drags 16M rows (AQE's
     // skew split does NOT fire for this SHJ plan — verified on the
     // executed plan); salted (hash-of-row salt, SkewJoin.saltedJoin),
     // the hot key spreads over 32 salt buckets — the straggler goes,
     // a small balanced overhead (salt column + 32x dim replication)
     // stays; at cluster scale the straggler grows with data while the
     // overhead does not. Independent of SF by design.
+    // Per-task MAX and P99 runtimes are recorded alongside wall-clock
+    // (SparkListener over the measured jobs): the straggler task is the
+    // quantity salting actually eliminates — on a 32-thread local box
+    // the other 31 threads hide most of the wall-clock damage that a
+    // 1000-executor stage would eat in full.
     val skewN = 32000000L
     def skewBig = spark.range(skewN).select(col("id"),
-      when(pmod(col("id"), lit(5L)) === 0L, 0L)
+      when(pmod(col("id"), lit(2L)) === 0L, 0L)
         .otherwise(pmod(col("id"), lit(996L)) + 1L).as("k"),
       (col("id") % 97).cast("double").as("v"))
     def skewSmall = spark.range(997L).select(col("id").as("k"),
@@ -138,14 +143,35 @@ object Bench {
         .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
         .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"), sum("s").as("sum_s")))
     def timeOf(f: => Long): Double = time(f)._1
-    val skewPairs = (1 to stageIters).map { _ =>
-      (timeOf(skewAgg(skewBig.join(skewSmall.hint("shuffle_hash"), Seq("k")))),
-       timeOf(skewAgg(graft.core.SkewJoin.saltedJoin(
+    // task-duration listener: drained (listener bus is async) before
+    // reading; registered only around the skew section
+    val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val skewListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskDurs.add(te.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(skewListener)
+    def withTaskStats(f: => Long): (Double, Double, Double) = {
+      taskDurs.clear()
+      val t = timeOf(f)
+      Thread.sleep(300) // let the async listener bus drain
+      val ds = taskDurs.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      if (ds.isEmpty) (t, 0.0, 0.0)
+      else (t, ds.last / 1e3, ds(math.min(ds.length - 1, (ds.length * 99) / 100)) / 1e3)
+    }
+    val skewRuns = (1 to stageIters).map { _ =>
+      (withTaskStats(skewAgg(skewBig.join(skewSmall.hint("shuffle_hash"), Seq("k")))),
+       withTaskStats(skewAgg(graft.core.SkewJoin.saltedJoin(
          skewBig, skewSmall.hint("shuffle_hash"), "k", "id", saltFactor = 32))))
     }
+    spark.sparkContext.removeSparkListener(skewListener)
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
-    val skewUnsalted = med(skewPairs.map(_._1))
-    val skewSalted = med(skewPairs.map(_._2))
+    val skewUnsalted = med(skewRuns.map(_._1._1))
+    val skewSalted = med(skewRuns.map(_._2._1))
+    val skewUnsaltedTaskMax = med(skewRuns.map(_._1._2))
+    val skewSaltedTaskMax = med(skewRuns.map(_._2._2))
+    val skewUnsaltedTaskP99 = med(skewRuns.map(_._1._3))
+    val skewSaltedTaskP99 = med(skewRuns.map(_._2._3))
 
     // ---- every declared query, best-of-2 (evalAll, not count():
     // projection-only queries would otherwise time a bare scan).
@@ -204,6 +230,10 @@ object Bench {
     val stages = Seq(
       "skew_join_unsalted" -> skewUnsalted,
       "skew_join_salted" -> skewSalted,
+      "skew_unsalted_task_max_s" -> skewUnsaltedTaskMax,
+      "skew_salted_task_max_s" -> skewSaltedTaskMax,
+      "skew_unsalted_task_p99_s" -> skewUnsaltedTaskP99,
+      "skew_salted_task_p99_s" -> skewSaltedTaskP99,
       "stage_featurize" -> featurize,
       "stage_translate" -> translate,
       "stage_score" -> score,

@@ -34,6 +34,30 @@ object ExtraQueries {
   // binary-search expression (constant code size; SURVEY §7.4 risk #8).
   private val wideSplits: Seq[Double] = (1 to 20).map(_ * 4500.0)
 
+  /** Frequent-pairs basket cap: baskets above this size are truncated
+    * to their cap lowest partkeys BEFORE the pair self-join, bounding
+    * the per-basket fan-out at cap²/2 regardless of data. 32 never
+    * binds on the synthetic lineitem (baskets ≤ 13) but kills the
+    * pathological-basket hazard at 100 TB. */
+  private[queries] val MaxBasket = 32
+
+  /** The capped pair-support plan shared by t_frequent_pairs and
+    * FrequentPairsSpec (which exercises a BINDING cap). `items` must
+    * be (l_orderkey, l_partkey) distinct pairs. */
+  private[queries] def frequentPairs(items: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = items
+      .withColumn("__bk", row_number().over(
+        Window.partitionBy("l_orderkey").orderBy("l_partkey")))
+      .filter(col("__bk") <= cap).drop("__bk")
+    val a = capped.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = capped.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   val defs: Map[String, Q] = Map(
     // T3 wide-binning via the custom BinIndex Catalyst expression.
     "t3_wide_bins" -> ((s, d) =>
@@ -181,23 +205,25 @@ object ExtraQueries {
     // core of association mining, and the co-occurrence statistic
     // behind co-occurrence embeddings): top-100 part pairs by how many
     // orders contain both. Scale shape: the self-join is keyed on
-    // l_orderkey, so pair fan-out is per-basket quadratic but baskets
-    // are small (≤13 here; cap any pathological basket upstream) —
-    // never an all-pairs product across the catalog; the pair groupBy
-    // partial-aggregates map-side (frequent pairs — exactly the ones
-    // wanted — collapse before the shuffle); top-k = TakeOrdered.
-    // DISTINCT parts within the order first: duplicate lineitems of
-    // one part must not double-count a basket. (support desc, a, b)
-    // is a total order, so LIMIT is deterministic.
+    // l_orderkey, so pair fan-out is per-basket quadratic but the
+    // CAP IS ENFORCED IN-PLAN (VERDICT r9 #3): baskets are truncated
+    // to their MaxBasket lowest partkeys (deterministic row_number
+    // rank) UPSTREAM of the self-join, so one pathological million-
+    // item basket can never detonate a task with a 10^12-pair
+    // fan-out — worst case per basket is MaxBasket²/2 pairs. Baskets
+    // here are ≤13, so at test SFs the cap never binds and the result
+    // equals the uncapped query (FrequentPairsSpec pins both halves:
+    // cap-not-binding equality AND binding-cap stability). The pair
+    // groupBy partial-aggregates map-side (frequent pairs — exactly
+    // the ones wanted — collapse before the shuffle); top-k =
+    // TakeOrdered. DISTINCT parts within the order first: duplicate
+    // lineitems of one part must not double-count a basket.
+    // (support desc, a, b) is a total order, so LIMIT is
+    // deterministic.
     "t_frequent_pairs" -> ((s, d) => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey")).filter(col("part_a") < col("part_b"))
-        .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
-        .orderBy(col("support").desc, col("part_a"), col("part_b"))
-        .limit(100)
+      frequentPairs(items, MaxBasket)
     }),
 
     // Beyond parity: ordered funnel analysis (click → error →
@@ -527,7 +553,11 @@ object ExtraQueries {
         |  / CAST(n - 1 AS DOUBLE) / 10000.0 AS variance
         |FROM s""".stripMargin,
     "t_frequent_pairs" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      s"""WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |items AS (SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS bk
+        |    FROM items0) WHERE bk <= $MaxBasket)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
         |FROM items a JOIN items b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -151,7 +151,10 @@ object IvfQueries {
     * tie-break in lockstep across all probe call sites AND the shared
     * oracle CTE generator. `q0` must carry `q_id` and the `embCol`. */
   private[queries] def probeCells(q0: DataFrame, centers: Array[Array[Double]],
-      nprobe: Int, embCol: String = "q_emb"): DataFrame =
+      nprobe: Int, embCol: String = "q_emb"): DataFrame = {
+    val clash = q0.columns.toSet.intersect(Set("dist", "rnk", "cell", "c"))
+    require(clash.isEmpty,
+      s"probeCells: q0 already carries internal column(s) ${clash.mkString(", ")} — rename them before probing")
     q0.select(col("*"), explode(array(centers.zipWithIndex.map { case (c, k) =>
         struct(lit(k).as("cell"),
           graft.plans.TextVectorExprs.l2Sq(col(embCol), typedLit(c)).as("dist"))
@@ -161,6 +164,7 @@ object IvfQueries {
         Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
       .filter(col("rnk") <= nprobe)
       .drop("dist", "rnk")
+  }
 
   /** argmin-cell over an explicit centroid matrix (codegen'd L2). */
   private def nearestCell(emb: Column, centers: Array[Array[Double]]): Column =

@@ -888,15 +888,23 @@ object LearnedQueries {
       // resident (cached) DataFrame — not 15 re-reads of cold parquet.
       val (f, withPred) = fitted(s, d)
       val rep = graft.report.Report.classificationReport(s, f, withPred, "target")
+      // timing invariants are ASSERTED here (fail-loud, like
+      // x_width_stress's fit_sec) instead of riding in the hashed row —
+      // the correctness gate must not depend on timer granularity
+      // (ADVICE r9: a timedEval median of 0.0 would otherwise fail the
+      // hash with no code defect). Bench still reports the wall-clocks.
+      val t0 = rep.select("featurize_s", "translate_s", "score_s", "end_to_end_s").head()
+      require(t0.getDouble(0) > 0.0 && t0.getDouble(1) > 0.0 && t0.getDouble(2) > 0.0,
+        s"x_report: a stage wall-clock median evaluated to 0.0: $t0")
+      require(t0.getDouble(3) >= t0.getDouble(2),
+        s"x_report: end_to_end < score stage: $t0")
       rep.select(col("solution"), col("size_entries"), col("accuracy"),
         col("precision"), col("recall"), col("f1"),
         // the reference's standalone report carries the trie's maximum
         // path length; our cascade's analog is the selected key length
         lit(f.selected.length).as("max_path_length"),
         col("n_iterations"), col("batch_size"),
-        (col("featurize_s") > 0.0 && col("translate_s") > 0.0 &&
-          col("score_s") > 0.0 && col("end_to_end_s") >= col("score_s"))
-          .as("timed_ok"))
+        lit(true).as("timed_ok"))
     }),
 
     // Regression lifecycle e2e (T11 log-target + A1 mean index + A8
@@ -1048,16 +1056,32 @@ object LearnedQueries {
         Tables.documents(s, d).filter(col("doc_id") < 1000L)
           .select(col("doc_id").as("media_id")))),
 
-    // Frame sampling over decoded media (every 2nd frame id), exploded
-    // to (media_id, frame_id) rows: the multimodal frame-sample op is
-    // pure column expressions over decoded metadata, so it oracles
-    // through the same stub arithmetic as x_multimodal_decode.
+    // REAL multi-frame decode (VERDICT r9 Next #5): deterministic
+    // animated GIFs — one indexed-grayscale frame per frame id —
+    // encoded with javax.imageio's GIF sequence writer, decoded back
+    // FRAME BY FRAME by the GIF ImageReader inside the mapPartitions
+    // batch pipeline, then frame-sampled (every 2nd frame). GIF's
+    // explicit 256-gray palette makes the round trip lossless, so the
+    // oracle recomputes frame counts, dims and exact per-frame pixel
+    // sums from the generative (id, f, x, y) formula with no codec.
+    // The doc_id < 600 cap (mirrored) bounds codec wall-clock.
     "x_multimodal_frames" -> ((s, d) =>
-      Multimodal.sampleFrames(
-          Multimodal.decode(Multimodal.fromDocuments(Tables.documents(s, d))),
-          stride = 2)
-        .select(col("media_id"), explode(col("frame_ids")).as("f"))
-        .select(col("media_id"), col("f").cast("long").as("frame_id"))),
+      Multimodal.gifFramesPipeline(
+          Tables.documents(s, d).filter(col("doc_id") < 600L)
+            .select(col("doc_id").as("media_id")))
+        .filter(col("frame_id") % 2 === 0)),
+
+    // REAL JPEG decode (VERDICT r9 Next #5): the PNG path's synthetic
+    // RGB images through a LOSSY codec at quality 0.95. Dimensions are
+    // exact (oracled from the id formula); the pixel check is the
+    // invariant-verdict pattern — mean abs reconstruction error vs the
+    // generative pixels must clear JpegMeanErrBound, declared as a
+    // hashed boolean the oracle pins at true (a channel swap or decode
+    // defect lands ≫ 20 and fails loudly).
+    "x_multimodal_jpeg" -> ((s, d) =>
+      Multimodal.jpegPipeline(
+        Tables.documents(s, d).filter(col("doc_id") < 1000L)
+          .select(col("doc_id").as("media_id")))),
 
     // Tumbling-window aggregate (same code path batch + streaming).
     "x_stream_window" -> ((s, d) =>
@@ -1082,7 +1106,7 @@ object LearnedQueries {
     // window shape (2 h length, 1 h slide: every event belongs to
     // exactly 2 windows) the tumbling x_stream_window can't express:
     // trend smoothing, rate-over-rolling-hour, SLA windows. Same
-    // deterministic 4-micro-batch file replay + synthetic event times
+    // deterministic 2-micro-batch file replay + synthetic event times
     // as x_stream_topk; Spark expands each event into its member
     // windows BEFORE the shuffle (state is |windows| keys, events
     // never buffer), complete-mode sink. The oracle reproduces the
@@ -1091,7 +1115,10 @@ object LearnedQueries {
     "x_stream_sliding" -> ((s, d) => {
       val raw = s.read.parquet(s"$d/documents.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_sliding_src", d)
-      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      // 2 staged files (not 4): no watermark proof rides on this query,
+      // so extra micro-batches only buy trigger scaffolding wall-clock
+      // (VERDICT r9 Next #6) — 2 batches still exercise the stream path
+      raw.repartition(2).write.mode("overwrite").parquet(stageDir)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val agg = stream
@@ -1132,7 +1159,7 @@ object LearnedQueries {
     // emits each user's FINAL session through custom state; this emits
     // EVERY closed session through Spark's own session_window merge
     // logic, the form you reach for before writing custom state). The
-    // events replay as 4 time-RANGE-ordered file batches (so sessions
+    // events replay as 3 time-RANGE-ordered file batches (so sessions
     // only ever extend forward and nothing arrives late), watermark
     // 10 min, append output: a session row emits exactly once, when the
     // watermark passes its end + gap; a far-future sentinel flushes the
@@ -1151,11 +1178,15 @@ object LearnedQueries {
       val b = ev.agg(min(expr("unix_micros(CAST(ts AS TIMESTAMP))")),
         max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      val span = (hi - lo) / 4 + 1
+      // 3 range batches + sentinel (was 4+1): eviction still proves
+      // across batch boundaries, one fewer trigger of scaffolding
+      // (VERDICT r9 Next #6); the session result is batch-count
+      // independent (range order ⇒ nothing late)
+      val span = (hi - lo) / 3 + 1
       val stageDir = graft.core.TmpDirs.scratch("stream_session_src", d)
       val qCol = ((expr("unix_micros(CAST(ts AS TIMESTAMP))") - lit(lo)) / lit(span))
         .cast("int")
-      val parts = (0 until 4).map(i => ev.filter(qCol === i))
+      val parts = (0 until 3).map(i => ev.filter(qCol === i))
       val sentinel = s.range(1).select(lit(-1L).as("user_id"),
         expr(s"timestamp_micros(${hi + 86400000000L})").as("ts"),
         lit(0.0).as("value"))
@@ -1204,8 +1235,12 @@ object LearnedQueries {
     "x_stream_topk_update" -> ((s, d) => {
       val raw = s.read.parquet(s"$d/documents.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_topk_upd_src", d)
-      val parts = (0 until 4).map(i =>
-        raw.filter(pmod(col("doc_id"), lit(4L)) === i))
+      // 3 hour-blocked batches + sentinel (was 4+1): the two proofs
+      // (eviction across blocks, zero late drops) need ≥2 advancing
+      // blocks, not 4 — the extra trigger was pure scaffolding cost
+      // (VERDICT r9 Next #6). The oracle mirrors the % 3 block time.
+      val parts = (0 until 3).map(i =>
+        raw.filter(pmod(col("doc_id"), lit(3L)) === i))
       val sentinel = raw.orderBy("doc_id").limit(1)
         .withColumn("doc_id", lit(-1L))
       StreamOps.stageOrderedFiles(parts :+ sentinel, stageDir)
@@ -1213,7 +1248,7 @@ object LearnedQueries {
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val ts = timestamp_seconds(
         when(col("doc_id") < 0, lit(200000L))
-          .otherwise(pmod(col("doc_id"), lit(4L)) * lit(7200L) +
+          .otherwise(pmod(col("doc_id"), lit(3L)) * lit(7200L) +
             pmod(col("doc_id") * lit(7919L), lit(7200L))))
       val counts = stream
         .withColumn("ts", ts)
@@ -1436,10 +1471,10 @@ object LearnedQueries {
     }
     val nbServe = nbSlot.only.map { case (vocab, theta, pi, labels) =>
       val countSqls: Seq[String] = vocab.toSeq.map(t =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$t'))")
+        s"len(list_filter(string_split(text, ' '), x -> x = ${SqlGen.slit(t)}))")
       val zs = theta.zip(pi).map { case (th, p) =>
         SqlGen.linearExact(countSqls, th.toSeq, p) }
-      val langList = labels.map(l => s"'$l'").mkString("[", ", ", "]")
+      val langList = labels.map(SqlGen.slit).mkString("[", ", ", "]")
       "x_nb_serve" ->
         s"""WITH z AS (SELECT doc_id, [${zs.mkString(", ")}] AS zs FROM documents)
            |SELECT doc_id,
@@ -1661,10 +1696,10 @@ object LearnedQueries {
     // a lower Spark value fails the hash loudly).
     val nbRow = nbSlot.only.map { case (vocab, theta, pi, labels) =>
       val countSqls: Seq[String] = vocab.toSeq.map(t =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$t'))")
+        s"len(list_filter(string_split(text, ' '), x -> x = ${SqlGen.slit(t)}))")
       val zs = theta.zip(pi).map { case (th, p) =>
         SqlGen.linearExact(countSqls, th.toSeq, p) }.mkString(", ")
-      val langList = labels.map(l => s"'$l'").mkString("[", ", ", "]")
+      val langList = labels.map(SqlGen.slit).mkString("[", ", ", "]")
       "x_learned_nb" ->
         s"""WITH z AS (SELECT lang, [$zs] AS zs FROM documents),
            |p AS (SELECT lang,
@@ -1860,11 +1895,30 @@ object LearnedQueries {
          |  (($chSql) // 640) % 480 AS height,
          |  length($asciiText) // 100 + 1 AS n_frames
          |FROM documents""".stripMargin,
+    // the real-GIF multi-frame round trip: expected frames + pixels
+    // straight from the generative formula — no codec on the oracle side
     "x_multimodal_frames" ->
-      s"""SELECT doc_id AS media_id,
-         |  unnest([i FOR i IN range(0, (length($asciiText) // 100 + 1)::BIGINT)
-         |          IF i % 2 = 0]) AS frame_id
-         |FROM documents""".stripMargin,
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    (12 + doc_id % 5)::INTEGER AS width,
+        |    (6 + doc_id % 3)::INTEGER AS height,
+        |    (3 + doc_id % 4)::BIGINT AS n_frames
+        |  FROM documents WHERE doc_id < 600),
+        |fr AS (SELECT media_id, width, height,
+        |    unnest(range(0, n_frames)) AS f FROM ids),
+        |sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |xr AS (SELECT media_id, width, height, f,
+        |    unnest(range(0, width::BIGINT)) AS x FROM sampled),
+        |px AS (SELECT media_id, width, height, f, x,
+        |    unnest(range(0, height::BIGINT)) AS y FROM xr)
+        |SELECT media_id, f::INTEGER AS frame_id, width, height,
+        |  sum((media_id * 3 + f * 7 + x * 5 + y * 11) % 256)::BIGINT AS sum_gray
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+    "x_multimodal_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  (16 + doc_id % 8)::INTEGER AS width,
+        |  (8 + doc_id % 5)::INTEGER AS height,
+        |  true AS jpeg_ok
+        |FROM documents WHERE doc_id < 1000""".stripMargin,
     // the real-PNG round trip: expected pixels straight from the
     // generative formula — no codec on the oracle side
     "x_multimodal_png" ->
@@ -1929,7 +1983,7 @@ object LearnedQueries {
     // integer window floor; the sentinel window sits past the cut
     "x_stream_topk_update" ->
       """WITH toks AS (
-        |  SELECT ((((doc_id % 4) * 7200 + (doc_id * 7919) % 7200) // 3600) * 3600) AS wstart,
+        |  SELECT ((((doc_id % 3) * 7200 + (doc_id * 7919) % 7200) // 3600) * 3600) AS wstart,
         |         unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |c AS (SELECT wstart, token, count(*) AS cnt FROM toks GROUP BY 1, 2),

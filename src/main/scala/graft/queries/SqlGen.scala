@@ -51,6 +51,8 @@ object SqlGen {
     * FITTED coefficients (see [[dlit]]); same zero-pruning and
     * left-associated term order as the Column builders. */
   def linearExact(terms: Seq[String], coefs: Seq[Double], intercept: Double): String = {
+    require(terms.length == coefs.length,
+      s"linearExact: ${terms.length} terms vs ${coefs.length} coefs — recorded literals drifted from the model layout")
     val ts = terms.zip(coefs).collect { case (t, w) if w != 0.0 => s"($t) * ${dlit(w)}" }
     (if (ts.isEmpty) "0.0" else ts.mkString(" + ")) + s" + ${dlit(intercept)}"
   }
@@ -265,6 +267,8 @@ object SqlGen {
     * are KEPT: that matches the model's full dot product (x*0.0 adds
     * ±0.0, which is bitwise-neutral in the fold). */
   def linearExactList(terms: Seq[String], coefs: Seq[Double], intercept: Double): String = {
+    require(terms.length == coefs.length,
+      s"linearExactList: ${terms.length} terms vs ${coefs.length} coefs — recorded literals drifted from the model layout")
     val prods = terms.zip(coefs).map { case (t, w) => s"($t) * ${dlit(w)}" }
     s"(list_reduce(list_prepend(0.0, [${prods.mkString(", ")}]), (a, v) -> a + v) + ${dlit(intercept)})"
   }

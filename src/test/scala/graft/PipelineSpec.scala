@@ -601,4 +601,44 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.decodePng(1L, Array[Byte](1, 2, 3))
     }
   }
+
+  test("real animated GIF: multi-frame encode-decode round trip is lossless") {
+    val id = 11L
+    val bytes = Multimodal.synthGif(id)
+    // genuine GIF header
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val rows = Multimodal.decodeGifFrames(id, bytes).toSeq
+    val (w, h, n) = (Multimodal.gifWidth(id), Multimodal.gifHeight(id), Multimodal.gifFrames(id))
+    assert(rows.length == n, s"reader found ${rows.length} frames, generator wrote $n")
+    rows.foreach { r =>
+      val f = r.getInt(1)
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      val exp = (for { y <- 0 until h; x <- 0 until w }
+        yield Multimodal.gifGray(id, f, x, y).toLong).sum
+      assert(r.getLong(4) == exp, s"frame $f gray-sum differs — palettized round trip lost pixels")
+    }
+    // distributed: container -> frames flatMap preserves partitioning
+    val ids = spark.range(0, 12).select(col("id").as("media_id")).repartition(3)
+    val out = Multimodal.gifFramesPipeline(ids)
+    assert(out.rdd.getNumPartitions == 3)
+    assert(out.count() == (0L until 12L).map(Multimodal.gifFrames(_).toLong).sum)
+  }
+
+  test("real JPEG: lossy round trip keeps dims exact and error under the bound") {
+    val id = 5L
+    val bytes = Multimodal.synthJpeg(id)
+    // genuine JPEG SOI marker
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+    val r = Multimodal.decodeJpeg(id, bytes)
+    assert(r.getInt(1) == Multimodal.pngWidth(id) && r.getInt(2) == Multimodal.pngHeight(id))
+    assert(r.getBoolean(3), "mean reconstruction error exceeded JpegMeanErrBound")
+    // the verdict actually discriminates: decoding with a swapped
+    // channel expectation would fail — simulate by checking the error
+    // bound is not vacuously huge
+    assert(Multimodal.JpegMeanErrBound < 20.0)
+    // every id in the declared range passes (the oracle pins all-true)
+    val ids = spark.range(0, 50).select(col("id").as("media_id"))
+    val ok = Multimodal.jpegPipeline(ids).agg(min("jpeg_ok")).head().getBoolean(0)
+    assert(ok, "some id in range failed the JPEG error bound — tighten quality or bound")
+  }
 }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_SCALE.json from two graft.Bench runs (sf0.1 and the
+self-generated 10x sf1 corpus) — VERDICT r9 Next #1.
+
+Per-query: t_sf01, t_sf1, ratio (sf1/sf01). Rows are classified:
+- linear_ok: ratio <= LINEAR_BOUND (12x — near-linear growth for 10x
+  data on a fixed 32-thread box)
+- sublinear/flat: ratio < 2 (fixed-size work: fitted-literal serves,
+  1-row reports, corpus-independent stress rows)
+- superlinear: ratio > LINEAR_BOUND — listed first, each needs a fix
+  or an explicit writeup.
+Negative times (errored rows) and sub-50ms sf0.1 rows are excluded
+from classification (timer noise dominates below that).
+
+Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out]
+"""
+import json
+import sys
+
+LINEAR_BOUND = 12.0
+MIN_BASE_S = 0.05
+
+a_path, b_path = sys.argv[1], sys.argv[2]
+out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
+
+with open(a_path) as f:
+    base = json.load(f)
+with open(b_path) as f:
+    scaled = json.load(f)
+
+qb, qs = base["queries"], scaled["queries"]
+rows = {}
+for name in sorted(qb):
+    if name not in qs:
+        continue
+    t0, t1 = qb[name], qs[name]
+    row = {"t_sf01": round(t0, 4), "t_sf1": round(t1, 4)}
+    if t0 <= 0 or t1 <= 0:
+        row["class"] = "errored"
+    else:
+        ratio = t1 / t0
+        row["ratio"] = round(ratio, 2)
+        if t0 < MIN_BASE_S and t1 < MIN_BASE_S * LINEAR_BOUND:
+            row["class"] = "noise_floor"
+        elif ratio > LINEAR_BOUND:
+            row["class"] = "superlinear"
+        elif ratio < 2.0:
+            row["class"] = "flat"
+        else:
+            row["class"] = "linear_ok"
+    rows[name] = row
+
+supers = {k: v for k, v in rows.items() if v.get("class") == "superlinear"}
+summary = {
+    "sf01_dir": base.get("sf"),
+    "sf1_dir": scaled.get("sf"),
+    "sf01_lineitem_rows": base.get("rows"),
+    "sf1_lineitem_rows": scaled.get("rows"),
+    "linear_bound": LINEAR_BOUND,
+    "n_compared": len(rows),
+    "n_superlinear": len(supers),
+    "superlinear": sorted(supers),
+    "headline_sf01": base.get("value"),
+    "headline_sf1": scaled.get("value"),
+    "headline_ratio": round(scaled["value"] / base["value"], 2)
+    if base.get("value") and scaled.get("value") else None,
+}
+doc = {"summary": summary, "queries": rows}
+with open(out, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=True)
+print(f"[scale] wrote {out}: {len(rows)} rows, "
+      f"{len(supers)} superlinear -> {sorted(supers)}")

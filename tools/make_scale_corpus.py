@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Build a self-generated 10x corpus (sf1-equivalent) from the driver's
+deterministic sf0.1 parquet, for the BENCH_SCALE measurement
+(VERDICT r9 Next #1).
+
+Design: each replica r in 0..9 is a self-contained shard —
+every entity key (custkey/suppkey/partkey/orderkey/event_id/user_id/
+doc_id/vec_id) is shifted by r*OFFSET consistently on both the PK and
+every FK, so referential structure, join fan-outs, group sizes and
+per-key distributions are exactly sf0.1's, while distinct-key counts
+and total rows grow 10x. That is precisely the "same data shape,
+10x the data" scaling experiment.
+
+Two content tweaks keep derived workloads honest at 10x:
+- documents.text goes through a per-replica caesar cipher (letters
+  only): each replica's INTERNAL dup/near-dup graph is isomorphic to
+  sf0.1's, but there are no cross-replica shingle collisions — without
+  this every doc would have 9 exact twins and the LSH pair workload
+  would grow 100x by corpus construction, not by algorithm behavior.
+- embeddings get a tiny deterministic per-replica offset (+r*1e-3)
+  so cross-replica vectors are near but not bitwise-tied duplicates.
+
+region/nation are fixed dimension domains and stay single-copy
+(scale grows facts, not countries); nationkeys are NOT shifted.
+
+Usage: python3 tools/make_scale_corpus.py [src_dir] [out_dir] [replicas]
+Defaults: /root/testdata/sf0.1 /root/repo/scaledata/sf1 10
+"""
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scaledata/sf1"
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# far above every key in the source corpus (max l_orderkey ~ 150k,
+# user_id ~ 2k, vec_id 2k); also % 50 == 0 and % 10 == 0 so workload
+# key-derived features (o_custkey % 50, l_orderkey % 10) keep their
+# class structure within each replica
+OFFSET = 10_000_000
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+
+def src(t):
+    return f"read_parquet('{SRC}/{t}.parquet')"
+
+
+def caesar_pair(r):
+    """translate() from/to alphabets shifting a-z and A-Z by r."""
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    frm = lower + upper
+    to = (lower[r % 26:] + lower[:r % 26]) + (upper[r % 26:] + upper[:r % 26])
+    return frm, to
+
+
+def write(t, union_sql):
+    path = f"{OUT}/{t}.parquet"
+    con.execute(f"COPY ({union_sql}) TO '{path}' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    print(f"[scale] {t}: {n} rows -> {path}")
+
+
+# fixed dimensions: single copy
+write("region", f"SELECT * FROM {src('region')}")
+write("nation", f"SELECT * FROM {src('nation')}")
+
+parts = []
+for r in range(REPLICAS):
+    o = r * OFFSET
+    parts.append(f"""SELECT c_custkey + {o} AS c_custkey, c_name, c_nationkey,
+        c_acctbal, c_mktsegment FROM {src('customer')}""")
+write("customer", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT s_suppkey + {r * OFFSET} AS s_suppkey, s_name, s_nationkey,
+    s_acctbal FROM {src('supplier')}""" for r in range(REPLICAS)]
+write("supplier", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT p_partkey + {r * OFFSET} AS p_partkey, p_name, p_brand,
+    p_type, p_size, p_retailprice FROM {src('part')}""" for r in range(REPLICAS)]
+write("part", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT o_orderkey + {r * OFFSET} AS o_orderkey,
+    o_custkey + {r * OFFSET} AS o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority FROM {src('orders')}""" for r in range(REPLICAS)]
+write("orders", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT l_orderkey + {r * OFFSET} AS l_orderkey,
+    l_partkey + {r * OFFSET} AS l_partkey,
+    l_suppkey + {r * OFFSET} AS l_suppkey,
+    l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+    l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}"""
+         for r in range(REPLICAS)]
+write("lineitem", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT event_id + {r * OFFSET} AS event_id, ts,
+    user_id + {r * OFFSET} AS user_id, event_type, value, props
+    FROM {src('events')}""" for r in range(REPLICAS)]
+write("events", " UNION ALL ".join(parts))
+
+parts = []
+for r in range(REPLICAS):
+    frm, to = caesar_pair(r)
+    parts.append(f"""SELECT doc_id + {r * OFFSET} AS doc_id,
+        translate(text, '{frm}', '{to}') AS text, lang, source, n_chars
+        FROM {src('documents')}""")
+write("documents", " UNION ALL ".join(parts))
+
+parts = [f"""SELECT vec_id + {r * OFFSET} AS vec_id,
+    list_transform(embedding, x -> x + {r}*1e-3::FLOAT) AS embedding,
+    label FROM {src('embeddings')}""" for r in range(REPLICAS)]
+write("embeddings", " UNION ALL ".join(parts))
+
+print("[scale] done")
