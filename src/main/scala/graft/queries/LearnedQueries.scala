@@ -1159,7 +1159,7 @@ object LearnedQueries {
     // emits each user's FINAL session through custom state; this emits
     // EVERY closed session through Spark's own session_window merge
     // logic, the form you reach for before writing custom state). The
-    // events replay as 3 time-RANGE-ordered file batches (so sessions
+    // events replay as 2 time-RANGE-ordered file batches (so sessions
     // only ever extend forward and nothing arrives late), watermark
     // 10 min, append output: a session row emits exactly once, when the
     // watermark passes its end + gap; a far-future sentinel flushes the
@@ -1178,15 +1178,16 @@ object LearnedQueries {
       val b = ev.agg(min(expr("unix_micros(CAST(ts AS TIMESTAMP))")),
         max(expr("unix_micros(CAST(ts AS TIMESTAMP))"))).head()
       val (lo, hi) = (b.getLong(0), b.getLong(1))
-      // 3 range batches + sentinel (was 4+1): eviction still proves
-      // across batch boundaries, one fewer trigger of scaffolding
-      // (VERDICT r9 Next #6); the session result is batch-count
-      // independent (range order ⇒ nothing late)
-      val span = (hi - lo) / 3 + 1
+      // 2 range batches + sentinel (was 4+1): the eviction proof needs
+      // one watermark advance across a real batch boundary plus the
+      // sentinel flush — every extra trigger was pure scaffolding
+      // wall-clock (VERDICT r9 Next #6); the session result is
+      // batch-count independent (range order ⇒ nothing late)
+      val span = (hi - lo) / 2 + 1
       val stageDir = graft.core.TmpDirs.scratch("stream_session_src", d)
       val qCol = ((expr("unix_micros(CAST(ts AS TIMESTAMP))") - lit(lo)) / lit(span))
         .cast("int")
-      val parts = (0 until 3).map(i => ev.filter(qCol === i))
+      val parts = (0 until 2).map(i => ev.filter(qCol === i))
       val sentinel = s.range(1).select(lit(-1L).as("user_id"),
         expr(s"timestamp_micros(${hi + 86400000000L})").as("ts"),
         lit(0.0).as("value"))
@@ -1235,12 +1236,13 @@ object LearnedQueries {
     "x_stream_topk_update" -> ((s, d) => {
       val raw = s.read.parquet(s"$d/documents.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_topk_upd_src", d)
-      // 3 hour-blocked batches + sentinel (was 4+1): the two proofs
+      // 2 hour-blocked batches + sentinel (was 4+1): the two proofs
       // (eviction across blocks, zero late drops) need ≥2 advancing
-      // blocks, not 4 — the extra trigger was pure scaffolding cost
-      // (VERDICT r9 Next #6). The oracle mirrors the % 3 block time.
-      val parts = (0 until 3).map(i =>
-        raw.filter(pmod(col("doc_id"), lit(3L)) === i))
+      // blocks + the flush, not 4 — every extra trigger was pure
+      // scaffolding cost (VERDICT r9 Next #6). The oracle mirrors the
+      // % 2 block time.
+      val parts = (0 until 2).map(i =>
+        raw.filter(pmod(col("doc_id"), lit(2L)) === i))
       val sentinel = raw.orderBy("doc_id").limit(1)
         .withColumn("doc_id", lit(-1L))
       StreamOps.stageOrderedFiles(parts :+ sentinel, stageDir)
@@ -1248,7 +1250,7 @@ object LearnedQueries {
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val ts = timestamp_seconds(
         when(col("doc_id") < 0, lit(200000L))
-          .otherwise(pmod(col("doc_id"), lit(3L)) * lit(7200L) +
+          .otherwise(pmod(col("doc_id"), lit(2L)) * lit(7200L) +
             pmod(col("doc_id") * lit(7919L), lit(7200L))))
       val counts = stream
         .withColumn("ts", ts)
@@ -1983,7 +1985,7 @@ object LearnedQueries {
     // integer window floor; the sentinel window sits past the cut
     "x_stream_topk_update" ->
       """WITH toks AS (
-        |  SELECT ((((doc_id % 3) * 7200 + (doc_id * 7919) % 7200) // 3600) * 3600) AS wstart,
+        |  SELECT ((((doc_id % 2) * 7200 + (doc_id * 7919) % 7200) // 3600) * 3600) AS wstart,
         |         unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |c AS (SELECT wstart, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
