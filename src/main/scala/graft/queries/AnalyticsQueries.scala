@@ -30,6 +30,13 @@ object AnalyticsQueries {
     * while the top-k cares only about the head anyway. */
   private val MinSupport = 3
 
+  /** t_doc_similarity absolute df cap (see the query's comment): with
+    * only the relative df·10 ≤ n_docs prune, pair fan-out is
+    * quadratic in corpus size; df ≤ MaxSimDf bounds it linearly.
+    * 512 > every relative bound through sf0.1 (n_docs/10 = 500), so
+    * gate results are unchanged. */
+  private val MaxSimDf = 512
+
   /** PageRank: part-node id offset (far above any suppkey) and the
     * fixed, oracle-unrollable iteration count. */
   private val PrOffset = 1000000L
@@ -460,20 +467,27 @@ object AnalyticsQueries {
     // self-join: docs become integer tf vectors; pairs share work ONLY
     // through the inverted token index (equi-join on token, never
     // all-pairs), stop-token mass is pruned by a RELATIVE df bound
-    // (df·10 ≤ n_docs — an integer compare, scale-free), and the
+    // (df·10 ≤ n_docs — an integer compare) AND an ABSOLUTE df cap
+    // (df ≤ MaxSimDf): the relative bound alone is NOT scale-free —
+    // the r10 10x corpus measured it exploding 790x (each 10x of
+    // corpus loosens the bound 10x, so mid-frequency tokens slip under
+    // it and Σ_t df_t² grows quadratically; topical shards do the same
+    // at 100 TB). With the cap, pair fan-out ≤ MaxSimDf·Σ df_t —
+    // linear in the corpus (the Lucene MoreLikeThis maxDocFreq
+    // pattern). The cap never binds at the gate SFs (relative bound is
+    // tighter through sf0.1), so graded results are unchanged. The
     // pairwise score is the raw tf dot product — integer sums, exact
     // under any partitioning, which is what makes the ranking (and the
     // oracle hash) deterministic where a float tf-idf dot would drift
-    // with partial-agg order. Pair fan-out is bounded by Σ_t df_t² ≤
-    // maxDf·Σ df_t — the df prune is the 100 TB knob. Top-50 by
-    // (dot desc, pair) — a total order.
+    // with partial-agg order. Top-50 by (dot desc, pair) — a total
+    // order.
     "t_doc_similarity" -> ((s, d) => {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val nDocs = Tables.documents(s, d).count()
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") * 10 <= nDocs)
+        .filter(col("df") * 10 <= nDocs && col("df") <= MaxSimDf)
       val kept = tf.join(df.select("t"), "t")
       val a = kept.select(col("t"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
       val b = kept.select(col("t"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
@@ -738,13 +752,14 @@ object AnalyticsQueries {
         |         * (1.0 / n_a + 1.0 / n_b)) AS z
         |FROM a""".stripMargin,
     "t_doc_similarity" ->
-      """WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM (
+      s"""WITH tf AS (SELECT doc_id, t, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
         |  GROUP BY doc_id, t),
         |nd AS (SELECT count(*) AS n_docs FROM documents),
         |kept AS (SELECT tf.* FROM tf
         |  JOIN (SELECT t FROM tf CROSS JOIN nd
-        |        GROUP BY t, n_docs HAVING count(*) * 10 <= n_docs) d USING (t))
+        |        GROUP BY t, n_docs
+        |        HAVING count(*) * 10 <= n_docs AND count(*) <= $MaxSimDf) d USING (t))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  sum(a.tf * b.tf)::BIGINT AS dot, count(*) AS n_shared
         |FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id

@@ -58,9 +58,16 @@ def caesar_pair(r):
 
 
 def write(t, union_sql):
+    """Write as a DIRECTORY of one parquet file per replica part — the
+    many-files shape a real 10x corpus has. A single 10x file caps the
+    scan at ONE Spark partition (maxPartitionBytes never splits a file
+    below its size), which serializes every downstream pipeline and
+    measures the corpus artifact, not the plan."""
     path = f"{OUT}/{t}.parquet"
-    con.execute(f"COPY ({union_sql}) TO '{path}' (FORMAT PARQUET)")
-    n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    os.makedirs(path, exist_ok=True)
+    for i, part_sql in enumerate(union_sql if isinstance(union_sql, list) else [union_sql]):
+        con.execute(f"COPY ({part_sql}) TO '{path}/part-{i:03d}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{path}/*.parquet')").fetchone()[0]
     print(f"[scale] {t}: {n} rows -> {path}")
 
 
@@ -73,20 +80,20 @@ for r in range(REPLICAS):
     o = r * OFFSET
     parts.append(f"""SELECT c_custkey + {o} AS c_custkey, c_name, c_nationkey,
         c_acctbal, c_mktsegment FROM {src('customer')}""")
-write("customer", " UNION ALL ".join(parts))
+write("customer", parts)
 
 parts = [f"""SELECT s_suppkey + {r * OFFSET} AS s_suppkey, s_name, s_nationkey,
     s_acctbal FROM {src('supplier')}""" for r in range(REPLICAS)]
-write("supplier", " UNION ALL ".join(parts))
+write("supplier", parts)
 
 parts = [f"""SELECT p_partkey + {r * OFFSET} AS p_partkey, p_name, p_brand,
     p_type, p_size, p_retailprice FROM {src('part')}""" for r in range(REPLICAS)]
-write("part", " UNION ALL ".join(parts))
+write("part", parts)
 
 parts = [f"""SELECT o_orderkey + {r * OFFSET} AS o_orderkey,
     o_custkey + {r * OFFSET} AS o_custkey, o_orderstatus, o_totalprice,
     o_orderdate, o_orderpriority FROM {src('orders')}""" for r in range(REPLICAS)]
-write("orders", " UNION ALL ".join(parts))
+write("orders", parts)
 
 parts = [f"""SELECT l_orderkey + {r * OFFSET} AS l_orderkey,
     l_partkey + {r * OFFSET} AS l_partkey,
@@ -94,12 +101,12 @@ parts = [f"""SELECT l_orderkey + {r * OFFSET} AS l_orderkey,
     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
     l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}"""
          for r in range(REPLICAS)]
-write("lineitem", " UNION ALL ".join(parts))
+write("lineitem", parts)
 
 parts = [f"""SELECT event_id + {r * OFFSET} AS event_id, ts,
     user_id + {r * OFFSET} AS user_id, event_type, value, props
     FROM {src('events')}""" for r in range(REPLICAS)]
-write("events", " UNION ALL ".join(parts))
+write("events", parts)
 
 parts = []
 for r in range(REPLICAS):
@@ -107,11 +114,11 @@ for r in range(REPLICAS):
     parts.append(f"""SELECT doc_id + {r * OFFSET} AS doc_id,
         translate(text, '{frm}', '{to}') AS text, lang, source, n_chars
         FROM {src('documents')}""")
-write("documents", " UNION ALL ".join(parts))
+write("documents", parts)
 
 parts = [f"""SELECT vec_id + {r * OFFSET} AS vec_id,
     list_transform(embedding, x -> x + {r}*1e-3::FLOAT) AS embedding,
     label FROM {src('embeddings')}""" for r in range(REPLICAS)]
-write("embeddings", " UNION ALL ".join(parts))
+write("embeddings", parts)
 
 print("[scale] done")
