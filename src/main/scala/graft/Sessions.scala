@@ -14,6 +14,17 @@ object Sessions {
       // graft's SQL kernels + the bin_index→range optimizer rule
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE SIZE the shuffles instead of pinning them at |cpus|:
+      // exchanges start at 256 partitions and coalesce down to the
+      // 64 MB advisory target, so a 60 M-row join gets real
+      // parallelism + spill-friendly chunks while a 6 k-row test
+      // shuffle still collapses to a handful of tasks. This is the
+      // local-mode analog of sizing spark.sql.shuffle.partitions to
+      // the data at cluster scale (the r10 sf10 run measured the
+      // pinned-32 x_pagerank at 13.4x for 10x data — spill onset).
+      // Streaming state stores ignore this (they pin
+      // spark.sql.shuffle.partitions at checkpoint creation).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) — unsupported natively;

@@ -1201,9 +1201,19 @@ object LearnedQueries {
           sum(round(col("value") * 1000).cast("long")).as("sum_millis"))
         .select(col("user_id"), expr("unix_micros(w.start)").as("session_start_us"),
           col("n_events"), col("sum_millis"))
-      val sinkName = s"graft_stream_session_${streamSinkSeq.incrementAndGet()}"
-      val q = StreamOps.toMemorySink(agg, sinkName,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      // DISTRIBUTED sink (parquet files + checkpoint), not a memory
+      // sink: closed sessions scale with the corpus (~1M rows at the
+      // 100x corpus), and a memory sink accumulates them all on the
+      // driver — the r10 sf10 run measured that at 21x for 10x data.
+      // The file sink appends each batch's closed sessions from the
+      // executors; the declared result is the read-back.
+      val outDir = graft.core.TmpDirs.scratch("stream_session_out", d)
+      val q = agg.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation",
+          graft.core.TmpDirs.scratch("stream_session_ckpt", d))
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
       q.processAllAvailable()
       val progress = q.recentProgress.flatMap(_.stateOperators)
       val removed = progress.map(_.numRowsRemoved).sum
@@ -1213,7 +1223,7 @@ object LearnedQueries {
         "session windows never evicted state — the watermark is not closing sessions")
       require(lateDropped == 0L,
         s"$lateDropped rows late-dropped — the time-range replay order broke")
-      s.table(sinkName).filter(col("user_id") >= 0L)
+      s.read.parquet(outDir).filter(col("user_id") >= 0L)
         .select("user_id", "session_start_us", "n_events", "sum_millis")
     }),
 

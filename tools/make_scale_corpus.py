@@ -11,14 +11,27 @@ per-key distributions are exactly sf0.1's, while distinct-key counts
 and total rows grow 10x. That is precisely the "same data shape,
 10x the data" scaling experiment.
 
-Two content tweaks keep derived workloads honest at 10x:
-- documents.text goes through a per-replica caesar cipher (letters
-  only): each replica's INTERNAL dup/near-dup graph is isomorphic to
-  sf0.1's, but there are no cross-replica shingle collisions — without
-  this every doc would have 9 exact twins and the LSH pair workload
-  would grow 100x by corpus construction, not by algorithm behavior.
-- embeddings get a tiny deterministic per-replica offset (+r*1e-3)
-  so cross-replica vectors are near but not bitwise-tied duplicates.
+Four content tweaks keep derived workloads honest at 10-100x (replica
+0 is ALWAYS the identity, so capped demo rows that filter to low ids
+see bit-identical data at every scale):
+- documents.text goes through a per-replica letter rotation (r % 26)
+  COMPOSED with a digit rotation (r % 10): each replica's INTERNAL
+  dup/near-dup graph is isomorphic to sf0.1's, and since (r%26, r%10)
+  is injective for r < 130, there are no cross-replica shingle
+  collisions even at 100 replicas — without this every doc would have
+  N-1 exact twins and the LSH pair workload would grow N^2 by corpus
+  construction, not by algorithm behavior.
+- embeddings get a deterministic per-dimension, per-replica jitter
+  (+0.1*sin(r*131 + i*17), ~30% of the component scale): replicas are
+  similar-but-distinct vectors that spread across SRP/LSH buckets the
+  way genuinely new data does. A constant per-replica offset left all
+  replicas in the SAME buckets and made bucketed-ANN pair work grow
+  N^2 (t_ann_bucket_top1 measured 38x at 10x, the r10 sf10 run).
+- events shift each replica into its own 31-day time band: replicated
+  IDENTICAL timestamps multiply per-window density by N, turning every
+  time-range join quadratic by construction (j10_range_join measured
+  30x at 10x); banded time keeps window density constant, which is how
+  real event streams grow.
 
 region/nation are fixed dimension domains and stay single-copy
 (scale grows facts, not countries); nationkeys are NOT shifted.
@@ -49,11 +62,20 @@ def src(t):
 
 
 def caesar_pair(r):
-    """translate() from/to alphabets shifting a-z and A-Z by r."""
+    """translate() from/to alphabets via an AFFINE cipher on letters:
+    index i -> (a*i + b) % 26 with a = one of four units mod 26 chosen
+    by r//26 and b = r%26 — 104 distinct letter bijections, so up to
+    104 replicas have zero cross-replica token collisions even on
+    digitless text (a plain rotation wraps at 26 and gave r, r+26, ...
+    identical mappings — caught at the 100x corpus). Digits rotate by
+    r % 10 on top. r=0 is the identity (a=1, b=0)."""
     lower = "abcdefghijklmnopqrstuvwxyz"
-    upper = lower.upper()
-    frm = lower + upper
-    to = (lower[r % 26:] + lower[:r % 26]) + (upper[r % 26:] + upper[:r % 26])
+    digits = "0123456789"
+    a = [1, 3, 5, 7][(r // 26) % 4]
+    b = r % 26
+    lo_to = "".join(lower[(a * i + b) % 26] for i in range(26))
+    frm = lower + lower.upper() + digits
+    to = lo_to + lo_to.upper() + (digits[r % 10:] + digits[:r % 10])
     return frm, to
 
 
@@ -103,7 +125,8 @@ parts = [f"""SELECT l_orderkey + {r * OFFSET} AS l_orderkey,
          for r in range(REPLICAS)]
 write("lineitem", parts)
 
-parts = [f"""SELECT event_id + {r * OFFSET} AS event_id, ts,
+parts = [f"""SELECT event_id + {r * OFFSET} AS event_id,
+    ts + INTERVAL {r * 31} DAY AS ts,
     user_id + {r * OFFSET} AS user_id, event_type, value, props
     FROM {src('events')}""" for r in range(REPLICAS)]
 write("events", parts)
@@ -117,7 +140,10 @@ for r in range(REPLICAS):
 write("documents", parts)
 
 parts = [f"""SELECT vec_id + {r * OFFSET} AS vec_id,
-    list_transform(embedding, x -> x + {r}*1e-3::FLOAT) AS embedding,
+    CASE WHEN {r} = 0 THEN embedding ELSE
+      list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+        z -> CAST(z[1] + 0.1 * sin(CAST({r} * 131 + z[2] * 17 AS DOUBLE)) AS FLOAT))
+    END AS embedding,
     label FROM {src('embeddings')}""" for r in range(REPLICAS)]
 write("embeddings", parts)
 
