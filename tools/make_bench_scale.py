@@ -12,7 +12,12 @@ Per-query: t_sf01, t_sf1, ratio (sf1/sf01). Rows are classified:
 Negative times (errored rows) and sub-50ms sf0.1 rows are excluded
 from classification (timer noise dominates below that).
 
-Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out]
+With a fourth argument (a subset run on a 100x corpus), a second-decade
+"sf10_spot" section records sf1->sf10 ratios for the overlapping rows —
+a two-decade curve for the heavy paths. The sf10 side is single-shot
+(SPARK_GRAFT_BENCH_SINGLE=1), so its ratios carry one-run noise.
+
+Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out] [BENCH_SF10.json]
 """
 import json
 import sys
@@ -22,6 +27,7 @@ MIN_BASE_S = 0.05
 
 a_path, b_path = sys.argv[1], sys.argv[2]
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
+sf10_path = sys.argv[4] if len(sys.argv) > 4 else None
 
 with open(a_path) as f:
     base = json.load(f)
@@ -66,7 +72,45 @@ summary = {
     if base.get("value") and scaled.get("value") else None,
 }
 doc = {"summary": summary, "queries": rows}
+
+if sf10_path:
+    with open(sf10_path) as f:
+        s10 = json.load(f)
+    q10 = s10["queries"]
+    spot = {}
+    sup10 = []
+    for name in sorted(q10):
+        if name not in qs or q10[name] <= 0 or qs[name] <= 0:
+            continue
+        if name.startswith(("skew", "ivf", "pq_", "filtered", "stage_point")):
+            continue  # SF-independent / recall rows
+        ratio = q10[name] / qs[name]
+        row = {"t_sf1": round(qs[name], 4), "t_sf10": round(q10[name], 4),
+               "ratio": round(ratio, 2)}
+        if qs[name] < MIN_BASE_S and q10[name] < MIN_BASE_S * LINEAR_BOUND:
+            row["class"] = "noise_floor"
+        elif ratio > LINEAR_BOUND:
+            row["class"] = "superlinear"
+            sup10.append(name)
+        elif ratio < 2.0:
+            row["class"] = "flat"
+        else:
+            row["class"] = "linear_ok"
+        spot[name] = row
+    doc["sf10_spot"] = {
+        "note": "single-shot subset run on the 100x corpus (60M lineitem "
+                "rows); ratios are sf1->sf10 (10x data)",
+        "sf10_lineitem_rows": s10.get("rows"),
+        "headline_sf10": s10.get("value"),
+        "n_compared": len(spot),
+        "superlinear": sup10,
+        "queries": spot,
+    }
+
 with open(out, "w") as f:
     json.dump(doc, f, indent=1, sort_keys=True)
 print(f"[scale] wrote {out}: {len(rows)} rows, "
       f"{len(supers)} superlinear -> {sorted(supers)}")
+if sf10_path:
+    print(f"[scale] sf10 spot: {len(doc['sf10_spot']['queries'])} rows, "
+          f"superlinear -> {doc['sf10_spot']['superlinear']}")
