@@ -85,11 +85,31 @@ object TextQueries {
   }
 
   // SRP-LSH hyperplanes: deterministic integer pattern, shared with SQL.
+  // k*13 % 11 repeats with period 11, so the i-slope steps from 7 to 8
+  // at k = 11 — without that, plane 11 would DUPLICATE plane 0 and bit
+  // 11 would add no discrimination (halving the effective bucket count
+  // exactly when the adaptive width first needs it). Planes 0-7 are
+  // bit-identical to the original fixed-width family.
   private def hyperplane(k: Int): Array[Double] =
-    Array.tabulate(64)(i => (((i * 7 + k * 13) % 11) - 5).toDouble)
+    Array.tabulate(64)(i => (((i * (7 + k / 11) + k * 13) % 11) - 5).toDouble)
 
-  private def srpBucket(emb: Column): Column =
-    (0 until 8).map { k =>
+  /** Adaptive SRP width: smallest b in [8, 20] with n <= 64 * 2^b, so
+    * expected bucket occupancy stays ~64 as the corpus grows and the
+    * within-bucket self-join stays LINEAR in n. The fixed-256-bucket
+    * form measured 37x per 10x decade on the scale corpus (n^2/256
+    * pairs by construction); with occupancy pinned, pair count is
+    * ~64*n. Integer ladder (no float log2 — cross-engine exact),
+    * mirrored verbatim in [[srpBitsSql]]; at the gate SFs (n <= 2000)
+    * it floors at 8 bits = the original 256 buckets, so gate results
+    * are unchanged. Extend past 20 bits beyond ~67M vectors. */
+  private def srpBits(n: Long): Int = {
+    var b = 8
+    while (b < 20 && n > (64L << b)) b += 1
+    b
+  }
+
+  private def srpBucket(emb: Column, bits: Int): Column =
+    (0 until bits).map { k =>
       val dot = Fns.dotProduct(emb, typedLit(hyperplane(k)))
       when(dot >= 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -997,16 +1017,21 @@ object TextQueries {
     }),
 
     // SRP-LSH bucketing — the 100 TB similarity-search path: random-
-    // hyperplane signs partition vectors into 256 buckets.
-    "t_ann_lsh_bucket" -> ((s, d) =>
+    // hyperplane signs partition vectors into 2^srpBits(n) buckets
+    // (width grows with the corpus so occupancy stays ~64).
+    "t_ann_lsh_bucket" -> ((s, d) => {
+      val bits = srpBits(Tables.embeddings(s, d).count())
       Tables.embeddings(s, d)
-        .select(col("vec_id"), srpBucket(col("embedding")).as("bucket"))),
+        .select(col("vec_id"), srpBucket(col("embedding"), bits).as("bucket"))
+    }),
 
     // Within-bucket top-1 neighbor: equi-join on bucket replaces the
     // all-pairs cross join; argmax via single-pass min_by (no sort).
+    // Bucket width is adaptive (srpBits) — the join stays linear.
     "t_ann_bucket_top1" -> ((s, d) => {
+      val bits = srpBits(Tables.embeddings(s, d).count())
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding")).as("bucket"),
+        .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), bits).as("bucket"),
           Fns.normSq(col("embedding")).as("nsq"))
         .cache() // buckets + norms materialized once for both sides
       val a = e.select(col("bucket"), col("vec_id").as("q_id"),
