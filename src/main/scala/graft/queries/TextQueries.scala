@@ -114,6 +114,50 @@ object TextQueries {
       when(dot >= 0.0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-bucket membership cap for the declared SRP top-1: adaptive
+    * WIDTH (srpBits) pins EXPECTED occupancy at ~64, but LSH is built
+    * to co-bucket near-duplicates, so a near-dup-rich corpus (the
+    * 100 TB crawl shape — the 100x scale corpus measured it at 37.5x
+    * per 10x decade) still forms mega-buckets the width knob cannot
+    * split. 16x the expected occupancy: a no-op on balanced buckets
+    * (and at every gate SF, where occupancy is ~1-8), binding only on
+    * skew. */
+  private[queries] val AnnBucketCap = 1 << 10
+
+  /** Within-bucket top-1 with a per-bucket size cap — the same
+    * secondary-hash split as [[IvfQueries.semanticDedupPairs]]: buckets
+    * above `cap` members split into ceil(n/cap) sub-buckets by the
+    * deterministic Knuth hash of vec_id, bounding pair work to ~n*cap
+    * per bucket (linear in n). Each query's top-1 is then taken within
+    * its sub-bucket (min_by, no sort); under the cap nSub = 1, the sub
+    * column is constant 0 and the output is exactly the uncapped
+    * bucket-wide top-1 — which is why the gate oracle (uncapped SQL)
+    * stays bitwise. Above the cap the candidate set narrows to the
+    * sub-bucket, the standard bounded-posting-list trade every
+    * production ANN index makes (a mega-bucket is overwhelmingly
+    * near-duplicate mass, so sub-bucket winners are near-duplicate-
+    * quality neighbors). AnnBucketCapSpec pins both regimes.
+    * `e` must carry (vec_id, embedding, bucket, nsq). */
+  private[queries] def annBucketTop1(e: DataFrame, cap: Int): DataFrame = {
+    // |buckets| rows, <= 2^srpBits — broadcast-tiny beside the corpus
+    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    // integer ceil-div (`div`, not `/` — Spark's `/` is double division)
+    val nSub = greatest(lit(1L), expr(s"(bucket_n + ${cap - 1}) div $cap"))
+    val sub = e.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("sub", pmod((col("vec_id") * lit(Hashing.Mult)) % lit(P), nSub))
+    val a = sub.select(col("bucket"), col("sub"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
+    val b = sub.select(col("bucket"), col("sub"), col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nsq").as("n_nsq"))
+    a.join(b, Seq("bucket", "sub")).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (Fns.dotProduct(col("q_emb"), col("n_emb"))
+          / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
+      .groupBy("q_id")
+      .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
+      .select(col("q_id"), col("x.n_id"), col("x.cos"))
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to")
   private val deStop = Seq("der", "die", "das", "und", "ein")
   private val esStop = Seq("el", "la", "de", "los", "y")
@@ -1027,24 +1071,17 @@ object TextQueries {
 
     // Within-bucket top-1 neighbor: equi-join on bucket replaces the
     // all-pairs cross join; argmax via single-pass min_by (no sort).
-    // Bucket width is adaptive (srpBits) — the join stays linear.
+    // Bucket width is adaptive (srpBits) and occupancy is capped
+    // ([[AnnBucketCap]] + secondary-hash split, [[annBucketTop1]]) —
+    // width bounds the EXPECTED bucket, the cap bounds the adversarial
+    // near-dup mega-bucket, so the join is linear in n even on skew.
     "t_ann_bucket_top1" -> ((s, d) => {
       val bits = srpBits(Tables.embeddings(s, d).count())
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), srpBucket(col("embedding"), bits).as("bucket"),
           Fns.normSq(col("embedding")).as("nsq"))
         .cache() // buckets + norms materialized once for both sides
-      val a = e.select(col("bucket"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
-      val b = e.select(col("bucket"), col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"), col("nsq").as("n_nsq"))
-      a.join(b, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          (Fns.dotProduct(col("q_emb"), col("n_emb"))
-            / (sqrt(col("q_nsq")) * sqrt(col("n_nsq")))).as("cos"))
-        .groupBy("q_id")
-        .agg(min_by(struct(col("n_id"), col("cos")), struct(-col("cos"), col("n_id"))).as("x"))
-        .select(col("q_id"), col("x.n_id"), col("x.cos"))
+      annBucketTop1(e, AnnBucketCap)
     }),
 
     // Embedding-cosine near-dup pairs: all pairs above a similarity
@@ -1592,9 +1629,23 @@ object TextQueries {
   private def planeSql(k: Int): String =
     hyperplane(k).map(_.toString).mkString("[", ", ", "]")
 
+  /** SQL mirror of [[srpBits]]: the same integer CASE ladder over
+    * n = count(*) of embeddings — no float log2, so both engines pick
+    * the identical width at ANY corpus size (ADVICE r10: the old fixed
+    * 8-bit oracle silently diverged past 16384 vectors). Emitted as a
+    * 1-row CTE (`sb`) cross-joined into the SRP oracles. */
+  private val srpBitsSql: String = {
+    val ladder = (8 until 20).map(b => s"WHEN n <= ${64L << b} THEN $b").mkString(" ")
+    s"SELECT CASE $ladder ELSE 20 END AS bits FROM (SELECT count(*) AS n FROM embeddings)"
+  }
+
+  /** Adaptive-width SRP bucket in SQL: all 20 plane terms generated,
+    * each gated on `sb.bits` — plane k contributes 2^k only when
+    * k < bits, mirroring [[srpBucket]] at whatever width [[srpBitsSql]]
+    * selects. Requires `CROSS JOIN sb` in the enclosing query. */
   private val bucketSql: String =
-    (0 until 8).map { k =>
-      s"(CASE WHEN ${dotSql("embedding", planeSql(k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
+    (0 until 20).map { k =>
+      s"(CASE WHEN $k < sb.bits AND ${dotSql("embedding", planeSql(k))} >= 0.0 THEN ${1L << k} ELSE 0 END)"
     }.mkString(" + ")
 
   private def stopSql(stop: Seq[String]): String =
@@ -1874,10 +1925,14 @@ object TextQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM p)
          |WHERE rn <= 5""".stripMargin,
     "t_ann_lsh_bucket" ->
-      s"SELECT vec_id, $bucketSql AS bucket FROM embeddings",
+      s"WITH sb AS ($srpBitsSql) SELECT vec_id, $bucketSql AS bucket FROM embeddings CROSS JOIN sb",
+    // Uncapped bucket-wide top-1: matches the capped Spark form exactly
+    // wherever AnnBucketCap does not bind (all gate SFs — occupancy ~64
+    // by construction), the same oracle contract as SemCellCap/MaxSimDf.
     "t_ann_bucket_top1" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket,
-         |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings),
+      s"""WITH sb AS ($srpBitsSql),
+         |e AS (SELECT vec_id, embedding, $bucketSql AS bucket,
+         |             ${dotSql("embedding", "embedding")} AS nsq FROM embeddings CROSS JOIN sb),
          |p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
          |        ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.nsq) * sqrt(b.nsq)) AS cos
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
