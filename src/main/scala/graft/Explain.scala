@@ -13,7 +13,7 @@ object Explain {
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "s1_scan_pushdown", "a1_groupby_agg", "j1_broadcast_join",
       "x29_inferdb_probe", "t_dedup_minhash", "m_mlp_score")
-    val spark = Sessions.local("graft-explain")
+    val spark = Sessions.local("graft-explain", dataDir = Some(sfDir))
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -12,7 +12,7 @@ object Verify {
     val nameFilter = args.drop(2)
     def selected(name: String): Boolean =
       nameFilter.isEmpty || nameFilter.exists(name.contains)
-    val spark = Sessions.local("graft-verify")
+    val spark = Sessions.local("graft-verify", dataDir = Some(sfDir))
     // clear stale outputs: a failed build followed by a re-run must
     // never let the oracle check silently validate old results.
     val outRoot = new java.io.File(outDir)
