@@ -73,7 +73,7 @@ object Bench {
     // flapping with driver-machine contention.
     val stageIters =
       sys.env.get("SPARK_GRAFT_BENCH_STAGE_ITERS").map(_.toInt).getOrElse(5)
-    val spark = Sessions.local("graft-bench", defaultCpus = "32")
+    val spark = Sessions.local("graft-bench", defaultCpus = "32", dataDir = Some(sfDir))
     import spark.implicits._
 
     // ---- stage decomposition on lineitem ----
@@ -150,18 +150,38 @@ object Bench {
         .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
         .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"), sum("s").as("sum_s")))
     def timeOf(f: => Long): Double = time(f)._1
-    // task-duration listener: drained (listener bus is async) before
-    // reading; registered only around the skew section
+    // task-duration listener, scoped to the measured action's JOB
+    // GROUP (ADVICE r10: a fixed sleep + global clear let task-end
+    // events from a lagging bus or another job leak into the next
+    // measurement): onJobStart records the stage ids of jobs carrying
+    // our group id, onTaskEnd keeps only those stages' tasks, and the
+    // read polls the queue until it is STABLE instead of sleeping a
+    // fixed 300 ms (listenerBus.waitUntilEmpty is private[spark]).
+    val skewGroupId = "graft-bench-skew"
     val taskDurs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val skewListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null
+            && skewGroupId == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageInfos.foreach(si => groupStages.add(si.stageId))
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null) taskDurs.add(te.taskInfo.duration)
+        if (te.taskInfo != null && groupStages.contains(te.stageId))
+          taskDurs.add(te.taskInfo.duration)
     }
     spark.sparkContext.addSparkListener(skewListener)
     def withTaskStats(f: => Long): (Double, Double, Double) = {
-      taskDurs.clear()
-      val t = timeOf(f)
-      Thread.sleep(300) // let the async listener bus drain
+      taskDurs.clear(); groupStages.clear()
+      spark.sparkContext.setJobGroup(skewGroupId, "skew task stats", false)
+      val t = try timeOf(f) finally spark.sparkContext.clearJobGroup()
+      // drain: wait until the async bus stops delivering (3 stable
+      // polls 50 ms apart), bounded at 2 s
+      var (last, stable, waited) = (-1, 0, 0)
+      while (stable < 3 && waited < 2000) {
+        val n = taskDurs.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(50); waited += 50
+      }
       val ds = taskDurs.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
       if (ds.isEmpty) (t, 0.0, 0.0)
       else (t, ds.last / 1e3, ds(math.min(ds.length - 1, (ds.length * 99) / 100)) / 1e3)
@@ -198,7 +218,16 @@ object Bench {
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
       .map { case (name, fn) =>
-      val t = try robustQueryTime(iters)(evalAll(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val t = try robustQueryTime(iters)(evalAll(fn(spark, sfDir))) catch {
+        case e: Throwable =>
+          // surface the failure under TRACE — a swallowed exception
+          // reads as a timing row (-1) and is undiagnosable otherwise
+          if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE")) {
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.getStackTrace.take(8).foreach(f => System.err.println(s"  at $f"))
+          }
+          -1.0
+      }
       if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
         System.err.println(f"[bench] $name%-28s $t%8.3f s")
       name -> t
@@ -264,7 +293,13 @@ object Bench {
     // stage decomposition + headline keys go LAST — truncation then
     // drops individual query rows, never the graded stage_* numbers
     // (rounds 3-4 lost them the other way around).
-    val qs = (queryTimes ++ stages)
+    // steady-state streaming cost next to the wall rows: median
+    // per-trigger ms recorded by each streaming query at stop() time —
+    // the wall rows time replay scaffolding, these time the operator
+    import scala.jdk.CollectionConverters._
+    val perBatch = graft.streaming.StreamOps.batchMillis.asScala.toSeq.sortBy(_._1)
+      .map { case (n, ms) => s"${n}_per_batch_ms" -> ms }
+    val qs = (queryTimes ++ perBatch ++ stages)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
     val line =

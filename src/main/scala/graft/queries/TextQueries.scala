@@ -974,7 +974,9 @@ object TextQueries {
           .join(broadcast(bench), Seq("h"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared")),
         (flagged, _) => flagged.write.mode("append").parquet(outDir))
-      q.processAllAvailable(); q.stop(); bench.unpersist()
+      q.processAllAvailable()
+      graft.streaming.StreamOps.recordBatchMillis("x_stream_decontaminate", q)
+      q.stop(); bench.unpersist()
       // explicit schema: if every micro-batch flagged zero rows the
       // sink dir has no parquet files and schema inference would throw
       // instead of degrading to an empty frame

@@ -12,6 +12,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Median per-trigger processing time (ms) per declared streaming
+    * row, recorded by [[recordBatchMillis]] just before each query
+    * stops. The declared rows' wall-clocks are dominated by file-replay
+    * scaffolding (staging, trigger setup, checkpointing); Bench reads
+    * this map to publish `<name>_per_batch_ms` companions so the
+    * steady-state per-trigger operator cost is separable from the
+    * replay harness (VERDICT r10 Next #6). */
+  val batchMillis = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** Record the median triggerExecution duration over the query's
+    * data-carrying triggers (empty triggers are idle polls, not
+    * operator cost). Call after processAllAvailable(), before stop(). */
+  def recordBatchMillis(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ds = q.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 && p.durationMs != null
+        && p.durationMs.containsKey("triggerExecution"))
+      .map(_.durationMs.get("triggerExecution").toDouble)
+    if (ds.nonEmpty) batchMillis.put(name, ds.sorted.apply(ds.length / 2))
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream:
     * (window_start, event_type) -> count + value sum. Works identically
     * on batch DataFrames (window() is not streaming-specific).
