@@ -360,6 +360,92 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- REAL audio codec path (VERDICT r10 Next #7) ----
+  // javax.sound.sampled ships in the JVM, so audio gets the PNG
+  // treatment: a deterministic 16-bit PCM mono waveform is synthesized
+  // per media id (samples a pure INTEGER function of (id, i) — no
+  // trig, so the oracle recomputes exact sums with no codec), encoded
+  // to a real RIFF/WAVE byte stream with AudioSystem.write and decoded
+  // back through AudioSystem.getAudioInputStream inside the same
+  // mapPartitions batch shape. PCM-in-WAV is lossless, so the green
+  // hash proves the encode → WAV → decode round trip is bit-exact.
+  // After this, only VIDEO decode remains a declared stub (no codec in
+  // the JVM or container).
+
+  val WavSampleRate = 8000
+  def wavSamples(id: Long): Int = 400 + (id % 7).toInt * 50
+  /** Sample i of waveform id: integers in [-2048, 2047]. */
+  def wavSample(id: Long, i: Int): Int =
+    (((id * 13 + i.toLong * 7) % 4096) - 2048).toInt
+
+  /** Synthesize the deterministic test waveform for `id` as real WAV
+    * bytes (PCM_SIGNED, 16-bit little-endian, mono). */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      WavSampleRate.toFloat, 16, 1, 2, WavSampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val wavDecodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("sum_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false)))
+
+  /** REAL decode: parse the WAV container with javax.sound.sampled,
+    * reconstruct the 16-bit little-endian samples and reduce to exact
+    * integer sums. Format facts (rate, depth, channels) come from the
+    * DECODER, then feed the declared row / asserts — not from the
+    * generator. */
+  def decodeWav(id: Long, payload: Array[Byte]): Row = {
+    require(payload != null && payload.length > 0, s"media $id: empty WAV payload")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"media $id: decoder returned unexpected format $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    var (sum, sumAbs) = (0L, 0L)
+    var i = 0
+    while (i < n) {
+      val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+      sum += s
+      sumAbs += math.abs(s)
+      i += 1
+    }
+    Row(id, fmt.getSampleRate.toInt, n, sum, sumAbs)
+  }
+
+  /** encode → WAV → decode per partition, same batch shape as
+    * [[pngPipeline]]. */
+  def wavPipeline(ids: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(wavDecodedSchema)
+    ids.select("media_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeWav(id, synthWav(id))
+      }
+    }(enc)
+  }
+
   /** Build a media frame from the documents table (text bytes as fake
     * payloads) — the demo/test source. The decoder folds BYTES while
     * the oracle folds CHARACTER code points, which only agree for

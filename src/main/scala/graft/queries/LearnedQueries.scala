@@ -892,10 +892,13 @@ object LearnedQueries {
       // x_width_stress's fit_sec) instead of riding in the hashed row —
       // the correctness gate must not depend on timer granularity
       // (ADVICE r9: a timedEval median of 0.0 would otherwise fail the
-      // hash with no code defect). Bench still reports the wall-clocks.
+      // hash with no code defect). Only granularity-ROBUST invariants
+      // are asserted (ADVICE r10: a strict > 0.0 would re-introduce the
+      // same failure mode as an abort): non-negative monotone-clock
+      // deltas and stage ordering. Bench still reports the wall-clocks.
       val t0 = rep.select("featurize_s", "translate_s", "score_s", "end_to_end_s").head()
-      require(t0.getDouble(0) > 0.0 && t0.getDouble(1) > 0.0 && t0.getDouble(2) > 0.0,
-        s"x_report: a stage wall-clock median evaluated to 0.0: $t0")
+      require((0 until 4).forall(i => t0.getDouble(i) >= 0.0),
+        s"x_report: a nanoTime delta came out negative (defect, not granularity): $t0")
       require(t0.getDouble(3) >= t0.getDouble(2),
         s"x_report: end_to_end < score stage: $t0")
       rep.select(col("solution"), col("size_entries"), col("accuracy"),
@@ -1083,6 +1086,19 @@ object LearnedQueries {
         Tables.documents(s, d).filter(col("doc_id") < 1000L)
           .select(col("doc_id").as("media_id")))),
 
+    // REAL audio decode (VERDICT r10 Next #7): deterministic 16-bit
+    // PCM mono waveforms — samples a pure integer function of (id, i)
+    // — encode to genuine RIFF/WAVE bytes and decode back through
+    // javax.sound.sampled inside the mapPartitions batch pipeline.
+    // PCM-in-WAV is lossless, so the oracle recomputes sample counts
+    // and exact integer sample/abs sums from the generative formula
+    // with no codec; sample_rate comes from the DECODED format. After
+    // this row only video decode remains a declared stub.
+    "x_multimodal_wav" -> ((s, d) =>
+      Multimodal.wavPipeline(
+        Tables.documents(s, d).filter(col("doc_id") < 1000L)
+          .select(col("doc_id").as("media_id")))),
+
     // Tumbling-window aggregate (same code path batch + streaming).
     "x_stream_window" -> ((s, d) =>
       StreamOps.windowedCounts(Tables.events(s, d), exactSums = true)
@@ -1129,7 +1145,8 @@ object LearnedQueries {
           col("n_docs"), col("sum_chars"))
       val sinkName = s"graft_stream_sliding_${streamSinkSeq.incrementAndGet()}"
       val q = StreamOps.toMemorySink(agg, sinkName)
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_sliding", q); q.stop()
       s.table(sinkName).select("wstart", "n_docs", "sum_chars")
     }),
     "x_stream_topk" -> ((s, d) => {
@@ -1146,7 +1163,8 @@ object LearnedQueries {
         .select(unix_timestamp(col("w.start")).as("wstart"), col("token"), col("cnt"))
       val sinkName = s"graft_stream_topk_${streamSinkSeq.incrementAndGet()}"
       val q = StreamOps.toMemorySink(counts, sinkName)
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_topk", q); q.stop()
       s.table(sinkName)
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -1215,6 +1233,7 @@ object LearnedQueries {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_session_window", q)
       val progress = q.recentProgress.flatMap(_.stateOperators)
       val removed = progress.map(_.numRowsRemoved).sum
       val lateDropped = progress.map(_.numRowsDroppedByWatermark).sum
@@ -1273,6 +1292,7 @@ object LearnedQueries {
       val q = StreamOps.toMemorySink(counts, sinkName,
         org.apache.spark.sql.streaming.OutputMode.Append())
       q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_topk_update", q)
       val progress = q.recentProgress.flatMap(_.stateOperators)
       val removed = progress.map(_.numRowsRemoved).sum
       val lateDropped = progress.map(_.numRowsDroppedByWatermark).sum
@@ -1385,7 +1405,8 @@ object LearnedQueries {
           .select(col("user_id"), col("event_type"), col("value"),
             round(col("prediction"), 6).as("prediction")),
         (scored, _) => scored.write.mode("append").parquet(outDir))
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_probe", q); q.stop()
       s.read.parquet(outDir)
     }),
 
@@ -1421,7 +1442,8 @@ object LearnedQueries {
           val local = s.createDataFrame(java.util.Arrays.asList(rows: _*), next.stats.schema)
           state.set(Some(next.copy(stats = local)))
         })
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      StreamOps.recordBatchMillis("x_stream_index_append", q); q.stop()
       val model = state.get()
         .getOrElse(throw new IllegalStateException("stream produced no batches"))
         .toModel()
@@ -1931,6 +1953,19 @@ object LearnedQueries {
         |  (8 + doc_id % 5)::INTEGER AS height,
         |  true AS jpeg_ok
         |FROM documents WHERE doc_id < 1000""".stripMargin,
+    // the real-WAV round trip: expected samples straight from the
+    // generative integer formula — no codec on the oracle side
+    "x_multimodal_wav" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    (400 + (doc_id % 7) * 50)::INTEGER AS n_samples
+        |  FROM documents WHERE doc_id < 1000),
+        |sm AS (SELECT media_id, n_samples,
+        |    unnest(range(0, n_samples::BIGINT)) AS i FROM ids),
+        |v AS (SELECT media_id, n_samples,
+        |    ((media_id * 13 + i * 7) % 4096 - 2048) AS s FROM sm)
+        |SELECT media_id, 8000 AS sample_rate, n_samples,
+        |  sum(s)::BIGINT AS sum_samples, sum(abs(s))::BIGINT AS sum_abs
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
     // the real-PNG round trip: expected pixels straight from the
     // generative formula — no codec on the oracle side
     "x_multimodal_png" ->
