@@ -42,6 +42,57 @@ object AnalyticsQueries {
   private val PrOffset = 1000000L
   private val PrIters = 3
 
+  /** w6's scale form — see the query comment at "w6_ntile" for the
+    * full plan rationale. Takes any frame carrying (l_returnflag,
+    * l_quantity, l_orderkey, l_linenumber) so NtileScaleSpec can feed
+    * tie-heavy synthetic data and pin bitwise equivalence against the
+    * engine window functions. */
+  private[queries] def distributionWindows(li: DataFrame): DataFrame = {
+    val sk = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val keys = li
+      .groupBy(col("l_returnflag") +: sk: _*).agg(count(lit(1)).as("cnt"))
+    val ranged = keys
+      .repartitionByRange(col("l_returnflag") +: sk: _*)
+      .withColumn("pid", spark_partition_id())
+    val wLoc = Window.partitionBy("pid", "l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val local = ranged.withColumn("cum_local", sum("cnt").over(wLoc))
+    // per-(shard, group) totals: |shards| x |groups| rows — the prefix
+    // window and group totals run over a broadcast-tiny frame
+    val offs = local.groupBy("pid", "l_returnflag").agg(max("cum_local").as("tot"))
+      .withColumn("off", coalesce(
+        sum("tot").over(Window.partitionBy("l_returnflag").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("tot").over(Window.partitionBy("l_returnflag")))
+    val g = local
+      .join(broadcast(offs.select("pid", "l_returnflag", "off", "n")),
+        Seq("pid", "l_returnflag"))
+      .withColumn("cum", col("off") + col("cum_local"))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      // tied rows are indistinguishable on every output column, so
+      // expanding each key to its positions reproduces the window
+      // form's exact row multiset
+      .withColumn("p", explode(sequence(col("cum_before") + 1, col("cum"))))
+    // ntile(4): first n%4 buckets hold n div 4 + 1 rows, the rest
+    // n div 4 — quartile of 1-based position p in integer arithmetic
+    // (ceil(x/y) = (x+y-1) div y). When sz = n div 4 = 0 every p
+    // satisfies p <= r, so the div-by-sz branch is never evaluated.
+    val quartile = when(col("p") <= col("r") * col("szp1"),
+        expr("(p + sz) div szp1"))
+      .otherwise(col("r") + expr("(p - r * szp1 + sz - 1) div sz"))
+    g.withColumn("r", col("n") % 4)
+      .withColumn("sz", expr("n div 4"))
+      .withColumn("szp1", expr("(n div 4) + 1"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        quartile.as("quartile"),
+        // engine percent_rank pins the n = 1 group at 0.0 (0/0 is NaN)
+        when(col("n") > 1,
+          col("cum_before").cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("pr"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd"))
+  }
+
   /** Exact interpolated per-group quantiles with BOUNDED executor
     * state. Spark's exact `percentile` aggregate buffers a
     * per-distinct-value counts map in ONE agg buffer —
@@ -131,21 +182,32 @@ object AnalyticsQueries {
           sum("l_quantity").as("sum_qty"))),
 
     // W6 — distribution windows: quartile (ntile), percent_rank and
-    // cume_dist per returnflag over a TOTAL order (quantity + unique
-    // key tie-break), so ranks are deterministic and the ratio outputs
-    // — (rank-1)/(n-1) and rank/n, one integer division each — are
-    // bitwise-identical across engines. 3 partitions here is the demo
-    // shape (same note as w1): at scale the partition key is whatever
-    // the analysis groups by; per-partition sort is the inherent cost.
-    "w6_ntile" -> ((s, d) => {
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
-      Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
-    }),
+    // cume_dist per returnflag over (quantity, orderkey, linenumber).
+    // NOT the engine window functions: partitionBy("l_returnflag") is 3
+    // partitions, i.e. one spillable sort task per group (34.7 s at the
+    // 100x corpus — r10 weak mark). Instead every output is derived
+    // from GLOBAL CUMULATIVE COUNTS via range-partitioned prefix sums:
+    //  1. compress to distinct sort keys + multiplicity (map-side
+    //     combining groupBy — also what makes tie handling exact);
+    //  2. repartitionByRange over the full sort key (ties co-locate —
+    //     range partitioning is value-based; pid order = key order, and
+    //     AQE only ever merges CONTIGUOUS shuffle partitions) and take
+    //     per-shard running counts — parallel sorts bounded by shard
+    //     size, never by group size;
+    //  3. lift to global: per-(shard, group) totals -> a prefix-sum
+    //     window over the |shards| x |groups| frame (tiny, broadcast
+    //     back). The shared range exchange materializes ONCE (exchange
+    //     / AQE stage reuse by canonical equality), so both consumers
+    //     see identical shard boundaries;
+    //  4. explode each key back to its cnt row positions and evaluate
+    //     rank arithmetic: rank = cum_before + 1 (ties share it),
+    //     pr = (rank-1)/(n-1), cd = cum/n — the SAME integers and the
+    //     SAME single double division the engine window functions
+    //     compute, so the output is bitwise the Window form's and the
+    //     oracle keeps the plain SQL window (NtileScaleSpec pins the
+    //     equivalence; ntile's uneven-bucket formula is replicated in
+    //     integer arithmetic below).
+    "w6_ntile" -> ((s, d) => distributionWindows(Tables.lineitem(s, d))),
 
     // J13 — fuzzy dimension match (the typo-normalization join):
     // every customer's corrupted segment label (deterministic one-char

@@ -129,16 +129,33 @@ object RelationalQueries {
             struct(-col("o_totalprice"), col("o_orderkey"))).as("s"))
         .select(col("o_custkey"), col("s.best_order"), col("s.best_price"))),
 
-    // W1: row_number over an explicit total order. NOTE this is the
-    // literal W1 operator demo — an UNPARTITIONED window, i.e. a single
-    // reducer, fine at demo scale and wrong at 100 TB. For a global
-    // rank over a big table use the range-sharded form instead
-    // (TextQueries.corpusShuffle / t_corpus_shuffle): same permutation,
-    // reducer parallelism = shard count, no single-reducer stage.
-    "w1_row_number" -> ((s, d) =>
-      Tables.orders(s, d)
+    // W1: GLOBAL row_number over a total order, served scale-safe: the
+    // engine window (Window.orderBy with no partition) is a single
+    // reducer, so the declared row now uses the shard-offset form its
+    // own comment used to point at — range-partition on the key,
+    // row_number within each shard (parallel sorts bounded by shard
+    // size), then add each shard's prefix-count offset (per-shard
+    // totals are a |shards|-row frame; its prefix-sum window is a
+    // single task over ~32 rows, broadcast back). pid order = key
+    // order because range partitioning is value-based and AQE merges
+    // only contiguous shuffle partitions; the shared range exchange
+    // materializes once (exchange/AQE stage reuse), so both consumers
+    // see the same shard boundaries. Output is bitwise the
+    // single-reducer window's (o_orderkey is unique), oracle unchanged.
+    "w1_row_number" -> ((s, d) => {
+      val ranged = Tables.orders(s, d).select(col("o_orderkey"))
+        .repartitionByRange(col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val local = ranged.withColumn("rn_local",
+        row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
+      val offs = local.groupBy("pid").agg(count(lit(1)).as("tot"))
+        .withColumn("off", coalesce(
+          sum("tot").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      local.join(broadcast(offs.select("pid", "off")), Seq("pid"))
         .select(col("o_orderkey"),
-          row_number().over(Window.orderBy("o_orderkey")).as("rn"))),
+          (col("off") + col("rn_local")).cast("int").as("rn"))
+    }),
 
     // W4: lag + rolling mean frame per key (the pm2.5 lag features).
     "w4_rolling_window" -> ((s, d) => {

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the range-partitioned prefix-sum forms of the declared
+  * order-statistics windows (w6_ntile's [[AnalyticsQueries.distributionWindows]]
+  * and w1_row_number's shard-offset rank) bitwise against the engine
+  * window functions they replace — the single-reducer forms were r10
+  * weak marks (one spillable sort task per group at the 100x corpus).
+  * Synthetic data is tie-heavy and group-size-diverse on purpose: the
+  * multiplicity expansion, the uneven ntile buckets, and the n = 1
+  * percent_rank pin are all off the path the lineitem gate exercises. */
+class NtileScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("distributionWindows matches the engine windows on tie-heavy groups") {
+    import spark.implicits._
+    // groups of size 1, 2, 3, 5, 17, 83 (remainders 1, 2, 3, 1, 1, 3
+    // against ntile(4)), with heavy full-sort-key ties: quantity is
+    // i/7 and (orderkey, linenumber) repeat every 11 rows
+    val sizes = Seq("A" -> 1, "B" -> 2, "C" -> 3, "D" -> 5, "E" -> 17, "F" -> 83)
+    val rows = sizes.flatMap { case (g, n) =>
+      (0 until n).map(i => (100L + i % 11, (i % 11).toLong, g, (i / 7).toDouble))
+    }
+    val li = rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    val engine = li.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        java.lang.Double.doubleToLongBits(r.getDouble(5))))
+      .sortBy(t => (t._3, t._1, t._2, t._4, t._5, t._6))
+    val got = canon(AnalyticsQueries.distributionWindows(li))
+    val want = canon(engine)
+    assert(got.length == want.length, s"row multiset size: ${got.length} vs ${want.length}")
+    assert(got.toSeq == want.toSeq, "prefix-sum form must be bitwise the engine windows")
+  }
+
+  test("w6/w1 declared plans range-partition the data path (no whole-table sort task)") {
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("w6_ntile", "w1_row_number")) {
+      val plan = graft.SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
+      assert(plan.toString.contains("rangepartitioning"),
+        s"$name must carry a range exchange on the data path:\n$plan")
+      // every Window over the raw data path must be partitioned (by
+      // pid[, group] — parallel, shard-bounded sorts). The only
+      // unpartitioned windows allowed are the prefix-sum/group-total
+      // ones over the per-(shard, group) AGGREGATE (a |shards|-row
+      // frame), recognizable by an aggregate below them.
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name: expected window nodes in\n$plan")
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty,
+          s"$name: unpartitioned window over the raw table (single-reducer sort):\n$w")
+      }
+    }
+  }
+
+  test("shard-offset w1_row_number equals the single-reducer window") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("w1_row_number")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val want = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"),
+        row_number().over(Window.orderBy("o_orderkey")).as("rn"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+}
