@@ -9,13 +9,18 @@ Per-query: t_sf01, t_sf1, ratio (sf1/sf01). Rows are classified:
   1-row reports, corpus-independent stress rows)
 - superlinear: ratio > LINEAR_BOUND — listed first, each needs a fix
   or an explicit writeup.
-Negative times (errored rows) and sub-50ms sf0.1 rows are excluded
-from classification (timer noise dominates below that).
+Negative times are "errored". ANY row whose base time is under 50ms is
+excluded from ratio classification (the denominator is timer noise):
+small scaled time -> "noise_floor", large scaled time -> "noisy_base"
+(surfaced in the summary's noisy_base_large_scaled list for manual
+review, but never counted superlinear off a noise denominator).
 
-With a fourth argument (a subset run on a 100x corpus), a second-decade
-"sf10_spot" section records sf1->sf10 ratios for the overlapping rows —
-a two-decade curve for the heavy paths. The sf10 side is single-shot
-(SPARK_GRAFT_BENCH_SINGLE=1), so its ratios carry one-run noise.
+With a fourth argument (a run on the 100x corpus), a second-decade
+"sf10" section records sf1->sf10 ratios for the overlapping rows. When
+the sf10 run covers >= 90% of the sf1 rows it is labeled a FULL second
+decade (run both sides with the default median protocol — no
+SPARK_GRAFT_BENCH_SINGLE); below that it is labeled a single-shot spot
+subset whose ratios carry one-run noise.
 
 Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out] [BENCH_SF10.json]
 """
@@ -46,8 +51,10 @@ for name in sorted(qb):
     else:
         ratio = t1 / t0
         row["ratio"] = round(ratio, 2)
-        if t0 < MIN_BASE_S and t1 < MIN_BASE_S * LINEAR_BOUND:
-            row["class"] = "noise_floor"
+        if t0 < MIN_BASE_S:
+            # noise denominator: never classify a ratio off it
+            row["class"] = ("noise_floor"
+                            if t1 < MIN_BASE_S * LINEAR_BOUND else "noisy_base")
         elif ratio > LINEAR_BOUND:
             row["class"] = "superlinear"
         elif ratio < 2.0:
@@ -66,6 +73,8 @@ summary = {
     "n_compared": len(rows),
     "n_superlinear": len(supers),
     "superlinear": sorted(supers),
+    "noisy_base_large_scaled": sorted(
+        k for k, v in rows.items() if v.get("class") == "noisy_base"),
     "headline_sf01": base.get("value"),
     "headline_sf1": scaled.get("value"),
     "headline_ratio": round(scaled["value"] / base["value"], 2)
@@ -87,8 +96,9 @@ if sf10_path:
         ratio = q10[name] / qs[name]
         row = {"t_sf1": round(qs[name], 4), "t_sf10": round(q10[name], 4),
                "ratio": round(ratio, 2)}
-        if qs[name] < MIN_BASE_S and q10[name] < MIN_BASE_S * LINEAR_BOUND:
-            row["class"] = "noise_floor"
+        if qs[name] < MIN_BASE_S:
+            row["class"] = ("noise_floor"
+                            if q10[name] < MIN_BASE_S * LINEAR_BOUND else "noisy_base")
         elif ratio > LINEAR_BOUND:
             row["class"] = "superlinear"
             sup10.append(name)
@@ -97,13 +107,19 @@ if sf10_path:
         else:
             row["class"] = "linear_ok"
         spot[name] = row
-    doc["sf10_spot"] = {
-        "note": "single-shot subset run on the 100x corpus (60M lineitem "
-                "rows); ratios are sf1->sf10 (10x data)",
+    full = len(spot) >= 0.9 * len(rows)
+    doc["sf10_spot" if not full else "sf10"] = {
+        "note": ("FULL second decade on the 100x corpus (60M lineitem rows), "
+                 "default median protocol on both sides; ratios are sf1->sf10 "
+                 "(10x data)") if full else
+                ("single-shot subset run on the 100x corpus (60M lineitem "
+                 "rows); ratios are sf1->sf10 (10x data)"),
         "sf10_lineitem_rows": s10.get("rows"),
         "headline_sf10": s10.get("value"),
         "n_compared": len(spot),
         "superlinear": sup10,
+        "noisy_base_large_scaled": sorted(
+            k for k, v in spot.items() if v.get("class") == "noisy_base"),
         "queries": spot,
     }
 
@@ -112,5 +128,6 @@ with open(out, "w") as f:
 print(f"[scale] wrote {out}: {len(rows)} rows, "
       f"{len(supers)} superlinear -> {sorted(supers)}")
 if sf10_path:
-    print(f"[scale] sf10 spot: {len(doc['sf10_spot']['queries'])} rows, "
-          f"superlinear -> {doc['sf10_spot']['superlinear']}")
+    key = "sf10" if "sf10" in doc else "sf10_spot"
+    print(f"[scale] {key}: {len(doc[key]['queries'])} rows, "
+          f"superlinear -> {doc[key]['superlinear']}")

@@ -14,13 +14,15 @@ and total rows grow 10x. That is precisely the "same data shape,
 Four content tweaks keep derived workloads honest at 10-100x (replica
 0 is ALWAYS the identity, so capped demo rows that filter to low ids
 see bit-identical data at every scale):
-- documents.text goes through a per-replica letter rotation (r % 26)
-  COMPOSED with a digit rotation (r % 10): each replica's INTERNAL
-  dup/near-dup graph is isomorphic to sf0.1's, and since (r%26, r%10)
-  is injective for r < 130, there are no cross-replica shingle
-  collisions even at 100 replicas — without this every doc would have
-  N-1 exact twins and the LSH pair workload would grow N^2 by corpus
-  construction, not by algorithm behavior.
+- documents.text goes through a per-replica AFFINE letter cipher
+  (i -> (a*i + b) % 26, a in {1,3,5,7} by r//26, b = r % 26 — 104
+  distinct bijections, see caesar_pair) composed with a digit rotation
+  (r % 10): each replica's INTERNAL dup/near-dup graph is isomorphic
+  to sf0.1's, with zero cross-replica token collisions for r < 104
+  (a plain letter rotation wrapped at 26 and collided at the 100x
+  corpus) — without this every doc would have N-1 exact twins and the
+  LSH pair workload would grow N^2 by corpus construction, not by
+  algorithm behavior.
 - embeddings get a deterministic per-dimension, per-replica jitter
   (+0.1*sin(r*131 + i*17), ~30% of the component scale): replicas are
   similar-but-distinct vectors that spread across SRP/LSH buckets the
