@@ -603,17 +603,18 @@ object AnalyticsQueries {
     // (deterministic total orders: doc_id vs (len, doc_id)) and the
     // result is the two-row bill: batches, real tokens, padded slots,
     // waste fraction (one double division of exact integers). The
-    // global row_number is the demo shape (same note as w1/m_roc_auc);
-    // at corpus scale the sort becomes range partitioning by length —
-    // which preserves the like-sized-neighbors property batching needs.
+    // global row_number is served scale-safe via the shard-offset form
+    // (RelationalQueries.shardedRowNumber — range-partitioned parallel
+    // sorts + prefix-count offsets, bitwise the engine window on these
+    // unique sort keys), so neither ordering ever needs a
+    // single-reducer sort of the corpus.
     "t_batch_padding" -> ((s, d) => {
       val B = 32
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      def bill(strategy: String, orderBy: String): DataFrame =
-        docs
-          .withColumn("batch",
-            expr(s"(row_number() OVER (ORDER BY $orderBy) - 1) div $B"))
+      def bill(strategy: String, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+        RelationalQueries.shardedRowNumber(docs, orderCols, "rn")
+          .withColumn("batch", expr(s"(rn - 1) div $B"))
           .groupBy("batch")
           .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("tok"))
           .agg(count(lit(1)).as("n_batches"),
@@ -623,8 +624,8 @@ object AnalyticsQueries {
             col("real_tokens"), col("padded_slots"),
             ((col("padded_slots") - col("real_tokens")).cast("double")
               / col("padded_slots").cast("double")).as("waste_frac"))
-      bill("arrival", "doc_id")
-        .unionByName(bill("length_sorted", "len, doc_id"))
+      bill("arrival", Seq(col("doc_id")))
+        .unionByName(bill("length_sorted", Seq(col("len"), col("doc_id"))))
     }),
 
     // Collocation mining — PMI-style lift over ADJACENT token bigrams:

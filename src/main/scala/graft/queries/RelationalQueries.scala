@@ -30,6 +30,34 @@ object RelationalQueries {
   private def sumCents(c: org.apache.spark.sql.Column) =
     sum(round(c * 100).cast("long")) / 100.0
 
+  /** GLOBAL row_number over a total order WITHOUT a single-reducer
+    * sort: range-partition on `sortCols`, row_number within each shard
+    * (parallel sorts bounded by shard size), then add each shard's
+    * prefix-count offset. Per-shard totals are a |shards|-row frame —
+    * its prefix-sum window is one task over ~|cpus| rows, broadcast
+    * back. pid order = key order because range partitioning is
+    * value-based and AQE merges only contiguous shuffle partitions;
+    * the shared range exchange materializes once (exchange/AQE stage
+    * reuse), so both consumers see identical shard boundaries. For a
+    * TOTAL order (unique `sortCols`) the output is bitwise the
+    * engine's unpartitioned window. Appends `out` (long, 1-based) to
+    * the input's columns. Used by w1_row_number and t_batch_padding;
+    * same pattern as TextQueries.corpusShuffle's shard offsets. */
+  private[queries] def shardedRowNumber(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__rn_local",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortCols: _*)))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum("__tot").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    local.join(broadcast(offs.select("__pid", "__off")), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__rn_local"))
+      .drop("__pid", "__rn_local", "__off")
+  }
+
   val defs: Map[String, Q] = Map(
     // S1/P5/P4: projection + selection, pushed into the parquet scan.
     "s1_scan_pushdown" -> ((s, d) =>
@@ -132,30 +160,13 @@ object RelationalQueries {
     // W1: GLOBAL row_number over a total order, served scale-safe: the
     // engine window (Window.orderBy with no partition) is a single
     // reducer, so the declared row now uses the shard-offset form its
-    // own comment used to point at — range-partition on the key,
-    // row_number within each shard (parallel sorts bounded by shard
-    // size), then add each shard's prefix-count offset (per-shard
-    // totals are a |shards|-row frame; its prefix-sum window is a
-    // single task over ~32 rows, broadcast back). pid order = key
-    // order because range partitioning is value-based and AQE merges
-    // only contiguous shuffle partitions; the shared range exchange
-    // materializes once (exchange/AQE stage reuse), so both consumers
-    // see the same shard boundaries. Output is bitwise the
-    // single-reducer window's (o_orderkey is unique), oracle unchanged.
-    "w1_row_number" -> ((s, d) => {
-      val ranged = Tables.orders(s, d).select(col("o_orderkey"))
-        .repartitionByRange(col("o_orderkey"))
-        .withColumn("pid", spark_partition_id())
-      val local = ranged.withColumn("rn_local",
-        row_number().over(Window.partitionBy("pid").orderBy("o_orderkey")))
-      val offs = local.groupBy("pid").agg(count(lit(1)).as("tot"))
-        .withColumn("off", coalesce(
-          sum("tot").over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      local.join(broadcast(offs.select("pid", "off")), Seq("pid"))
-        .select(col("o_orderkey"),
-          (col("off") + col("rn_local")).cast("int").as("rn"))
-    }),
+    // own comment used to point at ([[shardedRowNumber]]). Output is
+    // bitwise the single-reducer window's (o_orderkey is unique),
+    // oracle unchanged.
+    "w1_row_number" -> ((s, d) =>
+      shardedRowNumber(Tables.orders(s, d).select(col("o_orderkey")),
+          Seq(col("o_orderkey")), "rn")
+        .select(col("o_orderkey"), col("rn").cast("int").as("rn"))),
 
     // W4: lag + rolling mean frame per key (the pm2.5 lag features).
     "w4_rolling_window" -> ((s, d) => {

@@ -48,7 +48,7 @@ class NtileScaleSpec extends AnyFunSuite {
 
   test("w6/w1 declared plans range-partition the data path (no whole-table sort task)") {
     val d = "/root/testdata/sf0.001"
-    for (name <- Seq("w6_ntile", "w1_row_number")) {
+    for (name <- Seq("w6_ntile", "w1_row_number", "t_batch_padding")) {
       val plan = graft.SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
       assert(plan.toString.contains("rangepartitioning"),
         s"$name must carry a range exchange on the data path:\n$plan")
@@ -68,6 +68,28 @@ class NtileScaleSpec extends AnyFunSuite {
           s"$name: unpartitioned window over the raw table (single-reducer sort):\n$w")
       }
     }
+  }
+
+  test("sharded t_batch_padding equals the single-reducer window form") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    def engineBill(strategy: String, orderBy: String) = docs
+      .withColumn("batch", expr(s"(row_number() OVER (ORDER BY $orderBy) - 1) div 32"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n"), max("len").as("mx"), sum("len").as("tok"))
+      .agg(count(lit(1)).as("n_batches"), sum("tok").as("real_tokens"),
+        sum(col("n") * col("mx")).as("padded_slots"))
+      .select(lit(strategy).as("strategy"), col("n_batches"),
+        col("real_tokens"), col("padded_slots"),
+        ((col("padded_slots") - col("real_tokens")).cast("double")
+          / col("padded_slots").cast("double")).as("waste_frac"))
+    val want = engineBill("arrival", "doc_id")
+      .unionByName(engineBill("length_sorted", "len, doc_id"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val got = graft.SparkEntry.queries("t_batch_padding")(spark, d)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(got.toSeq == want.toSeq)
   }
 
   test("shard-offset w1_row_number equals the single-reducer window") {
