@@ -6,25 +6,28 @@ import org.apache.spark.sql.functions._
 /** The Knuth-multiply integer Bernoulli hash shared by every
   * sampling / splitting / sharding query (t_balanced_sample,
   * t_split_assign, t_mix_sources, s3_sharded_export): bucket(id) in
-  * [0, mod) from `((id * Mult) % P) % mod` — pure integer ops, so
+  * [0, mod) from `(((id % P) * Mult) % P) % mod` — pure integer ops, so
   * retries, AQE re-plans and the DuckDB oracle agree bit-exactly.
-  * ONE definition: rescaling the constant or rewording the overflow
-  * guard happens here, not at each call site.
+  * ONE definition: rescaling the constant happens here, not at each
+  * call site.
   */
 object Hashing {
-  /** Knuth's multiplicative constant; id * Mult must stay in Long. */
+  /** Knuth's multiplicative constant. */
   val Mult = 2654435761L
 
-  /** `((id * Mult) % TextHash.P) % mod` — non-negative for ids >= 0. */
-  def bucket(id: Column, mod: Long): Column =
-    pmod((id * lit(Mult)) % lit(TextHash.P), lit(mod))
+  /** `(((id % P) * Mult) % P) % mod`, canonicalized non-negative.
+    * The id is reduced mod P BEFORE the multiply: since P < 2^30 and
+    * Mult < 2^32, the product stays under 2^62 for EVERY Long id —
+    * no overflow at any corpus size (the unreduced `id * Mult` wraps
+    * silently past id ~3.5e9 — or throws under ANSI — which is ~3 B
+    * keys, well inside a 100 TB corpus). Modular arithmetic makes the
+    * reduced form bit-identical to the unreduced one wherever the
+    * latter was valid, so every oracle mirror (which keeps the
+    * unreduced spelling over gate-SF ids < P) is unchanged. */
+  def bucket(id: Column, mod: Long): Column = bucket(id, lit(mod))
 
-  /** Fail loudly BEFORE the multiply can wrap: Spark Longs wrap
-    * silently (and pmod would "rescue" the negative) while DuckDB's
-    * checked BIGINT multiply throws — a silent wrap would hash-mismatch
-    * instead of erroring. */
-  def requireNoOverflow(maxId: Long, name: String): Unit =
-    require(maxId <= Long.MaxValue / Mult,
-      s"$name: max id $maxId would overflow the Long hash multiply — " +
-        "rescale Hashing.Mult first")
+  /** Same hash with a per-row modulus column (sub-bucket splits whose
+    * fan-out is data-dependent, e.g. the ANN bucket-occupancy cap). */
+  def bucket(id: Column, mod: Column): Column =
+    pmod(((id % lit(TextHash.P)) * lit(Mult)) % lit(TextHash.P), mod)
 }

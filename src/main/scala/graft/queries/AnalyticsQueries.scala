@@ -368,8 +368,6 @@ object AnalyticsQueries {
     // bitwise-reproducible, unlike any sampled/approximate KS. One
     // groupBy + one small window at any scale.
     "m_ks_drift" -> ((s, d) => {
-      graft.functions.Hashing.requireNoOverflow(
-        Tables.lineitem(s, d).agg(max(col("l_orderkey"))).head().getLong(0), "m_ks_drift")
       val li = Tables.lineitem(s, d).select(col("l_quantity").as("v"),
         graft.functions.Hashing.bucket(col("l_orderkey"), 2L).as("half"))
       val per = li.groupBy("v").agg(
@@ -502,8 +500,6 @@ object AnalyticsQueries {
     // per-user collapse, then the 2-row arm rollup.
     "m_ab_ztest" -> ((s, d) => {
       val e = Tables.events(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        e.agg(max(col("user_id"))).head().getLong(0), "m_ab_ztest")
       // conversion = "heavy purchaser" (>= 14 purchase events): every
       // user purchases at least once in this data, so the any-purchase
       // definition degenerates to pool = 1 and an undefined z

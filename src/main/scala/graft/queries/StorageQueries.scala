@@ -152,8 +152,6 @@ object StorageQueries {
   private def shardedExport(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "shard_export") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s3_sharded_export")
       docs
         .withColumn("shard",
           graft.functions.Hashing.bucket(col("doc_id"), NumShards.toLong))
@@ -238,8 +236,6 @@ object StorageQueries {
   private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "schema_evo") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s7_schema_evolution")
       val half = graft.functions.Hashing.bucket(col("doc_id"), 2L)
       docs.filter(half === 0L).select("doc_id", "text", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$p/seg=old")
@@ -292,8 +288,6 @@ object StorageQueries {
   private def upsertSnapshot(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "upsert_snap") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s8_upsert_snapshot")
       docs.write.mode("overwrite").parquet(s"$p/snap_v1")
       // the "re-crawl": ~1/4 of docs arrive updated (v2 text, new length)
       val delta = docs
@@ -334,8 +328,6 @@ object StorageQueries {
   private def scd2History(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "scd2_hist") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s9_scd2_history")
       val updatedKey = graft.functions.Hashing.bucket(col("doc_id"), 4L) === 0L
       // version-1 ledger: every doc open since epoch 0
       val v1 = docs.select(col("doc_id"), col("source"), col("n_chars"),
@@ -468,8 +460,6 @@ object StorageQueries {
   private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "snap_diff") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s12_snapshot_diff")
       val bucket = graft.functions.Hashing.bucket(col("doc_id"), 8L)
       docs.write.mode("overwrite").parquet(s"$p/v1")
       val updated = docs.filter(bucket === 0L)
@@ -517,8 +507,6 @@ object StorageQueries {
   private def gdprDelete(s: SparkSession, d: String): DataFrame = {
     val tmp = stagedOnce(s, d, "gdpr_delete") { p =>
       val docs = Tables.documents(s, d)
-      graft.functions.Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), "s13_gdpr_delete")
       docs.write.mode("overwrite").parquet(s"$p/v1")
       val v1 = s.read.parquet(s"$p/v1")
       val del = v1.filter(graft.functions.Hashing.bucket(col("doc_id"), 16L) === 0L)

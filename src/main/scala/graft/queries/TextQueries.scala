@@ -144,7 +144,7 @@ object TextQueries {
     // integer ceil-div (`div`, not `/` — Spark's `/` is double division)
     val nSub = greatest(lit(1L), expr(s"(bucket_n + ${cap - 1}) div $cap"))
     val sub = e.join(broadcast(sizes), Seq("bucket"))
-      .withColumn("sub", pmod((col("vec_id") * lit(Hashing.Mult)) % lit(P), nSub))
+      .withColumn("sub", Hashing.bucket(col("vec_id"), nSub))
     val a = sub.select(col("bucket"), col("sub"), col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
     val b = sub.select(col("bucket"), col("sub"), col("vec_id").as("n_id"),
@@ -1230,8 +1230,7 @@ object TextQueries {
       // broadcast side both come from the collected rows instead of
       // re-running the scan as the join's build side.
       val countRows = e.groupBy("event_type").agg(
-        count(lit(1)).as("cnt"), max(col("event_id")).as("max_id")).collect()
-      Hashing.requireNoOverflow(countRows.map(_.getLong(2)).max, "t_balanced_sample")
+        count(lit(1)).as("cnt")).collect()
       val target = countRows.map(_.getLong(1)).min
       import s.implicits._
       val counts = countRows.map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1256,7 +1255,6 @@ object TextQueries {
     // document content, no driver state.
     "t_split_assign" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      assertHashSafe(docs, d, "t_split_assign")
       val split = when(idBucket < 800000L, "train")
         .when(idBucket < 900000L, "val")
         .otherwise("test")
@@ -1278,7 +1276,6 @@ object TextQueries {
     // raises the shard count.
     "t_corpus_shuffle" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      assertHashSafe(docs, d, "t_corpus_shuffle")
       corpusShuffle(docs, ShuffleShards)
     }),
 
@@ -1295,8 +1292,7 @@ object TextQueries {
     "t_mix_sources" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val countRows = docs.groupBy("source").agg(
-        count(lit(1)).as("cnt"), max(col("doc_id")).as("max_id")).collect()
-      Hashing.requireNoOverflow(countRows.map(_.getLong(2)).max, "t_mix_sources")
+        count(lit(1)).as("cnt")).collect()
       import s.implicits._
       val quotas = countRows.map { r =>
         val n = r.getLong(1)
@@ -1385,7 +1381,6 @@ object TextQueries {
     // loader actually consumes.
     "t_seq_packing" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      assertHashSafe(docs, d, "t_seq_packing")
       packManifest(docs)
     }),
 
@@ -1402,7 +1397,6 @@ object TextQueries {
     // their reducer — exactly the shuffle the real payload write pays.
     "t_pack_payload" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      assertHashSafe(docs, d, "t_pack_payload")
       val w = Window.partitionBy("shard").orderBy("doc_id")
       val staged = docs.filter(col("text").isNotNull)
         .select(col("doc_id"), col("text"),
@@ -1443,7 +1437,6 @@ object TextQueries {
     // this composite can never disagree with its component queries.
     "x_pipeline_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      assertHashSafe(docs, d, "x_pipeline_e2e") // same shard hash as t_seq_packing
       val kept = verdictFrame(s, d)
         .filter(col("verdict") === "kept").select("doc_id")
       packManifest(docs.join(kept, "doc_id"))
@@ -1546,13 +1539,6 @@ object TextQueries {
   private def idBucket: Column = Hashing.bucket(col("doc_id"), 1000000L)
   // overflow guard memoized per (session, corpus) so timed bench
   // re-invocations don't re-pay the max() scan
-  private val hashSafe =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
-  private def assertHashSafe(docs: DataFrame, d: String, name: String): Unit =
-    hashSafe.getOrElseUpdate((docs.sparkSession, d),
-      Hashing.requireNoOverflow(
-        docs.agg(max(col("doc_id"))).head().getLong(0), name))
-
   // ------------------------- oracle SQL ------------------------------
 
   private val P = TextHash.P

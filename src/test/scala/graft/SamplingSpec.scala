@@ -218,8 +218,14 @@ class SamplingSpec extends AnyFunSuite {
       val expect = ((id * Hashing.Mult) % graft.functions.TextHash.P) % 1000000L
       assert(r.getLong(1) == expect, s"id $id")
     }
-    intercept[IllegalArgumentException] {
-      Hashing.requireNoOverflow(Long.MaxValue / 2, "spec")
+    // overflow-proof at ANY id: the reduce-first form must equal the
+    // BigInt modular value where the unreduced multiply would wrap
+    val huge = Seq(Long.MaxValue, Long.MaxValue / 2, 4000000000L).toDF("id")
+      .select(col("id"), Hashing.bucket(col("id"), 1000000L).as("b")).collect()
+    huge.foreach { r =>
+      val id = BigInt(r.getLong(0))
+      val expect = ((id * Hashing.Mult) mod BigInt(graft.functions.TextHash.P)) % 1000000L
+      assert(BigInt(r.getLong(1)) == expect, s"id $id")
     }
   }
 
