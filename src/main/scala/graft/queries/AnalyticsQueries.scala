@@ -114,7 +114,7 @@ object AnalyticsQueries {
     * range-partitioned prefix sum — same plan family as m_ks_drift's
     * note. Returns one row per group: (groupCol, names...). Values
     * must be non-null. */
-  private def sortedQuantiles(df: DataFrame, groupCol: String, valCol: String,
+  private[queries] def sortedQuantiles(df: DataFrame, groupCol: String, valCol: String,
       ps: Seq[(Double, String)]): DataFrame = {
     val pc = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__cnt"))

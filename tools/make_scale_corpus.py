@@ -66,8 +66,12 @@ def src(t):
 def caesar_pair(r):
     """translate() from/to alphabets via an AFFINE cipher on letters:
     index i -> (a*i + b) % 26 with a = one of four units mod 26 chosen
-    by r//26 and b = r%26 — 104 distinct letter bijections, so up to
-    104 replicas have zero cross-replica token collisions even on
+    by r//26 and b = r%26 — 104 distinct letter bijections. Two
+    distinct affine maps agree on at most TWO letters, and only on a
+    pair exactly 13 apart ((a1-a2)(i1-i2) = 0 mod 26 with a1-a2 in
+    {2,4,6} forces i1-i2 = 13; none at all when only b differs), so up
+    to 104 replicas have zero cross-replica collisions for any token
+    whose distinct letters are not one such 13-apart pair, even on
     digitless text (a plain rotation wraps at 26 and gave r, r+26, ...
     identical mappings — caught at the 100x corpus). Digits rotate by
     r % 10 on top. r=0 is the identity (a=1, b=0)."""
