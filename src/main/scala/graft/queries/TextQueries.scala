@@ -141,10 +141,28 @@ object TextQueries {
   private[queries] def annBucketTop1(e: DataFrame, cap: Int): DataFrame = {
     // |buckets| rows, <= 2^srpBits — broadcast-tiny beside the corpus
     val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    // Parallelism must be sized to the join's OUTPUT, not its input:
+    // the (bucket, sub) self-join reads ~n rows but emits
+    // Σ n_b·min(n_b, cap) pair rows (76 M at the 100x corpus from a
+    // 100 MB input) — AQE's coalescing sees only the input bytes and
+    // shrank the expansion to a couple of tasks (measured 31 s where
+    // the pair arithmetic itself is ~3 s of CPU). Pre-partition both
+    // sides by the join key at an explicit pair-work-derived count
+    // (~2 M pair rows per task) — a user-specified numPartitions is
+    // exempt from AQE coalescing, and both join inputs inherit the one
+    // exchange, so this REPLACES the join's implicit shuffles. The
+    // pair-work scalar costs one tiny agg over the bucket-histogram
+    // frame the join broadcasts anyway.
+    val pairWork = Option(sizes
+      .agg(sum(col("bucket_n") * least(col("bucket_n"), lit(cap.toLong))))
+      .head()).filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    val parts = math.max(e.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, pairWork / 2000000L).toInt)
     // integer ceil-div (`div`, not `/` — Spark's `/` is double division)
     val nSub = greatest(lit(1L), expr(s"(bucket_n + ${cap - 1}) div $cap"))
     val sub = e.join(broadcast(sizes), Seq("bucket"))
       .withColumn("sub", Hashing.bucket(col("vec_id"), nSub))
+      .repartition(parts, col("bucket"), col("sub"))
     val a = sub.select(col("bucket"), col("sub"), col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
     val b = sub.select(col("bucket"), col("sub"), col("vec_id").as("n_id"),
