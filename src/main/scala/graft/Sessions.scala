@@ -33,6 +33,23 @@ object Sessions {
     math.min(1024L, math.max(cpus.toLong, target))
   }
 
+  /** SCAN split size, sized from the input like the shuffle knob:
+    * Spark's default 128 MB maxPartitionBytes packs a whole mid-size
+    * table into one or two scan tasks (the 100x corpus's 211 MB events
+    * table scanned on 2 of 32 cores, 52 MB embeddings on ONE — the
+    * full-protocol sf10 run measured every scan-dominated row 6-30x
+    * slower than its CPU cost: t_balanced_sample 13 s,
+    * t_ann_lsh_bucket 6.8 s for ~1 s of work). Target ~4 read tasks
+    * per core over the whole input dir, floored at 4 MB so gate-SF
+    * layouts keep their current (near-single-task) shape and capped at
+    * the 128 MB default: the 100x corpus (2.5 GB / 128) lands at
+    * ~20 MB splits — events scans on ~10 cores, lineitem on ~90. On a
+    * real cluster the same sizing logic is the executor-count knob. */
+  private def scanPartitionBytes(cpus: Int, dataDir: Option[String]): Long = {
+    val bytes = dataDir.map(dirBytes).getOrElse(0L)
+    math.max(4L << 20, math.min(128L << 20, bytes / (cpus.toLong * 4L)))
+  }
+
   def local(appName: String, defaultCpus: String = "4",
       dataDir: Option[String] = None): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
@@ -51,6 +68,11 @@ object Sessions {
       // shuffle never pays hundreds of phantom tasks.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialParts.toString)
+      // Scan splits sized from the input too ([[scanPartitionBytes]]):
+      // the 128 MB default serializes mid-size table scans locally.
+      .config("spark.sql.files.maxPartitionBytes",
+        scanPartitionBytes(cpus.toInt,
+          dataDir.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS) — unsupported natively;
