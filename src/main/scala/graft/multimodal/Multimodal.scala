@@ -369,8 +369,9 @@ object Multimodal {
   // back through AudioSystem.getAudioInputStream inside the same
   // mapPartitions batch shape. PCM-in-WAV is lossless, so the green
   // hash proves the encode → WAV → decode round trip is bit-exact.
-  // After this, only VIDEO decode remains a declared stub (no codec in
-  // the JVM or container).
+  // With the MJPEG-in-AVI path below, every modality now has a real
+  // codec/container row; only COMPRESSED video codecs (H.264 etc.)
+  // remain environmental.
 
   val WavSampleRate = 8000
   def wavSamples(id: Long): Int = 400 + (id % 7).toInt * 50
@@ -442,6 +443,231 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         decodeWav(id, synthWav(id))
+      }
+    }(enc)
+  }
+
+  // ---- REAL video container path (round 11) ----
+  // MJPEG-in-AVI: the JVM ships no compressed-video codec, but MJPEG
+  // needs none — each frame is an ordinary JPEG, and the AVI container
+  // is a plain RIFF chunk tree. So video gets the same treatment as
+  // the other modalities: deterministic per-frame RGB gradients (a
+  // pure function of (id, frame, x, y)) encode frame-by-frame with the
+  // REAL javax.imageio JPEG writer, wrap in a spec-conformant AVI
+  // (RIFF 'AVI ' → LIST hdrl [avih + LIST strl(strh 'vids'/'MJPG' +
+  // strf BITMAPINFOHEADER)] → LIST movi ['00dc' chunks] → idx1), and
+  // the decoder WALKS THE RIFF TREE back: header facts (frame count,
+  // dims) come from avih, frames from the movi '00dc' chunks, each
+  // decoded by the real JPEG reader. JPEG is lossy, so the pixel check
+  // is the invariant-verdict pattern ([[JpegMeanErrBound]]): mean abs
+  // reconstruction error per frame must clear the bound, declared as a
+  // hashed boolean the oracle pins true. Dimensions, frame ids and the
+  // header/index frame counts are exact and fully oracled. After this
+  // row no modality is a stub; only COMPRESSED video codecs (H.264
+  // etc.) remain environmental.
+
+  def vidWidth(id: Long): Int = 16 + (id % 6).toInt
+  def vidHeight(id: Long): Int = 12 + (id % 4).toInt
+  def vidFrames(id: Long): Int = 2 + (id % 3).toInt
+  /** Smooth per-frame gradients (the JPEG-path rationale, see
+    * [[jpegR]]): values stay in [32, 222] — no clipping. */
+  def vidR(id: Long, f: Int, x: Int, y: Int): Int =
+    32 + ((id * 5 + f * 11) % 80).toInt + x * 2 + y
+  def vidG(id: Long, f: Int, x: Int, y: Int): Int =
+    48 + ((id * 3 + f * 7) % 64).toInt + x + y * 2
+  def vidB(id: Long, f: Int, x: Int, y: Int): Int =
+    64 + ((id * 7 + f * 13) % 48).toInt + x + y
+
+  val AviFps = 10
+  private def fourcc(s: String): Array[Byte] = {
+    require(s.length == 4); s.getBytes("US-ASCII")
+  }
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ le32(body.length) ++ body ++ pad
+  }
+  private def list(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(listType) ++ body)
+
+  /** One frame of video `id` as a [[java.awt.image.BufferedImage]]. */
+  private def vidFrameImage(id: Long, f: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (vidWidth(id), vidHeight(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (vidR(id, f, x, y) << 16) | (vidG(id, f, x, y) << 8) | vidB(id, f, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode a BufferedImage to real JPEG bytes at quality 0.95 (the
+    * [[synthJpeg]] writer settings). */
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "JVM has no JPEG ImageWriter")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Synthesize the deterministic test video for `id` as a REAL
+    * MJPEG-in-AVI byte stream: every frame a genuine JPEG, the
+    * container a spec-conformant RIFF tree with hdrl/strl headers,
+    * movi data chunks and an idx1 keyframe index. */
+  def synthAviMjpeg(id: Long): Array[Byte] = {
+    val (w, h, n) = (vidWidth(id), vidHeight(id), vidFrames(id))
+    val frames = (0 until n).map(f => jpegBytes(vidFrameImage(id, f)))
+    val maxBuf = frames.map(_.length).max
+    // MainAVIHeader (56 bytes)
+    val avih = chunk("avih",
+      le32(1000000 / AviFps) ++ le32(maxBuf * AviFps) ++ le32(0) ++
+      le32(0x10 /* AVIF_HASINDEX */) ++ le32(n) ++ le32(0) ++ le32(1) ++
+      le32(maxBuf) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    // AVIStreamHeader (56 bytes): 'vids'/'MJPG', scale/rate = 1/fps
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(AviFps) ++ le32(0) ++ le32(n) ++
+      le32(maxBuf) ++ le32(-1) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    // BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+    val strf = chunk("strf",
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      fourcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val moviChunks = frames.map(fb => chunk("00dc", fb))
+    val movi = list("movi", moviChunks.flatten.toArray)
+    // idx1: offsets are from the start of the movi list's data (the
+    // 'movi' fourcc itself is at offset 0, first chunk at offset 4)
+    val offsets = moviChunks.scanLeft(4)((off, c) => off + c.length)
+    val idx1 = chunk("idx1",
+      frames.indices.flatMap { f =>
+        fourcc("00dc") ++ le32(0x10 /* AVIIF_KEYFRAME */) ++
+          le32(offsets(f)) ++ le32(frames(f).length)
+      }.toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_ok", BooleanType, nullable = false)))
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL video decode: walk the RIFF chunk tree — header facts from
+    * avih, stream type/handler validated from strh, frames extracted
+    * from the movi '00dc' chunks and each decoded with the real JPEG
+    * reader. Frame count and dimensions come from the CONTAINER
+    * HEADER and the DECODED frames (asserted consistent with the idx1
+    * index), not the generator; the oracle pins the expectations. */
+  def decodeAviFrames(id: Long, payload: Array[Byte]): Iterator[Row] = {
+    require(payload != null && payload.length > 12, s"media $id: empty AVI payload")
+    require(cc(payload, 0) == "RIFF" && cc(payload, 8) == "AVI ",
+      s"media $id: not a RIFF/AVI stream")
+    val riffEnd = 8 + rdLe32(payload, 4)
+    require(payload.length >= riffEnd,
+      s"media $id: truncated AVI — RIFF declares $riffEnd bytes, stream has ${payload.length}")
+    var (nHdr, wHdr, hHdr, idxEntries) = (-1, -1, -1, -1)
+    var frames = Vector.empty[Array[Byte]]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val (cid, size) = (cc(payload, off), rdLe32(payload, off + 4))
+      if (cid == "LIST") {
+        val listType = cc(payload, off + 8)
+        if (listType == "hdrl") {
+          // avih is hdrl's first sub-chunk per spec
+          require(cc(payload, off + 12) == "avih", s"media $id: hdrl lacks avih")
+          val a = off + 20
+          nHdr = rdLe32(payload, a + 16)
+          wHdr = rdLe32(payload, a + 32)
+          hHdr = rdLe32(payload, a + 36)
+          // locate strl/strh, validate stream type + handler
+          val strl = a + rdLe32(payload, off + 16)
+          require(cc(payload, strl) == "LIST" && cc(payload, strl + 8) == "strl" &&
+            cc(payload, strl + 12) == "strh", s"media $id: hdrl lacks strl/strh")
+          require(cc(payload, strl + 20) == "vids" && cc(payload, strl + 24) == "MJPG",
+            s"media $id: stream is not MJPEG video")
+        } else if (listType == "movi") {
+          var p = off + 12
+          val end = off + 8 + size
+          while (p + 8 <= end) {
+            val (fid, fsize) = (cc(payload, p), rdLe32(payload, p + 4))
+            if (fid == "00dc")
+              frames :+= java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + fsize)
+            p += 8 + fsize + (fsize % 2) // chunks are word-aligned
+          }
+        }
+      } else if (cid == "idx1") {
+        idxEntries = size / 16
+      }
+      off += 8 + size + (size % 2)
+    }
+    require(nHdr >= 0, s"media $id: no avih header found")
+    require(frames.length == nHdr && idxEntries == nHdr,
+      s"media $id: header says $nHdr frames, movi has ${frames.length}, idx1 has $idxEntries")
+    frames.iterator.zipWithIndex.map { case (fb, f) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      require(img != null, s"media $id frame $f: not a decodable JPEG")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w == wHdr && h == hHdr,
+        s"media $id frame $f: ${w}x$h differs from header ${wHdr}x$hHdr")
+      var errSum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          errSum += math.abs(((rgb >> 16) & 0xff) - vidR(id, f, x, y)).toLong
+          errSum += math.abs(((rgb >> 8) & 0xff) - vidG(id, f, x, y)).toLong
+          errSum += math.abs((rgb & 0xff) - vidB(id, f, x, y)).toLong
+          x += 1
+        }
+        y += 1
+      }
+      val meanErr = errSum.toDouble / (w.toLong * h * 3).toDouble
+      Row(id, f, w, h, nHdr, meanErr <= JpegMeanErrBound)
+    }
+  }
+
+  /** encode → AVI → decode-all-frames per partition — the
+    * [[gifFramesPipeline]] one-to-many batch shape with a real
+    * container walk + lossy codec inside. */
+  def videoFramesPipeline(ids: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoFrameSchema)
+    ids.select("media_id").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decodeAviFrames(id, synthAviMjpeg(id))
       }
     }(enc)
   }

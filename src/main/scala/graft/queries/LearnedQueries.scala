@@ -1099,6 +1099,23 @@ object LearnedQueries {
         Tables.documents(s, d).filter(col("doc_id") < 1000L)
           .select(col("doc_id").as("media_id")))),
 
+    // REAL video decode (round 11): MJPEG-in-AVI — every frame a
+    // genuine JPEG from the real javax.imageio writer, wrapped in a
+    // spec-conformant RIFF/AVI container (hdrl/strl headers, movi data
+    // chunks, idx1 index) and decoded back by WALKING THE RIFF TREE:
+    // frame count + dims from the avih header (asserted consistent
+    // with movi and idx1), each frame through the real JPEG reader.
+    // Dims/frame ids are exact (oracled from the id formula); pixels
+    // are lossy, so the per-frame verdict is the JPEG bound pattern —
+    // mean abs reconstruction error ≤ JpegMeanErrBound, hashed as a
+    // boolean the oracle pins true. Closes the last modality stub;
+    // only COMPRESSED video codecs (H.264 etc.) remain environmental.
+    // The doc_id < 600 cap (mirrored) bounds codec wall-clock.
+    "x_multimodal_video" -> ((s, d) =>
+      Multimodal.videoFramesPipeline(
+        Tables.documents(s, d).filter(col("doc_id") < 600L)
+          .select(col("doc_id").as("media_id")))),
+
     // Tumbling-window aggregate (same code path batch + streaming).
     "x_stream_window" -> ((s, d) =>
       StreamOps.windowedCounts(Tables.events(s, d), exactSums = true)
@@ -1966,6 +1983,18 @@ object LearnedQueries {
         |SELECT media_id, 8000 AS sample_rate, n_samples,
         |  sum(s)::BIGINT AS sum_samples, sum(abs(s))::BIGINT AS sum_abs
         |FROM v GROUP BY 1, 2, 3""".stripMargin,
+    // the real MJPEG-in-AVI round trip: expected frame grid straight
+    // from the generative formulas; the lossy pixel check rides as the
+    // pinned frame_ok verdict (the JPEG pattern)
+    "x_multimodal_video" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    (16 + doc_id % 6)::INTEGER AS width,
+        |    (12 + doc_id % 4)::INTEGER AS height,
+        |    (2 + doc_id % 3)::BIGINT AS n_frames
+        |  FROM documents WHERE doc_id < 600)
+        |SELECT media_id, unnest(range(0, n_frames))::INTEGER AS frame_id,
+        |  width, height, n_frames::INTEGER AS n_frames, true AS frame_ok
+        |FROM ids""".stripMargin,
     // the real-PNG round trip: expected pixels straight from the
     // generative formula — no codec on the oracle side
     "x_multimodal_png" ->

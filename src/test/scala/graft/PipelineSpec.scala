@@ -641,4 +641,37 @@ class PipelineSpec extends AnyFunSuite {
     val ok = Multimodal.jpegPipeline(ids).agg(min("jpeg_ok")).head().getBoolean(0)
     assert(ok, "some id in range failed the JPEG error bound — tighten quality or bound")
   }
+
+  test("real MJPEG-in-AVI video: container walk + per-frame JPEG round trip") {
+    val id = 13L
+    val bytes = Multimodal.synthAviMjpeg(id)
+    // genuine RIFF/AVI magic
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AVI ")
+    // RIFF size field covers the whole stream
+    val riffSize = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
+      ((bytes(6) & 0xff) << 16) | ((bytes(7) & 0xff) << 24)
+    assert(riffSize + 8 == bytes.length, "RIFF size field inconsistent with stream length")
+    val rows = Multimodal.decodeAviFrames(id, bytes).toSeq
+    val (w, h, n) = (Multimodal.vidWidth(id), Multimodal.vidHeight(id), Multimodal.vidFrames(id))
+    assert(rows.length == n, s"container walk found ${rows.length} frames, generator wrote $n")
+    rows.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getInt(1) == f && r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == n)
+      assert(r.getBoolean(5), s"frame $f mean reconstruction error exceeded the bound")
+    }
+    // the parser is a real container walk: truncating movi or breaking
+    // the header fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(id, bytes.take(bytes.length - 24))
+    }
+    val broken = bytes.clone(); broken(8) = 'X'.toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeAviFrames(id, broken) }
+    // distributed: container -> frames flatMap preserves partitioning
+    val ids = spark.range(0, 30).select(col("id").as("media_id")).repartition(3)
+    val out = Multimodal.videoFramesPipeline(ids)
+    assert(out.rdd.getNumPartitions == 3)
+    assert(out.count() == (0L until 30L).map(Multimodal.vidFrames(_).toLong).sum)
+    val allOk = out.agg(min("frame_ok")).head().getBoolean(0)
+    assert(allOk, "some frame in range failed the reconstruction bound")
+  }
 }
