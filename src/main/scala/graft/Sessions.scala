@@ -7,11 +7,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  /** Recursive on-disk size of the input dir (0 when absent/unset). */
+  /** Recursive on-disk size of the input dir (0 when absent/unset).
+    * Symlinked DIRECTORIES are not followed (a link cycle would recurse
+    * forever; none of our layouts use them), and a file deleted by a
+    * concurrent writer mid-walk just contributes length 0 — the result
+    * only sizes two session knobs, so approximate is fine. */
   private def dirBytes(path: String): Long = {
     def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.isFile) f.length()
+      else 0L
     walk(new java.io.File(path))
   }
 
@@ -26,7 +32,18 @@ object Sessions {
     * both: sf0.1 -> cpus (the r9 plan), 100x corpus (2.5 GB) -> ~315.
     * This is the local-mode analog of sizing shuffle partitions to
     * data volume on a real cluster. Streaming state stores ignore it
-    * (they pin spark.sql.shuffle.partitions at checkpoint creation). */
+    * (they pin spark.sql.shuffle.partitions at checkpoint creation).
+    *
+    * r12 postscript on the r11 `t_decontaminate_bloom` regression
+    * (1.33 -> 2.90 s at sf0.1): bisecting the two knobs showed the
+    * scan floor was NOT the cost and the bloom literal (5 KB) was
+    * irrelevant; warm, this knob adds ~0.15-0.25 s of fixed overhead
+    * per small-data shuffle action at sf0.1 (32 pre-coalesce reducers
+    * where 256+AQE coalesced tighter). The bloom query paid that 4x
+    * because it ran four driver actions, each re-deriving the
+    * benchmark-set distinct; the fix was structural in the query
+    * (cache the benchmark set, fold 3 verdict counts into 1 agg),
+    * not here — the probe-family wins from input-sizing stand. */
   private def initialShufflePartitions(cpus: Int, dataDir: Option[String]): Long = {
     val bytes = dataDir.map(dirBytes).getOrElse(0L)
     val target = (bytes + (8L << 20) - 1) / (8L << 20)
