@@ -233,6 +233,22 @@ object Bench {
       name -> t
     }
 
+    // Contention canary (VERDICT r11 Next #3): re-time the first
+    // stable row (>= 0.2 s best-of-n) at the END of the sweep, same
+    // protocol. A quiet machine reproduces it within ~1.2x;
+    // canary_drift > 1.5 means the machine got busier during the run
+    // (the committed r11 file carried 2-5x phantoms from exactly
+    // that), < 0.67 means the sweep STARTED contended — either way
+    // the run flags itself for a re-shoot.
+    val canaryDrift = queryTimes.find { case (_, t) => t >= 0.2 }.map {
+      case (name, t0) =>
+        val t1 = try robustQueryTime(iters)(
+          evalAll(SparkEntry.queries(name)(spark, sfDir))) catch {
+          case _: Throwable => -1.0
+        }
+        if (t1 > 0 && t0 > 0) t1 / t0 else -1.0
+    }.getOrElse(-1.0)
+
     val ladderRows = ladder.map { case (sel, t) => s"stage_e2e_sel_$sel" -> t }
 
     // single-row serve path: collect-once local scorer, µs per lookup
@@ -261,6 +277,14 @@ object Bench {
     // SQ8 twin: what the 3.2x memory compression costs in recall
     val sq8Recall = try SparkEntry.queries("x_ann_ivf_sq8")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
+    // SQ8 ambiguity companion (VERDICT r11 Next #4): exact-cosine gap
+    // between SQ8's winner and the true winner — gap ~ 0 with
+    // recall < 1 means the misses are ambiguity-band neighbors
+    // (candidates closer together than one int8 step, the near-dup-
+    // dense-corpus regime), not quantization collapse.
+    val (_, sq8GapMean, sq8GapMax) =
+      try graft.queries.IvfQueries.sq8WinnerGap(spark, sfDir)
+      catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     // PQ+re-rank: recall at 16x compression with a 64-item shortlist
     val pqRecall = try SparkEntry.queries("x_ann_pq")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
@@ -285,9 +309,12 @@ object Bench {
       "stage_point_lookup_us" -> pointLookupUs,
       "ivf_kmeans_recall_at_1" -> ivfRecall,
       "ivf_sq8_recall_at_1" -> sq8Recall,
+      "ivf_sq8_winner_cos_gap_mean" -> sq8GapMean,
+      "ivf_sq8_winner_cos_gap_max" -> sq8GapMax,
       "pq_rerank_recall_at_1" -> pqRecall,
       "ivfadc_recall_at_1" -> ivfPqRecall,
-      "filtered_recall_at_1" -> filteredRecall) ++ ladderRows
+      "filtered_recall_at_1" -> filteredRecall,
+      "canary_drift" -> canaryDrift) ++ ladderRows
     // Key order is load-bearing: the driver archives only the TAIL of
     // this line (~2.2 KB), so the big per-query map goes FIRST and the
     // stage decomposition + headline keys go LAST — truncation then
