@@ -303,6 +303,13 @@ object Multimodal {
       }
       y += 1
     }
+    encodeJpeg(img)
+  }
+
+  /** Encode a BufferedImage to real JPEG bytes at quality 0.95 — the
+    * ONE writer configuration shared by [[synthJpeg]] and the AVI
+    * frame encoder, so the two paths can't drift. */
+  private def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
     require(writers.hasNext, "JVM has no JPEG ImageWriter — javax.imageio should always ship one")
     val writer = writers.next()
@@ -512,31 +519,13 @@ object Multimodal {
     img
   }
 
-  /** Encode a BufferedImage to real JPEG bytes at quality 0.95 (the
-    * [[synthJpeg]] writer settings). */
-  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
-    require(writers.hasNext, "JVM has no JPEG ImageWriter")
-    val writer = writers.next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(0.95f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    ios.close()
-    writer.dispose()
-    bos.toByteArray
-  }
-
   /** Synthesize the deterministic test video for `id` as a REAL
     * MJPEG-in-AVI byte stream: every frame a genuine JPEG, the
     * container a spec-conformant RIFF tree with hdrl/strl headers,
     * movi data chunks and an idx1 keyframe index. */
   def synthAviMjpeg(id: Long): Array[Byte] = {
     val (w, h, n) = (vidWidth(id), vidHeight(id), vidFrames(id))
-    val frames = (0 until n).map(f => jpegBytes(vidFrameImage(id, f)))
+    val frames = (0 until n).map(f => encodeJpeg(vidFrameImage(id, f)))
     val maxBuf = frames.map(_.length).max
     // MainAVIHeader (56 bytes)
     val avih = chunk("avih",
@@ -622,6 +611,10 @@ object Multimodal {
           val end = off + 8 + size
           while (p + 8 <= end) {
             val (fid, fsize) = (cc(payload, p), rdLe32(payload, p + 4))
+            // rdLe32 is signed and copyOfRange silently zero-pads past
+            // the array end — fail loudly on corrupt sizes instead
+            require(fsize >= 0 && p + 8 + fsize <= end,
+              s"media $id: movi chunk $fid at $p declares $fsize bytes — overruns list end $end")
             if (fid == "00dc")
               frames :+= java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + fsize)
             p += 8 + fsize + (fsize % 2) // chunks are word-aligned
@@ -630,6 +623,10 @@ object Multimodal {
       } else if (cid == "idx1") {
         idxEntries = size / 16
       }
+      // same fail-loud guard for the top-level walk: a negative or
+      // overrunning size would otherwise loop backwards / index past end
+      require(size >= 0 && off + 8 + size <= riffEnd,
+        s"media $id: RIFF chunk $cid at $off declares $size bytes — overruns RIFF end $riffEnd")
       off += 8 + size + (size % 2)
     }
     require(nHdr >= 0, s"media $id: no avih header found")

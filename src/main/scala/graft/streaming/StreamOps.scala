@@ -30,7 +30,14 @@ object StreamOps {
       .filter(p => p.numInputRows > 0 && p.durationMs != null
         && p.durationMs.containsKey("triggerExecution"))
       .map(_.durationMs.get("triggerExecution").toDouble)
-    if (ds.nonEmpty) batchMillis.put(name, ds.sorted.apply(ds.length / 2))
+    if (ds.nonEmpty) {
+      // true median: mean of the two middles on an even trigger count
+      // (the old upper-middle form biased even-count runs pessimistic)
+      val s = ds.sorted
+      val mid = s.length / 2
+      val med = if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
+      batchMillis.put(name, med)
+    }
   }
 
   /** Watermarked tumbling-window aggregate over an event stream:

@@ -63,6 +63,40 @@ for name in sorted(qb):
             row["class"] = "linear_ok"
     rows[name] = row
 
+def classify(t0, t1):
+    if t0 < MIN_BASE_S:
+        return "noise_floor" if t1 < MIN_BASE_S * LINEAR_BOUND else "noisy_base"
+    r = t1 / t0
+    if r > LINEAR_BOUND:
+        return "superlinear"
+    if r < 2.0:
+        return "flat"
+    return "linear_ok"
+
+
+def streaming_section(q_lo, q_hi, lo_key, hi_key):
+    """Steady-state per-trigger ratios for the streaming rows (VERDICT
+    r11 Next #6): the *_per_batch_ms companions are the operator cost,
+    the wall rows are replay scaffolding — scale claims ride the
+    per-batch number, with the wall ratio shown beside it for honesty.
+    Per-batch values are in MS, so the noise floor is 50 ms."""
+    out = {}
+    for pb in sorted(k for k in q_lo if k.endswith("_per_batch_ms")):
+        name = pb[: -len("_per_batch_ms")]
+        if pb not in q_hi or q_lo[pb] <= 0 or q_hi[pb] <= 0:
+            continue
+        row = {
+            f"per_batch_ms_{lo_key}": round(q_lo[pb], 1),
+            f"per_batch_ms_{hi_key}": round(q_hi[pb], 1),
+            "per_batch_ratio": round(q_hi[pb] / q_lo[pb], 2),
+            "class": classify(q_lo[pb] / 1000.0, q_hi[pb] / 1000.0),
+        }
+        if name in q_lo and name in q_hi and q_lo[name] > 0:
+            row["wall_ratio"] = round(q_hi[name] / q_lo[name], 2)
+        out[name] = row
+    return out
+
+
 supers = {k: v for k, v in rows.items() if v.get("class") == "superlinear"}
 summary = {
     "sf01_dir": base.get("sf"),
@@ -80,7 +114,8 @@ summary = {
     "headline_ratio": round(scaled["value"] / base["value"], 2)
     if base.get("value") and scaled.get("value") else None,
 }
-doc = {"summary": summary, "queries": rows}
+doc = {"summary": summary, "queries": rows,
+       "streaming_per_batch": streaming_section(qb, qs, "sf01", "sf1")}
 
 if sf10_path:
     with open(sf10_path) as f:
@@ -120,6 +155,7 @@ if sf10_path:
         "superlinear": sup10,
         "noisy_base_large_scaled": sorted(
             k for k, v in spot.items() if v.get("class") == "noisy_base"),
+        "streaming_per_batch": streaming_section(qs, q10, "sf1", "sf10"),
         "queries": spot,
     }
 
