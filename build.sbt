@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): a full 206-query Bench sweep in ONE JVM
+  // accumulates bounded memo caches, streaming state stores, memory
+  // sinks and codegen classes; at 8g the sweep's tail (the x_stream_*
+  // rows run last) degraded 3-7x from GC churn — measured r12:
+  // x_stream_topk 42 s at 8g vs 6.9 s at 24g, isolated 4.9 s. The
+  // machine has 128 GiB; heap is lazily committed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
