@@ -106,7 +106,18 @@ object IvfQueries {
   /** Per-cell membership cap for the declared semantic dedup: far above
     * any balanced-quantizer cell at test scale (no-op there), so its only
     * effect is bounding the adversarial mega-cell. */
-  private val SemCellCap = 1 << 16
+  // Per-cell membership cap for t_semantic_dedup's within-cell pair
+  // join. r12: 2^16 -> 2^10. The 65536 cap NEVER bound in practice —
+  // with K=16 grid cells the 100x corpus (200k vectors) holds ~12.5k
+  // members per cell, all under the old cap, so pair work grew as
+  // Σ n_c² (measured 140x for 10x data: 1.7 s -> 234 s, the one real
+  // quadratic the first full second decade exposed). 1024 bounds pair
+  // work to ~n·1024 (the t_ann_bucket_top1 occupancy-cap recipe, with
+  // the same bounded-posting-list trade above the cap) while sitting
+  // ~2 orders above every gate-SF cell (sf0.1: 2000 vectors over 16
+  // cells), so the declared output and its oracle stay the uncapped
+  // pair set — DedupScaleSpec pins both regimes.
+  private val SemCellCap = 1 << 10
 
   /** Cell-partitioned near-dup pair search with a per-cell size cap —
     * the production SemDeDup rule: pair work within a cell of n members
@@ -128,12 +139,24 @@ object IvfQueries {
       }: _*)).getField("cell").as("cell"))
     // |cells| rows — broadcast-tiny at any corpus size
     val sizes = inv.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    // Size the pair join's parallelism to its OUTPUT, not its input
+    // (the annBucketTop1 lesson, r11): the (cell, sub) self-join reads
+    // n rows but emits Σ n_c·min(n_c, cap) pair rows; AQE's coalescing
+    // sees only the input bytes and shrinks the expansion to a couple
+    // of tasks. ~2 M pair rows per task; the scalar costs one tiny agg
+    // over the cell histogram the join broadcasts anyway.
+    val pairWork = Option(sizes
+      .agg(sum(col("cell_n") * least(col("cell_n"), lit(cellCap.toLong))))
+      .head()).filterNot(_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
+    val parts = math.max(e.sparkSession.sparkContext.defaultParallelism,
+      math.min(4096L, pairWork / 2000000L).toInt)
     // integer ceil-div (`div`, not `/` — Spark's `/` is double division)
     val nSub = greatest(lit(1L), expr(s"(cell_n + ${cellCap - 1}) div $cellCap"))
     val invSub = inv.join(broadcast(sizes), Seq("cell"))
       .withColumn("sub", pmod(
         (col("vec_id") * lit(graft.functions.Hashing.Mult)) % lit(graft.functions.TextHash.P),
         nSub))
+      .repartition(parts, col("cell"), col("sub"))
     val a = invSub.select(col("cell"), col("sub"), col("vec_id").as("id_keep"),
       col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
     val b = invSub.select(col("cell"), col("sub"), col("vec_id").as("id_drop"),
