@@ -341,5 +341,19 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    // Canary gate (VERDICT r12 Next #3): a drift outside [0.67, 1.5]
+    // means the sweep started or became contended — the r12 driver
+    // sweep carried a 0.64 canary and a 24% phantom headline. Print a
+    // LOUD verdict so a contaminated sweep can't be committed
+    // silently; SPARK_GRAFT_BENCH_STRICT_CANARY=1 turns it into a
+    // nonzero exit for scripted re-shoot loops. Skipped when the
+    // sweep was too restricted to time a canary (drift = -1).
+    if (canaryDrift > 0 && (canaryDrift < 0.67 || canaryDrift > 1.5)) {
+      System.err.println(
+        f"[bench] REJECTED: canary_drift $canaryDrift%.3f outside [0.67, 1.5] — " +
+          "contended sweep, re-shoot on a quiet machine before committing")
+      if (sys.env.get("SPARK_GRAFT_BENCH_STRICT_CANARY").contains("1"))
+        sys.exit(3)
+    }
   }
 }

@@ -905,11 +905,11 @@ object TextQueries {
       // benchmark-set distinct hashes, derived + CACHED once per
       // (session, corpus) — see [[benchSetMemo]]; every later action
       // broadcasts from the cache instead of re-running the scan.
-      val bench = benchSetMemo.getOrElseUpdate((s, d), {
+      val bench = graft.core.CorpusCaches.cachedPerCorpus(benchSetMemo, s, d)({
         val b = sh.filter(col("doc_id") < 50).select("h").distinct().persist()
         b.count() // materialize so callers never race the first fill
         b
-      })
+      })(_.unpersist(blocking = false))
       // built once per (session, corpus) — the production shape pays
       // the benchmark-set aggregation once and serves many batches
       val bloom = bloomMemo.getOrElseUpdate((s, d), {

@@ -46,12 +46,19 @@ class NtileScaleSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "prefix-sum form must be bitwise the engine windows")
   }
 
-  test("w6/w1 declared plans range-partition the data path (no whole-table sort task)") {
+  test("w6/w1 declared plans shard the data path (no whole-table sort task)") {
     val d = "/root/testdata/sf0.001"
     for (name <- Seq("w6_ntile", "w1_row_number", "t_batch_padding")) {
       val plan = graft.SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
-      assert(plan.toString.contains("rangepartitioning"),
-        s"$name must carry a range exchange on the data path:\n$plan")
+      // w6 carries the r13 literal-bounds shard exchange (pid is a
+      // pure function of the row — hash placement on the data pid);
+      // the row_number forms keep the range exchange.
+      if (name == "w6_ntile")
+        assert(plan.toString.contains("hashpartitioning(pid"),
+          s"$name must shard by the data-derived pid:\n$plan")
+      else
+        assert(plan.toString.contains("rangepartitioning"),
+          s"$name must carry a range exchange on the data path:\n$plan")
       // every Window over the raw data path must be partitioned (by
       // pid[, group] — parallel, shard-bounded sorts). The only
       // unpartitioned windows allowed are the prefix-sum/group-total

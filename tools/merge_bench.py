@@ -32,10 +32,24 @@ DETERMINISTIC = (
 )
 
 base = runs[-1]  # key order / metadata from the most recent run
+
+# A sweep missing keys the others carry would silently min over fewer
+# runs (or copy a stale base value) — flag it loudly so a partial
+# SPARK_GRAFT_BENCH_ONLY run never sneaks into a merged artifact.
+for p, r in zip(run_paths, runs):
+    missing = [k for k in base["queries"] if k not in r["queries"]]
+    if missing:
+        print(f"[merge] WARNING: {p} lacks {len(missing)} keys the base "
+              f"run carries (e.g. {missing[:3]}) — partial sweep?",
+              file=sys.stderr)
+
 merged = {}
 for k in base["queries"]:
+    # >= 0: a legitimate 0.0 (e.g. a gap metric at perfect recall) must
+    # still flow through the DETERMINISTIC equality assertion — the
+    # error sentinel is -1.0, not 0.0.
     vals = [r["queries"][k] for r in runs
-            if k in r["queries"] and r["queries"][k] > 0]
+            if k in r["queries"] and r["queries"][k] >= 0]
     if not vals:
         merged[k] = base["queries"][k]
     elif k in DETERMINISTIC:
@@ -46,14 +60,23 @@ for k in base["queries"]:
     else:
         merged[k] = min(vals)
 
+
+def is_per_query(k):
+    """Same key set Bench.scala's total_query_sec sums: the per-query
+    rows only — not the stage decomposition (stage_*, incl. the
+    microseconds-valued stage_point_lookup_us), the skew harness rows,
+    the recall/gap metrics, the canary, or the per-batch ms rows."""
+    return not (k.endswith("_per_batch_ms") or k == "canary_drift"
+                or k in DETERMINISTIC
+                or k.startswith("stage_") or k.startswith("skew_"))
+
+
 # key order is load-bearing downstream (the archiver keeps the line's
 # TAIL): queries first, headline "value" last
 doc = dict(base)
 doc["queries"] = merged
 doc["total_query_sec"] = round(
-    sum(v for k, v in merged.items()
-        if not k.endswith("_per_batch_ms") and k != "canary_drift"
-        and k not in DETERMINISTIC and v > 0), 2)
+    sum(v for k, v in merged.items() if is_per_query(k) and v > 0), 2)
 doc["merged_runs"] = len(runs)
 doc.pop("value", None)
 doc["value"] = merged.get("stage_end_to_end", base.get("value"))
