@@ -101,32 +101,31 @@ object AnalyticsQueries {
     // (Bounds only balance the shards — ANY bounds give the same
     // answer. Supplementary-plane group strings are outside the
     // boxed-equality contract this operator already documents.)
-    val nShards = math.max(1, li.sparkSession.sparkContext.defaultParallelism * 2)
-    val keyStruct = struct(col("l_returnflag").as("g"), col("l_quantity").as("q"),
-      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val nShards = math.max(1, li.sparkSession.sparkContext.defaultParallelism * 4)
+    // canonical key types for sampling AND searching (callers may feed
+    // int order/line keys; the casts are no-ops on the lineitem gate)
+    val keyCols = Seq(col("l_returnflag").cast("string"),
+      col("l_quantity").cast("double"),
+      col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
     val n = li.count()
     val frac = math.min(1.0, (nShards * 64.0) / math.max(1L, n).toDouble)
-    val sampleRows = li.select(fullKey: _*)
+    val sampleRows = li
+      .select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
       .sample(withReplacement = false, frac, 42L)
-      .orderBy(fullKey: _*).collect()
-    val bounds: IndexedSeq[org.apache.spark.sql.Column] =
+      .orderBy("__k0", "__k1", "__k2", "__k3")
+      .collect()
+    val boundRows: IndexedSeq[org.apache.spark.sql.Row] =
       if (sampleRows.isEmpty) IndexedSeq.empty
       else (1 until nShards)
         .map(i => sampleRows((i.toLong * sampleRows.length / nShards).toInt))
         .distinct
-        .map(r => struct(lit(r.get(0)).as("g"), lit(r.get(1)).as("q"),
-          lit(r.get(2)).as("ok"), lit(r.get(3)).as("ln")))
-    // pid = #bounds <= key, as a balanced comparison tree over the
-    // sorted bound literals (struct <=> uses Spark's own ordering on
-    // every field, so executor comparisons and the Spark-side sample
-    // sort can never disagree)
-    def pidExpr(lo: Int, hi: Int): org.apache.spark.sql.Column =
-      if (lo == hi) lit(lo)
-      else {
-        val m = (lo + hi) / 2
-        when(keyStruct >= bounds(m), pidExpr(m + 1, hi)).otherwise(pidExpr(lo, m))
-      }
-    val pidCol = if (bounds.isEmpty) lit(0) else pidExpr(0, bounds.length)
+    // pid = #bounds <= key via the codegen'd runtime binary search —
+    // an unrolled CASE tree over 100+ bound literals overflowed
+    // Janino's method limit at the 100x corpus and dropped the whole
+    // stage out of codegen (see [[graft.plans.ShardSearch]])
+    val pidCol = graft.plans.ShardSearch.column(
+      keyCols(0), keyCols(1), keyCols(2), keyCols(3),
+      graft.plans.ShardSearch.bounds(boundRows))
     val withPid = li.select(fullKey :+ pidCol.as("pid"): _*)
     val ranged = withPid.repartition(nShards, col("pid"))
       .sortWithinPartitions(col("pid") +: fullKey: _*)
@@ -173,14 +172,18 @@ object AnalyticsQueries {
         }
       }
     }(enc)
-    // per-(pid, group) totals, derived from `local` ITSELF (the r11
-    // pattern ADVICE r12 prescribed — pid stays in a single lineage;
-    // with data-derived pids even an independent recompute of this
-    // branch agrees bitwise): |shards| x |groups| rows via a map-side-
-    // combined sum; the prefix window and group totals run over that
-    // broadcast-tiny aggregate frame
-    val offs = local
-      .groupBy("pid", "l_returnflag").agg(sum("cnt").as("tot"))
+    // per-(pid, group) totals: |shards| x |groups| rows via a
+    // map-side-combined count straight over the pid-stamped SOURCE —
+    // no exchange read, no second sort/mapPartitions pass. ADVICE r12
+    // asked for a single pid lineage because spark_partition_id made
+    // cross-branch consistency a planner property; with pid a pure
+    // function of the row against literal bounds, EVERY branch —
+    // shared, reused, or independently recomputed — derives the same
+    // pid for the same row, so this cheap second scan is consistent
+    // with the data path by construction. The prefix window and group
+    // totals run over the broadcast-tiny aggregate frame.
+    val offs = withPid
+      .groupBy("pid", "l_returnflag").agg(count(lit(1)).as("tot"))
       .withColumn("off", coalesce(
         sum("tot").over(Window.partitionBy("l_returnflag").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -43,30 +43,71 @@ object ExtraQueries {
 
   /** The capped pair-support plan shared by t_frequent_pairs and
     * FrequentPairsSpec (which exercises a BINDING cap). `items` is
-    * (l_orderkey, l_partkey) rows — duplicates allowed (the aggregate
-    * dedupes, so callers never pay a separate DISTINCT shuffle).
+    * (l_orderkey, l_partkey) rows — duplicates allowed (the basket
+    * pass dedupes, so callers never pay a separate DISTINCT shuffle).
     *
     * r13 rewrite (VERDICT r12 Next #1d — 20.5x/decade at the 100x
     * corpus): the r12 form paid a full-data range+sort window for the
     * cap and then a keyed SELF-JOIN (a second read of the capped
-    * frame) before the pair fan-out. Now ONE group-by folds distinct +
-    * cap into the [[graft.plans.MinKLongs]] bounded aggregate (buffer
-    * <= cap longs through partial, shuffle and merge — the map-side
-    * combine ships baskets, not lineitems), and the i<j pair expansion
-    * is a pure codegen'd array expression over each basket — no join,
-    * no window, no second read. Cap semantics are bit-identical to the
-    * old row_number(ORDER BY l_partkey) <= cap: the cap keeps each
-    * basket's `cap` LOWEST partkeys. Worst case per basket stays
-    * cap²/2 pairs REGARDLESS of basket size, enforced in-plan. */
+    * frame) before the pair fan-out. Now ONE hash exchange co-locates
+    * each basket, an in-shard (l_orderkey, l_partkey) sort makes
+    * baskets contiguous-ascending, and a streaming pass emits the i<j
+    * pairs directly — distinct (duplicates are adjacent), the cap
+    * (ascending arrival = the cap LOWEST partkeys, bit-identical to
+    * the old row_number(ORDER BY l_partkey) <= cap), and the pair
+    * fan-out all in O(cap) memory, no window, no join, no second
+    * read. mapPartitions clears the §2.10 last-resort bar on
+    * MEASUREMENT: the declarative twin (a bounded collect aggregate +
+    * array pair expansion) runs on ObjectHashAggregate, whose 128-key
+    * sort fallback re-sorts the corpus map-side and whose per-group
+    * buffer serde churns — 39 s at the 100x corpus vs 31 s for the
+    * r12 window form; raising the fallback threshold globally is
+    * unsafe for the text-packing collect_list. Worst case per basket
+    * stays cap²/2 pairs REGARDLESS of basket size, enforced in-plan;
+    * one pathological million-item basket costs cap longs of memory,
+    * not a basket-sized sort buffer. */
   private[queries] def frequentPairs(items: DataFrame, cap: Int): DataFrame = {
-    val baskets = items.groupBy("l_orderkey")
-      .agg(graft.plans.MinKLongs.column(col("l_partkey"), cap).as("parts"))
-    val pairArr = flatten(transform(col("parts"), (x, i) =>
-      transform(slice(col("parts"), i + lit(2), size(col("parts"))),
-        y => struct(x.as("part_a"), y.as("part_b")))))
-    baskets.select(explode(pairArr).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+    val shard = items.select(col("l_orderkey"), col("l_partkey"))
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_partkey")
+    val outSchema = org.apache.spark.sql.types.StructType(Array(
+      org.apache.spark.sql.types.StructField("part_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("part_b",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val bufCap = math.min(cap, 1 << 20) // spec's Int.MaxValue "uncapped"
+    val pairs = shard.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private val buf = new Array[Long](bufCap)
+        private var n = 0            // basket fill (<= cap)
+        private var curKey = 0L      // current basket's orderkey
+        private var started = false
+        private var newVal = 0L      // value pairing against buf(0..pendN)
+        private var pendI = 0        // next pair index to emit
+        private var pendN = 0        // pairs pending for newVal
+        def hasNext: Boolean = {
+          while (pendI >= pendN && it.hasNext) {
+            val r = it.next()
+            val k = r.getLong(0); val p = r.getLong(1)
+            if (!started || k != curKey) { started = true; curKey = k; n = 0 }
+            // sorted basket: duplicates adjacent; cap keeps the
+            // ascending (= lowest) first `cap` distinct partkeys
+            // (bufCap bounds the "uncapped" Int.MaxValue twin too)
+            if (n < bufCap && (n == 0 || buf(n - 1) != p)) {
+              newVal = p; pendN = n; pendI = 0
+              buf(n) = p; n += 1
+            }
+          }
+          pendI < pendN
+        }
+        def next(): org.apache.spark.sql.Row = {
+          val a = buf(pendI); pendI += 1
+          org.apache.spark.sql.Row(a, newVal)
+        }
+      }
+    }(enc)
+    pairs.groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(100)
   }
