@@ -114,7 +114,17 @@ summary = {
     "headline_ratio": round(scaled["value"] / base["value"], 2)
     if base.get("value") and scaled.get("value") else None,
 }
+# label the estimator so cross-file ratios are never silently mixed
+# (VERDICT r12 stretch #6): merged inputs carry merged_runs from
+# merge_bench.py; a native sweep is one median-protocol run
+def estimator(run):
+    n = run.get("merged_runs")
+    return (f"min over {n} median-protocol sweeps" if n
+            else "one median-protocol sweep")
+
+
 doc = {"summary": summary, "queries": rows,
+       "estimator": {"sf01": estimator(base), "sf1": estimator(scaled)},
        "streaming_per_batch": streaming_section(qb, qs, "sf01", "sf1")}
 
 if sf10_path:
@@ -143,9 +153,10 @@ if sf10_path:
             row["class"] = "linear_ok"
         spot[name] = row
     full = len(spot) >= 0.9 * len(rows)
+    doc["estimator"]["sf10"] = estimator(s10)
     doc["sf10_spot" if not full else "sf10"] = {
-        "note": ("FULL second decade on the 100x corpus (60M lineitem rows), "
-                 "default median protocol on both sides; ratios are sf1->sf10 "
+        "note": ("FULL second decade on the 100x corpus (60M lineitem rows); "
+                 f"each side {estimator(s10)}; ratios are sf1->sf10 "
                  "(10x data)") if full else
                 ("single-shot subset run on the 100x corpus (60M lineitem "
                  "rows); ratios are sf1->sf10 (10x data)"),
