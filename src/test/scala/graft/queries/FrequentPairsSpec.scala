@@ -50,4 +50,22 @@ class FrequentPairsSpec extends AnyFunSuite {
     assert(ExtraQueries.frequentPairs(items, cap).collect().toSeq
       == capped.collect().toSeq)
   }
+
+  test("a pathological mega-basket is capped in-plan: cap lowest keys, cap^2/2 pairs") {
+    import spark.implicits._
+    val cap = 8
+    // one 50k-item basket (with duplicates), plus a small normal basket
+    val mega = (0 until 50000).map(i => (1L, (50000 - i).toLong)) ++
+      Seq((1L, 3L), (1L, 5L)) // duplicates of in-cap keys
+    val small = Seq((2L, 100L), (2L, 101L))
+    val items = (mega ++ small).toDF("l_orderkey", "l_partkey")
+    val got = ExtraQueries.frequentPairs(items, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // mega basket contributes exactly C(cap, 2) pairs over its cap
+    // LOWEST partkeys 1..8; the small basket one pair — support all 1
+    val expectMega = for { a <- 1L to cap; b <- (a + 1) to cap } yield (a, b, 1L)
+    val expect = (expectMega :+ ((100L, 101L, 1L)))
+      .sortBy { case (a, b, s) => (-s, a, b) }.take(100)
+    assert(got.toSeq == expect.toSeq)
+  }
 }
