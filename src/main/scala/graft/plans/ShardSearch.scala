@@ -74,23 +74,48 @@ case class ShardSearch(g: Expression, q: Expression, ok: Expression,
         children.map(_.dataType.sql).mkString(", "))
   }
 
-  override def eval(input: InternalRow): Any =
-    bounds.search(
-      g.eval(input).asInstanceOf[UTF8String],
-      q.eval(input).asInstanceOf[Double],
-      ok.eval(input).asInstanceOf[Long],
-      ln.eval(input).asInstanceOf[Long])
+  // The non-null contract fails LOUDLY and identically in both
+  // execution modes (ADVICE r13): interpreted eval used to NPE while
+  // codegen silently passed the slot's default value (-1.0/0) into
+  // search() and produced a wrong pid. Nullable-TYPED children are
+  // fine (parquet columns are nullable by default); a null VALUE is
+  // the contract violation.
+  private def nullViolation(which: String): Nothing =
+    throw new IllegalArgumentException(
+      s"shard_search: null $which input violates the non-null contract " +
+        "documented at the call site (distributionWindows tie pass)")
+
+  override def eval(input: InternalRow): Any = {
+    val vg = g.eval(input); if (vg == null) nullViolation("group")
+    val vq = q.eval(input); if (vq == null) nullViolation("quantity")
+    val vok = ok.eval(input); if (vok == null) nullViolation("orderkey")
+    val vln = ln.eval(input); if (vln == null) nullViolation("linenumber")
+    bounds.search(vg.asInstanceOf[UTF8String], vq.asInstanceOf[Double],
+      vok.asInstanceOf[Long], vln.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val b = ctx.addReferenceObj("shardBounds", bounds, classOf[ShardBounds].getName)
     val gg = g.genCode(ctx); val qq = q.genCode(ctx)
     val kk = ok.genCode(ctx); val ll = ln.genCode(ctx)
+    // mirror eval's loud contract check: a nullable child that
+    // evaluates to null must throw, not feed the slot default into
+    // search() (silent wrong pid). Non-nullable children emit nothing.
+    def guard(c: Expression, e: ExprCode, which: String): String =
+      if (c.nullable)
+        s"""if (${e.isNull}) throw new IllegalArgumentException(
+           |  "shard_search: null $which input violates the non-null contract");
+           |""".stripMargin
+      else ""
+    val guards = guard(g, gg, "group") + guard(q, qq, "quantity") +
+      guard(ok, kk, "orderkey") + guard(ln, ll, "linenumber")
     ev.copy(
       code = code"""
         ${gg.code}
         ${qq.code}
         ${kk.code}
         ${ll.code}
+        ${guards}
         final int ${ev.value} =
           $b.search(${gg.value}, ${qq.value}, ${kk.value}, ${ll.value});
       """,

@@ -905,7 +905,10 @@ object TextQueries {
       // benchmark-set distinct hashes, derived + CACHED once per
       // (session, corpus) — see [[benchSetMemo]]; every later action
       // broadcasts from the cache instead of re-running the scan.
-      val bench = graft.core.CorpusCaches.cachedPerCorpus(benchSetMemo, s, d)({
+      val bench = graft.core.CorpusCaches.cachedPerCorpus(benchSetMemo, s, d,
+        // bloom is DERIVED from the cached set: evict its stale-corpus
+        // entries in the same sweep (ADVICE r13)
+        companions = Seq(bloomMemo))({
         val b = sh.filter(col("doc_id") < 50).select("h").distinct().persist()
         b.count() // materialize so callers never race the first fill
         b

@@ -83,6 +83,34 @@ class ShardSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("null input fails LOUDLY in both interpreted eval and codegen (ADVICE r13)") {
+    import spark.implicits._
+    // pre-r14 divergence: interpreted eval NPE'd on a null child while
+    // codegen silently fed the slot default (-1.0/0) into search() and
+    // produced a wrong pid. Both modes must now throw the contract
+    // violation. The nullable-string column comes from a real DF so
+    // the codegen path actually emits the guard.
+    val b = mkBounds(Seq(("A", 0.0, 0L, 0L)))
+    val df = Seq((Option.empty[String], 1.0, 1L, 1L), (Some("A"), 1.0, 1L, 1L))
+      .toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val probe = df.select(ShardSearch.column(col("l_returnflag"),
+      col("l_quantity"), col("l_orderkey"), col("l_linenumber"), b).as("pid"))
+    val e = intercept[Throwable](probe.collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage != null && c.getMessage.contains("non-null contract")),
+      s"expected the loud contract violation, got: $e")
+    // interpreted eval: same exception class + message
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val raw = ShardSearch(Literal(null, StringType), Literal(1.0),
+      Literal(1L), Literal(1L), b)
+    val e2 = intercept[IllegalArgumentException](
+      raw.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+    assert(e2.getMessage.contains("non-null contract"))
+  }
+
   test("shard assignment is monotone: sorted keys get non-decreasing pids") {
     val keys = Seq(("A", -1.0, 0L, 0L), ("A", 0.0, 0L, 0L), ("A", 0.0, 1L, 0L),
       ("B", -0.5, 2L, 1L), ("B", Double.NaN, 0L, 0L), ("R", 2.0, 9L, 9L))

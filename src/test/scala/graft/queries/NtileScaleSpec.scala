@@ -46,6 +46,43 @@ class NtileScaleSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq, "prefix-sum form must be bitwise the engine windows")
   }
 
+  test("w6 bound derivation reads the corpus ONCE (r13 standalone count() dropped)") {
+    // VERDICT r13 What's-wrong #3: the r13 form paid a full count()
+    // scan (to size a sample fraction) PLUS the sample scan before the
+    // real exchange — two wasted corpus reads per ntile call at 100 TB.
+    // The r14 reservoir sketch folds count and sample into ONE pass;
+    // the only other job at construction is the driver-local tiny sort
+    // of the collected sample (zero Hadoop input records). Listener
+    // counts full-input reads during distributionWindows CONSTRUCTION
+    // (bounds are derived eagerly there).
+    val d = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, d).select(
+      col("l_returnflag"), col("l_quantity"),
+      col("l_orderkey"), col("l_linenumber"))
+    val total = li.count()
+    val fullReads = new java.util.concurrent.atomic.AtomicInteger
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.taskMetrics != null &&
+            sc.stageInfo.taskMetrics.inputMetrics.recordsRead >= total)
+          fullReads.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AnalyticsQueries.distributionWindows(li)
+      Thread.sleep(2000) // listener bus is async; let events settle
+      assert(fullReads.get() == 1,
+        s"bound derivation must read the corpus exactly once, saw ${fullReads.get()} full reads")
+      assert(jobs.get() <= 2,
+        s"bound derivation fired ${jobs.get()} jobs — expected the sketch pass + the tiny driver-sample sort")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("w6/w1 declared plans shard the data path (no whole-table sort task)") {
     val d = "/root/testdata/sf0.001"
     for (name <- Seq("w6_ntile", "w1_row_number", "t_batch_padding")) {

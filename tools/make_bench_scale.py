@@ -38,6 +38,8 @@ with open(a_path) as f:
     base = json.load(f)
 with open(b_path) as f:
     scaled = json.load(f)
+for p, r in ((a_path, base), (b_path, scaled)):
+    assert not r.get("rejected"), f"{p} is a canary-rejected sweep — re-shoot it"
 
 qb, qs = base["queries"], scaled["queries"]
 rows = {}

@@ -25,6 +25,12 @@ import sys
 out_path, run_paths = sys.argv[1], sys.argv[2:]
 runs = [json.load(open(p)) for p in run_paths]
 
+# A canary-rejected sweep is self-describing since r14 ("rejected":
+# true in the line) — refuse to launder its phantom numbers into a
+# merged artifact.
+for p, r in zip(run_paths, runs):
+    assert not r.get("rejected"), f"{p} is a canary-rejected sweep — re-shoot it"
+
 DETERMINISTIC = (
     "ivf_kmeans_recall_at_1", "ivf_sq8_recall_at_1",
     "ivf_sq8_winner_cos_gap_mean", "ivf_sq8_winner_cos_gap_max",
