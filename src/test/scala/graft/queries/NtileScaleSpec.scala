@@ -60,19 +60,31 @@ class NtileScaleSpec extends AnyFunSuite {
       col("l_returnflag"), col("l_quantity"),
       col("l_orderkey"), col("l_linenumber"))
     val total = li.count()
+    // suites share the session JVM and may run in parallel: count ONLY
+    // the jobs this test's job group fires (setJobGroup is per-thread,
+    // and the derivation runs on this thread), so a concurrent suite's
+    // scans can't pollute the budget.
+    val groupId = s"w6-bounds-${System.nanoTime}"
     val fullReads = new java.util.concurrent.atomic.AtomicInteger
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (js.properties != null &&
+            groupId == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+          js.stageInfos.foreach(si => myStages.add(si.stageId))
+        }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (sc.stageInfo.taskMetrics != null &&
+        if (myStages.contains(sc.stageInfo.stageId) &&
+            sc.stageInfo.taskMetrics != null &&
             sc.stageInfo.taskMetrics.inputMetrics.recordsRead >= total)
           fullReads.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(groupId, "w6 bound derivation", false)
     try {
       AnalyticsQueries.distributionWindows(li)
       Thread.sleep(2000) // listener bus is async; let events settle
@@ -80,7 +92,10 @@ class NtileScaleSpec extends AnyFunSuite {
         s"bound derivation must read the corpus exactly once, saw ${fullReads.get()} full reads")
       assert(jobs.get() <= 2,
         s"bound derivation fired ${jobs.get()} jobs — expected the sketch pass + the tiny driver-sample sort")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("w6/w1 declared plans shard the data path (no whole-table sort task)") {

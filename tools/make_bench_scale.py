@@ -22,7 +22,15 @@ decade (run both sides with the default median protocol — no
 SPARK_GRAFT_BENCH_SINGLE); below that it is labeled a single-shot spot
 subset whose ratios carry one-run noise.
 
-Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out] [BENCH_SF10.json]
+With a fifth argument (a spot run on the 1000x corpus), a THIRD-decade
+"sf100_spot" section records sf10->sf100 ratios for the overlapping
+rows (VERDICT r13 Next #2: one decade cannot distinguish n log n from
+n^1.1 — the >=6x/decade band needs a data point beyond the second
+decade). A sixth argument attaches a free-form evidence JSON (e.g.
+tools/pair_evidence.py output) under "evidence".
+
+Usage: make_bench_scale.py BENCH_SF01.json BENCH_SF1.json [out]
+                           [BENCH_SF10.json] [BENCH_SF100.json] [EVIDENCE.json]
 """
 import json
 import sys
@@ -33,6 +41,8 @@ MIN_BASE_S = 0.05
 a_path, b_path = sys.argv[1], sys.argv[2]
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
 sf10_path = sys.argv[4] if len(sys.argv) > 4 else None
+sf100_path = sys.argv[5] if len(sys.argv) > 5 else None
+evidence_path = sys.argv[6] if len(sys.argv) > 6 else None
 
 with open(a_path) as f:
     base = json.load(f)
@@ -129,48 +139,75 @@ doc = {"summary": summary, "queries": rows,
        "estimator": {"sf01": estimator(base), "sf1": estimator(scaled)},
        "streaming_per_batch": streaming_section(qb, qs, "sf01", "sf1")}
 
-if sf10_path:
-    with open(sf10_path) as f:
-        s10 = json.load(f)
-    q10 = s10["queries"]
-    spot = {}
-    sup10 = []
-    for name in sorted(q10):
-        if name not in qs or q10[name] <= 0 or qs[name] <= 0:
+def decade_section(q_lo, hi_run, lo_key, hi_key, corpus_note):
+    """Per-row lo->hi ratios + classes for one decade. Returns
+    (section, is_full) where is_full = the hi run covered >=90% of the
+    first-decade rows (median protocol both sides) vs a spot subset."""
+    q_hi = hi_run["queries"]
+    spot, sup = {}, []
+    for name in sorted(q_hi):
+        if name not in q_lo or q_hi[name] <= 0 or q_lo[name] <= 0:
             continue
         if name.startswith(("skew", "ivf", "pq_", "filtered", "stage_point")):
             continue  # SF-independent / recall rows
-        ratio = q10[name] / qs[name]
-        row = {"t_sf1": round(qs[name], 4), "t_sf10": round(q10[name], 4),
+        ratio = q_hi[name] / q_lo[name]
+        row = {f"t_{lo_key}": round(q_lo[name], 4),
+               f"t_{hi_key}": round(q_hi[name], 4),
                "ratio": round(ratio, 2)}
-        if qs[name] < MIN_BASE_S:
+        if q_lo[name] < MIN_BASE_S:
             row["class"] = ("noise_floor"
-                            if q10[name] < MIN_BASE_S * LINEAR_BOUND else "noisy_base")
+                            if q_hi[name] < MIN_BASE_S * LINEAR_BOUND else "noisy_base")
         elif ratio > LINEAR_BOUND:
             row["class"] = "superlinear"
-            sup10.append(name)
+            sup.append(name)
         elif ratio < 2.0:
             row["class"] = "flat"
         else:
             row["class"] = "linear_ok"
         spot[name] = row
     full = len(spot) >= 0.9 * len(rows)
-    doc["estimator"]["sf10"] = estimator(s10)
-    doc["sf10_spot" if not full else "sf10"] = {
-        "note": ("FULL second decade on the 100x corpus (60M lineitem rows); "
-                 f"each side {estimator(s10)}; ratios are sf1->sf10 "
+    section = {
+        "note": (f"FULL decade on the {corpus_note}; each side "
+                 f"{estimator(hi_run)}; ratios are {lo_key}->{hi_key} "
                  "(10x data)") if full else
-                ("single-shot subset run on the 100x corpus (60M lineitem "
-                 "rows); ratios are sf1->sf10 (10x data)"),
-        "sf10_lineitem_rows": s10.get("rows"),
-        "headline_sf10": s10.get("value"),
+                (f"single-shot subset run on the {corpus_note}; ratios "
+                 f"are {lo_key}->{hi_key} (10x data)"),
+        f"{hi_key}_lineitem_rows": hi_run.get("rows"),
+        f"headline_{hi_key}": hi_run.get("value"),
         "n_compared": len(spot),
-        "superlinear": sup10,
+        "superlinear": sup,
         "noisy_base_large_scaled": sorted(
             k for k, v in spot.items() if v.get("class") == "noisy_base"),
-        "streaming_per_batch": streaming_section(qs, q10, "sf1", "sf10"),
+        "streaming_per_batch": streaming_section(q_lo, q_hi, lo_key, hi_key),
         "queries": spot,
     }
+    return section, full
+
+
+s10 = None
+if sf10_path:
+    with open(sf10_path) as f:
+        s10 = json.load(f)
+    assert not s10.get("rejected"), f"{sf10_path} is canary-rejected — re-shoot"
+    doc["estimator"]["sf10"] = estimator(s10)
+    sec, full = decade_section(
+        qs, s10, "sf1", "sf10", "100x corpus (60M lineitem rows)")
+    doc["sf10" if full else "sf10_spot"] = sec
+
+if sf100_path:
+    assert s10 is not None, "sf100 ratios need the sf10 run as the base"
+    with open(sf100_path) as f:
+        s100 = json.load(f)
+    assert not s100.get("rejected"), f"{sf100_path} is canary-rejected — re-shoot"
+    doc["estimator"]["sf100"] = estimator(s100)
+    sec, full = decade_section(
+        s10["queries"], s100, "sf10", "sf100",
+        "1000x corpus (600M lineitem rows)")
+    doc["sf100" if full else "sf100_spot"] = sec
+
+if evidence_path:
+    with open(evidence_path) as f:
+        doc["evidence"] = json.load(f)
 
 with open(out, "w") as f:
     json.dump(doc, f, indent=1, sort_keys=True)
