@@ -80,6 +80,17 @@ object Bench {
     val li = Tables.lineitem(spark, sfDir)
     val rows = li.count() // warm file listing/footer caches
 
+    // SPARK_GRAFT_BENCH_SKIP_HARNESS=1: sweep + canary ONLY — the
+    // stage decomposition, skew stress, point-lookup and ANN recall
+    // harnesses are skipped and report -1. For big-corpus spot
+    // re-shoots (with SPARK_GRAFT_BENCH_ONLY) where the harness
+    // overhead dwarfs the measured rows — the sf100 spot paid ~90 min
+    // of unrestricted kmeans/SQ8/PQ fits for a 5-row measurement (and
+    // the fits' shuffle spill was what exhausted the disk mid-sweep);
+    // the graded stage_*/skew/recall numbers come from full sf0.1
+    // sweeps, never from spot runs.
+    val spotOnly = sys.env.get("SPARK_GRAFT_BENCH_SKIP_HARNESS").contains("1")
+
     val qtyBins  = NumericBins(Array(10.0, 25.0, 40.0))
     val discBins = NumericBins(Array(0.03, 0.07))
     val taxBins  = NumericBins(Array(0.04))
@@ -97,15 +108,19 @@ object Bench {
 
     val train = li.select(keyCol.as("key"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pred"))
-    val kv = KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification)
+    val kvOpt = if (spotOnly) None
+      else Some(KvIndexBuilder.buildFromKeyed(train, 3, Task.Classification))
 
-    val featurize = medianOf(stageIters)(evalAll(featurized(li)))
-    val translate = medianOf(stageIters)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
-    val score     = medianOf(stageIters)(evalAll(kv.probe(li, keyCol, "prediction")))
+    val featurize = if (spotOnly) -1.0
+      else medianOf(stageIters)(evalAll(featurized(li)))
+    val translate = if (spotOnly) -1.0
+      else medianOf(stageIters)(evalAll(li.select(col("l_orderkey"), keyCol.as("key"))))
+    val score     = if (spotOnly) -1.0
+      else medianOf(stageIters)(evalAll(kvOpt.get.probe(li, keyCol, "prediction")))
     // query-integration shape: featurize + translate + probe + predicate
     // + aggregate, one fused plan end to end (also the ladder body).
     def e2e(sel: Double): Long =
-      evalAll(kv.probe(featurized(li), keyCol, "prediction")
+      evalAll(kvOpt.get.probe(featurized(li), keyCol, "prediction")
         .filter(col("prediction") > sel)
         .groupBy("ship_month")
         .agg(count(lit(1)).as("cnt"), sum("charge").as("rev")))
@@ -113,10 +128,11 @@ object Bench {
     // prediction at 5 cut-offs like BASELINE.md's "Selectivity ladder");
     // the 0.3 point doubles as the headline stage_end_to_end — timing
     // the identical fused plan twice bought nothing
-    val ladder = Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
-      sel -> medianOf(stageIters)(e2e(sel))
-    }
-    val endToEnd = ladder.collectFirst { case (0.3, t) => t }.get
+    val ladder = if (spotOnly) Seq.empty[(Double, Double)]
+      else Seq(0.1, 0.3, 0.5, 0.7, 0.9).map { sel =>
+        sel -> medianOf(stageIters)(e2e(sel))
+      }
+    val endToEnd = ladder.collectFirst { case (0.3, t) => t }.getOrElse(-1.0)
 
     // ---- skew stress (VERDICT r9 Next #4): one key = 50% of rows ----
     // Measured EARLY (before the 200-query sweep fills the JVM) and
@@ -186,13 +202,14 @@ object Bench {
       if (ds.isEmpty) (t, 0.0, 0.0)
       else (t, ds.last / 1e3, ds(math.min(ds.length - 1, (ds.length * 99) / 100)) / 1e3)
     }
-    val skewRuns = (1 to stageIters).map { _ =>
+    val skewRuns = (if (spotOnly) Seq.empty[Int] else 1 to stageIters).map { _ =>
       (withTaskStats(skewAgg(skewBig.join(skewSmall.hint("shuffle_hash"), Seq("k")))),
        withTaskStats(skewAgg(graft.core.SkewJoin.saltedJoin(
          skewBig, skewSmall.hint("shuffle_hash"), "k", "id", saltFactor = 32))))
     }
     spark.sparkContext.removeSparkListener(skewListener)
-    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.length / 2)
     val skewUnsalted = med(skewRuns.map(_._1._1))
     val skewSalted = med(skewRuns.map(_._2._1))
     val skewUnsaltedTaskMax = med(skewRuns.map(_._1._2))
@@ -295,46 +312,52 @@ object Bench {
 
     // single-row serve path: collect-once local scorer, µs per lookup
     // (the reference's standalone-trie point-query mode)
-    val localScorer = kv.toLocalScorer
-    val probeKeys = li.select(keyCol.as("key")).limit(10000)
-      .collect().map(_.getString(0))
-    var sink = 0.0
-    val reps = 10
-    val tl0 = System.nanoTime()
-    var r = 0
-    while (r < reps) {
-      var j = 0
-      while (j < probeKeys.length) { sink += localScorer.scoreKey(probeKeys(j)); j += 1 }
-      r += 1
-    }
-    val pointLookupUs =
+    val pointLookupUs = if (spotOnly) -1.0 else {
+      val localScorer = kvOpt.get.toLocalScorer
+      val probeKeys = li.select(keyCol.as("key")).limit(10000)
+        .collect().map(_.getString(0))
+      var sink = 0.0
+      val reps = 10
+      val tl0 = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        var j = 0
+        while (j < probeKeys.length) { sink += localScorer.scoreKey(probeKeys(j)); j += 1 }
+        r += 1
+      }
+      if (sink.isNaN) println("unreachable") // keep the loop observable
       if (probeKeys.isEmpty) 0.0 // avoid NaN breaking the JSON line
       else (System.nanoTime() - tl0) / 1e3 / (reps.toLong * probeKeys.length)
-    if (sink.isNaN) println("unreachable") // keep the loop observable
+    }
 
     // fitted-quantizer ANN quality next to the timings (the query's
     // one-row result is collect-once memoized, so this read is free)
-    val ivfRecall = try SparkEntry.queries("x_ann_ivf_kmeans")(spark, sfDir)
+    val ivfRecall = if (spotOnly) -1.0
+      else try SparkEntry.queries("x_ann_ivf_kmeans")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
     // SQ8 twin: what the 3.2x memory compression costs in recall
-    val sq8Recall = try SparkEntry.queries("x_ann_ivf_sq8")(spark, sfDir)
+    val sq8Recall = if (spotOnly) -1.0
+      else try SparkEntry.queries("x_ann_ivf_sq8")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
     // SQ8 ambiguity companion (VERDICT r11 Next #4): exact-cosine gap
     // between SQ8's winner and the true winner — gap ~ 0 with
     // recall < 1 means the misses are ambiguity-band neighbors
     // (candidates closer together than one int8 step, the near-dup-
     // dense-corpus regime), not quantization collapse.
-    val (_, sq8GapMean, sq8GapMax) =
-      try graft.queries.IvfQueries.sq8WinnerGap(spark, sfDir)
+    val (_, sq8GapMean, sq8GapMax) = if (spotOnly) (-1.0, -1.0, -1.0)
+      else try graft.queries.IvfQueries.sq8WinnerGap(spark, sfDir)
       catch { case _: Throwable => (-1.0, -1.0, -1.0) }
     // PQ+re-rank: recall at 16x compression with a 64-item shortlist
-    val pqRecall = try SparkEntry.queries("x_ann_pq")(spark, sfDir)
+    val pqRecall = if (spotOnly) -1.0
+      else try SparkEntry.queries("x_ann_pq")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
     // composed IVFADC (PQ inside the on-disk inverted file)
-    val ivfPqRecall = try SparkEntry.queries("x_ann_ivf_pq")(spark, sfDir)
+    val ivfPqRecall = if (spotOnly) -1.0
+      else try SparkEntry.queries("x_ann_ivf_pq")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
     // pre-filtered search vs the filtered brute-force truth
-    val filteredRecall = try SparkEntry.queries("x_ann_ivf_filtered")(spark, sfDir)
+    val filteredRecall = if (spotOnly) -1.0
+      else try SparkEntry.queries("x_ann_ivf_filtered")(spark, sfDir)
       .head().getAs[Double]("recall_at_1") catch { case _: Throwable => -1.0 }
 
     val stages = Seq(
