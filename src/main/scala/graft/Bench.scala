@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   * views for.
   */
 object Bench {
+  /** Quarantine file for a canary-rejected sweep: `<base>.rejected.json`,
+    * never clobbering an earlier quarantined sweep (VERDICT r14 Next #5
+    * self-review: Files.write truncates, so back-to-back rejections on
+    * the same output name silently destroyed the first rejection's
+    * evidence) — when the name is taken, count up `.rejected.2.json`,
+    * `.rejected.3.json`, … (bounded scan; exists-check injected for
+    * tests). */
+  private[graft] def quarantinePath(base: String, exists: String => Boolean): String = {
+    val first = base + ".rejected.json"
+    if (!exists(first)) first
+    else Iterator.from(2).map(i => base + s".rejected.$i.json")
+      .dropWhile(exists).next()
+  }
+
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = f
@@ -253,8 +267,13 @@ object Bench {
     // or quieter (<1) across the sweep window. The probe walks the
     // sweep list until a row's CONVERGED cost is >= 0.2 s (timer noise
     // below that), giving canary -1 (gate skipped) only when nothing
-    // qualifies.
-    val canaryIters = math.max(iters, 6)
+    // qualifies. Termination is bounded by construction: ≤ 5 candidate
+    // rows × (1 untimed eval + ≤ 6 convergence batches of
+    // robustQueryTime(3)) — no data-dependent loop.
+    // The warmed rows (the canary and any candidates probed before it)
+    // enter the sweep structurally warmer than every other row; the
+    // artifact records which row that was ("canary_row") so its
+    // in-sweep timing is interpretable (ADVICE r14 #4).
     def canaryProbe(): String = {
       val it = sweepList.iterator
       var tries = 0
@@ -271,7 +290,14 @@ object Bench {
             batches += 1
           } while (cur < 0.85 * prev && batches < 6)
           if (math.min(cur, prev) >= 0.2) return name
-        } catch { case _: Throwable => }
+        } catch {
+          // NonFatal only (ADVICE r14 #4): an OOM/fatal JVM error must
+          // abort the sweep, not silently advance the probe; a plain
+          // query failure is logged so the skipped candidate is
+          // diagnosable.
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] canary candidate $name failed, skipping: $e")
+        }
       }
       ""
     }
@@ -295,15 +321,22 @@ object Bench {
     }
 
     // canary AFTER-side vs the pre-warmed row's in-sweep value (see
-    // the de-biased canary doc above the sweep)
+    // the de-biased canary doc above the sweep). SYMMETRIC since r15
+    // (ADVICE r14 #1): both sides are robustQueryTime(iters) — the r14
+    // form re-shot the after-side at best-of-max(iters,6), and a min
+    // over more samples is systematically lower, biasing drift below 1
+    // on a quiet box (eroding the 0.67 false-reject margin) while a
+    // best-of-6 after-side absorbed exactly the contention spikes the
+    // >1.5 got-busier gate exists to catch.
     val canaryBefore = if (canaryName.isEmpty) -1.0
       else queryTimes.toMap.getOrElse(canaryName, -1.0)
     val canaryDrift =
       if (canaryBefore <= 0) -1.0
       else {
-        val after = try robustQueryTime(canaryIters)(
+        val after = try robustQueryTime(iters)(
           evalAll(SparkEntry.queries(canaryName)(spark, sfDir))) catch {
-          case _: Throwable => -1.0
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] canary after-side failed: $e"); -1.0
         }
         if (after > 0) after / canaryBefore else -1.0
       }
@@ -408,14 +441,24 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.filter(_._2 >= 0).map(_._2).sum
     val rejectedField = if (rejected) "\"rejected\":true," else ""
+    val canaryField =
+      if (canaryName.isEmpty) "" else s""""canary_row":"$canaryName","""
     val line =
-      f"""{"queries":$qs,$rejectedField"sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"metric":"inferdb_serve_end_to_end","unit":"sec","value":$endToEnd%.4f}"""
+      f"""{"queries":$qs,$rejectedField$canaryField"sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"metric":"inferdb_serve_end_to_end","unit":"sec","value":$endToEnd%.4f}"""
     println(line)
     // The driver archives only the TAIL of stdout (~2.2 KB) — r8 lost
     // 123 of 196 per-query timings to truncation. Persist the complete
     // line where the round artifacts live so every timing is gradable.
-    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val outFile = if (rejected) outBase + ".rejected.json" else outBase
+    // Default is the PROTOCOL-DISTINCT sweep name (VERDICT r14 What's
+    // wrong #2): BENCH_FULL.json is reserved for merge_bench.py's
+    // min-merge output, and two end-of-round driver sweeps in a row
+    // overwrote the committed min-merge with a single-sweep median
+    // because this default used to be BENCH_FULL.json. BENCH_SWEEP.json
+    // is gitignored — a raw sweep never lands in git by accident.
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SWEEP.json")
+    val outFile = if (rejected)
+      quarantinePath(outBase, p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    else outBase
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

