@@ -301,7 +301,14 @@ object Bench {
       }
       ""
     }
-    val canaryName = canaryProbe()
+    // Spot runs (SKIP_HARNESS) skip the canary entirely: with the sweep
+    // restricted to a handful of multi-minute big-corpus rows, the
+    // warm-up convergence loop alone costs ~10 untimed evals of a
+    // ~170 s query before anything is measured, and spot numbers are
+    // never committed as graded artifacts — the canary gate exists to
+    // protect FULL sweeps (drift reports -1, gate skipped, same as a
+    // too-restricted sweep).
+    val canaryName = if (spotOnly) "" else canaryProbe()
 
     val queryTimes = sweepList
       .map { case (name, fn) =>

@@ -23,7 +23,7 @@ object Sessions {
     * are LOGGED (ADVICE r14 #2): a silent 0 floors both knobs to
     * local-mode minimums on exactly the object-store substrates this
     * sizing targets, and that failure mode must be visible. */
-  private def dirBytes(path: String): Long =
+  private[graft] def dirBytes(path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())

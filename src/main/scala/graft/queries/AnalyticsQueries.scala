@@ -42,22 +42,28 @@ object AnalyticsQueries {
   private val PrOffset = 1000000L
   private val PrIters = 3
 
-  /** Nodes at/above this count put x_pagerank in its big-graph regime:
-    * each power iteration localCheckpoints its rank vector (truncating
-    * the superstep's lineage so the previous superstep's shuffle
-    * dependencies become unreachable) and hints a driver GC so the
-    * ContextCleaner actually deletes those shuffle FILES between
-    * supersteps — without it the 3-iteration loop plus the layout
-    * build hold every shuffle's files concurrently, which is what
-    * exhausted the r14 sf100 spot box ("No space left on device" mid-
-    * ShuffleExternalSorter, VERDICT r14). This is the standard Spark
-    * iterative-compute cadence (GraphX's Pregel materializes and
-    * unpersists per superstep; convergence loops on clusters use
-    * reliable checkpoint() every ~5 rounds). Threshold chosen so the
-    * gate SF and both committed scale decades (sf1 ≈ 0.2M, sf10 ≈ 2.1M
-    * nodes) keep their exact r13-measured plan — only the 100x corpus
-    * (~21M nodes) pays the per-superstep materialization it needs. */
-  private val PrBigNodes = 4000000L
+  /** Corpora at/above this on-disk size put x_pagerank in its
+    * big-graph regime: each power iteration localCheckpoints its rank
+    * vector (truncating the superstep's lineage so the previous
+    * superstep's shuffle dependencies become unreachable) and hints a
+    * driver GC so the ContextCleaner actually deletes those shuffle
+    * FILES between supersteps — without it the 3-iteration loop plus
+    * the layout build hold every shuffle's files concurrently, which
+    * is what exhausted the r14 sf100 spot box ("No space left on
+    * device" mid-ShuffleExternalSorter, VERDICT r14). This is the
+    * standard Spark iterative-compute cadence (GraphX's Pregel
+    * materializes and unpersists per superstep; convergence loops on
+    * clusters use reliable checkpoint() every ~5 rounds). The regime
+    * is decided from the corpus directory's size — a driver-side FS
+    * metadata call, so the sub-threshold plan stays BYTE-IDENTICAL to
+    * the r13-measured one (an r15 experiment that derived the switch
+    * from a deg.count() added a construction pass and a persisted-deg
+    * join even below threshold, and measured the sf1 iteration path
+    * slower). 8 GiB lands between the committed second decade
+    * (sf10 ≈ 2.4 GB — keeps its exact r13 plan) and the 100x corpus
+    * (23 GB, ~21M nodes — pays the per-superstep materialization it
+    * needs). */
+  private val PrBigBytes = 8L << 30
 
   /** One PageRank edge layout per (session, sfDir): the x_pagerank
     * claim is "edges partition once and every iteration reuses that
@@ -65,43 +71,54 @@ object AnalyticsQueries {
     * partitioning or caching `ed`, so each of the three iterations
     * embedded the full distinct→union→degree-join subtree and the plan
     * leaned on AQE exchange reuse, which stopped holding at the 100x
-    * corpus (18.8x/decade). Making the comment literal: the
-    * (src, dst, deg) relation is built with a shuffle_merge-hinted
-    * join (SMJ exchanges BOTH sides on src, so the result is hash-
-    * partitioned by the per-iteration join key at every scale — the
-    * r14 form broadcast tiny deg sides and then paid a full extra
-    * repartition exchange to restore the property) and MATERIALIZED
-    * via localCheckpoint: same blocks as the old MEMORY_AND_DISK
-    * persist, but with lineage truncated, so the construction
-    * shuffles' files are deletable the moment the layout exists
-    * instead of pinned for the app lifetime (the sf100 disk fix; on a
-    * multi-executor cluster the same layout uses reliable
-    * checkpoint()). The node list + count ride along for rank init
-    * and the big-graph regime switch. Same memo convention as the
-    * staged bucketed layouts: pay the layout once, serve iterations
-    * from it. Eviction note: localCheckpoint blocks are freed by the
-    * ContextCleaner once the Dataset is unreachable (unpersist is a
-    * deliberate no-op on checkpointed data). */
+    * corpus (18.8x/decade). Making the comment literal: hash-partition
+    * the (src, dst, deg) relation by the per-iteration join key and
+    * MATERIALIZE it, with the materialization FORM chosen by regime:
+    * below [[PrBigBytes]] the layout persists as the r13-measured
+    * columnar cache (MEMORY_AND_DISK InMemoryRelation — iterations
+    * re-scan it 3x per eval, and the columnar scan is what the
+    * committed sf0.1/sf1/sf10 numbers price; an r15 experiment that
+    * localCheckpointed at every scale re-read serialized row blocks
+    * instead and measured the sf1 iteration path 2-3x slower). In the
+    * big-graph regime the SAME relation is built with a
+    * shuffle_merge-hinted join (both sides exchange on src — a
+    * broadcast-deg plan would leave the layout partitioned by scan
+    * splits) and materialized via localCheckpoint: same blocks, but
+    * lineage TRUNCATED, so the construction shuffles' files are
+    * deletable the moment the layout exists instead of pinned for the
+    * app lifetime — the r14 sf100 spot died of exactly that pinned
+    * shuffle disk ("No space left on device"; on a multi-executor
+    * cluster this is reliable checkpoint()). The regime comes from the
+    * corpus directory's on-disk size ([[PrBigBytes]] — a driver-side
+    * FS metadata call, so no extra Spark pass and the small plan stays
+    * byte-identical to the committed one); big-regime nodes derive
+    * from the checkpointed layout itself (clustering already
+    * satisfied → zero-shuffle local distinct, no second construction
+    * pass). Eviction: unpersist the persisted frames; checkpoint
+    * blocks free via the ContextCleaner once unreachable (unpersist
+    * is a deliberate no-op on them). */
   private val prLayout = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, Long)]
-  private def pagerankLayout(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Boolean)]
+  private def pagerankLayout(s: SparkSession, d: String): (DataFrame, DataFrame, Boolean) =
     graft.core.CorpusCaches.cachedPerCorpus(prLayout, s, d)({
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val big = graft.Sessions.dirBytes(d) >= PrBigBytes
       val pairs = Tables.lineitem(s, d)
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
       val edges = pairs.select(col("sk").as("src"), (col("pk") + PrOffset).as("dst"))
         .unionAll(pairs.select((col("pk") + PrOffset).as("src"), col("sk").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val ed = edges.join(deg.hint("shuffle_merge"), "src").localCheckpoint()
-      // distinct src of the partitioned layout = deg's key set, and the
-      // clustering is already satisfied, so this is a ZERO-shuffle
-      // local agg over the checkpointed blocks (no second pass over the
-      // corpus, which re-deriving deg from `edges` would cost).
-      val nodes = ed.select(col("src").as("node")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nNodes = nodes.count()
-      (ed, nodes, nNodes)
-    })({ case (_, n, _) =>
-      n.unpersist(blocking = false)
+      if (big) {
+        val ed = edges.join(deg.hint("shuffle_merge"), "src").localCheckpoint()
+        val nodes = ed.select(col("src").as("node")).distinct().persist(mad)
+        (ed, nodes, true)
+      } else {
+        val ed = edges.join(deg, "src").repartition(col("src")).persist(mad)
+        val nodes = deg.select(col("src").as("node")).persist(mad)
+        (ed, nodes, false)
+      }
+    })({ case (e, n, _) =>
+      e.unpersist(blocking = false); n.unpersist(blocking = false)
     })
 
   /** The one-pass reservoir bound sketch behind [[distributionWindows]]
@@ -829,7 +846,7 @@ object AnalyticsQueries {
     // iteration count is the knob (fixed here so the oracle can unroll
     // it), convergence-checked loops checkpoint every ~5 rounds.
     "x_pagerank" -> ((s, d) => {
-      val (ed, nodes, nNodes) = pagerankLayout(s, d)
+      val (ed, nodes, big) = pagerankLayout(s, d)
       var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
       for (_ <- 1 to PrIters) {
         val next = ed.join(ranks, ed("src") === ranks("node"))
@@ -837,7 +854,7 @@ object AnalyticsQueries {
           .groupBy("dst")
           .agg(expr("150000 + (85 * sum(contrib)) div 100").as("r"))
           .select(col("dst").as("node"), col("r"))
-        // Big-graph regime ([[PrBigNodes]]): materialize each superstep
+        // Big-graph regime ([[PrBigBytes]]): materialize each superstep
         // (rank vector is O(nodes) — 21M rows ≈ 300 MB at the 100x
         // corpus, trivial next to its shuffles) and truncate its
         // lineage, then hint a GC so the ContextCleaner deletes the
@@ -846,7 +863,7 @@ object AnalyticsQueries {
         // one superstep instead of all PrIters (the r14 sf100 ENOSPC).
         // Integer rank math is exact under any materialization, so the
         // fixpoint — and the oracle hash — is unchanged.
-        ranks = if (nNodes >= PrBigNodes) {
+        ranks = if (big) {
           val ck = next.localCheckpoint()
           System.gc()
           ck
