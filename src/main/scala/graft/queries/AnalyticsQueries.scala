@@ -109,7 +109,16 @@ object AnalyticsQueries {
         .unionAll(pairs.select((col("pk") + PrOffset).as("src"), col("sk").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       if (big) {
-        val ed = edges.join(deg.hint("shuffle_merge"), "src").localCheckpoint()
+        // DISK_ONLY, not the default deserialized MEMORY_AND_DISK: a
+        // ~1.2B-row layout held as deserialized rows blew the 48g spot
+        // heap (r15 first attempt OOM'd mid-materialization); on disk
+        // it is compressed UnsafeRows (spark.rdd.compress in Sessions)
+        // — ~10-15 GB that each superstep streams back in. On a real
+        // cluster this is the executor-storage-tier decision for a
+        // graph bigger than aggregate cache memory.
+        val ed = edges.join(deg.hint("shuffle_merge"), "src")
+          .localCheckpoint(eager = true,
+            org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val nodes = ed.select(col("src").as("node")).distinct().persist(mad)
         (ed, nodes, true)
       } else {
