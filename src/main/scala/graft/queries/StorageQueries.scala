@@ -32,6 +32,13 @@ object StorageQueries {
     * the memoized block. */
   private val staged =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  /** Test hook: the staged path for a layout (None if not yet built) —
+    * StorageQueriesSpec asserts the bucketed layout holds ONE file per
+    * bucket (the r15 sf100 diagnosis: an unclustered bucketed write
+    * emits writeTasks x buckets files). Never calls TmpDirs.scratch
+    * (which clears on entry). */
+  private[graft] def stagedPath(s: SparkSession, d: String, name: String): Option[String] =
+    staged.get((s, d, name))
   private def stagedOnce(s: SparkSession, d: String, name: String)(
       write: String => Unit): String =
     staged.getOrElseUpdate((s, d, name), {
@@ -84,7 +91,7 @@ object StorageQueries {
     * built to fix. `getContentSummary` resolves file://, hdfs:// and
     * s3a:// alike; StorageScaleSpec asserts a nonzero size (and the
     * gate's floor-8 count) on the test corpus. */
-  private[queries] def smbBucketCount(s: SparkSession, d: String): Int = {
+  private[graft] def smbBucketCount(s: SparkSession, d: String): Int = {
     val path = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
     val fs = path.getFileSystem(s.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(path).getLength

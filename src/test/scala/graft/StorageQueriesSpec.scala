@@ -60,6 +60,27 @@ class StorageQueriesSpec extends AnyFunSuite {
     assert(res.join(direct, Seq("o_orderkey", "cnt", "revenue")).count() == direct.count())
   }
 
+  test("s2 staged layout holds exactly one file per bucket (no task x bucket storm)") {
+    // r15 sf100 diagnosis: a bucketed write staged straight off the
+    // scan emits one file per (write task x bucket) — 58k ~36 KB files
+    // for the orders side alone at the 1000x corpus — and the
+    // "zero-shuffle" join pays a tiny-file open/list storm that read
+    // 22x/decade. The repartition(buckets, key) before the write pins
+    // the layout at one file per bucket; this spec keeps it pinned.
+    StorageQueries.defs("s2_bucketed_smb_join")(spark, sf).count() // ensure staged
+    val tmpO = graft.queries.StorageQueries.stagedPath(spark, sf, "bucket_o")
+    assert(tmpO.nonEmpty, "bucketed layout not staged")
+    val buckets = graft.queries.StorageQueries.smbBucketCount(spark, sf)
+    for (dir <- Seq(tmpO.get, tmpO.get.replace("bucket_o", "bucket_l"))) {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+      assert(files.nonEmpty, s"no data files under $dir")
+      assert(files.length <= buckets,
+        s"$dir holds ${files.length} data files for $buckets buckets — " +
+          "the write is no longer clustered by the bucket key")
+    }
+  }
+
   test("s10_compaction: compacted copy preserves every document exactly once") {
     val res = StorageQueries.defs("s10_compaction")(spark, sf)
     val rows = res.collect()
