@@ -11,18 +11,25 @@ per-key distributions are exactly sf0.1's, while distinct-key counts
 and total rows grow 10x. That is precisely the "same data shape,
 10x the data" scaling experiment.
 
-Four content tweaks keep derived workloads honest at 10-100x (replica
+Four content tweaks keep derived workloads honest at 10-1000x (replica
 0 is ALWAYS the identity, so capped demo rows that filter to low ids
 see bit-identical data at every scale):
-- documents.text goes through a per-replica AFFINE letter cipher
-  (i -> (a*i + b) % 26, a in {1,3,5,7} by r//26, b = r % 26 — 104
-  distinct bijections, see caesar_pair) composed with a digit rotation
-  (r % 10): each replica's INTERNAL dup/near-dup graph is isomorphic
-  to sf0.1's, with zero cross-replica token collisions for r < 104
-  (a plain letter rotation wrapped at 26 and collided at the 100x
-  corpus) — without this every doc would have N-1 exact twins and the
-  LSH pair workload would grow N^2 by corpus construction, not by
-  algorithm behavior.
+- documents.text goes through a per-replica WORD cipher (word_cipher_sql):
+  each of the corpus' vocabulary words maps to a replica-unique code
+  token, so every replica's INTERNAL dup/near-dup graph is exactly
+  isomorphic to sf0.1's (a bijection on the token set preserves term
+  frequencies, shingle-set Jaccard, and BM25 structure verbatim) while
+  replica token NAMESPACES are pairwise disjoint BY CONSTRUCTION up to
+  14 741 replicas — so cross-replica shingle collisions are exactly
+  zero and the LSH/dedup workload grows with the data, not N^2 by
+  corpus construction. This replaces the r9-r14 AFFINE letter cipher
+  (i -> (a*i + b) % 26 composed with a digit rotation), which offered
+  only 104 distinct letter bijections on this corpus' digitless text:
+  replicas r and r+104 carried IDENTICAL text, so the 1000x corpus
+  gave every doc ~9 exact cross-replica twins and the third decade was
+  text-dishonest (VERDICT r14 "What's missing" #3 / Next #6; the r15
+  README documented the bound, this widening removes it).
+  tools/text_evidence.py measures the honesty claims per corpus.
 - embeddings get a deterministic per-dimension, per-replica jitter
   (+0.1*sin(r*131 + i*17), ~30% of the component scale): replicas are
   similar-but-distinct vectors that spread across SRP/LSH buckets the
@@ -39,7 +46,13 @@ region/nation are fixed dimension domains and stay single-copy
 (scale grows facts, not countries); nationkeys are NOT shifted.
 
 Usage: python3 tools/make_scale_corpus.py [src_dir] [out_dir] [replicas]
-Defaults: /root/testdata/sf0.1 /root/repo/scaledata/sf1 10
+                                          [tables]
+Defaults: /root/testdata/sf0.1 /root/repo/scaledata/sf1 10 (all tables)
+`tables` is a comma list (e.g. "documents,embeddings") for mixed-scale
+spot corpora: the sf100 TEXT spot scales only the text-band tables
+1000x and keeps the relational facts at the sf10 scale already
+measured, so the 17+ GB lineitem replication isn't re-paid for rows
+that never read it.
 """
 import os
 import sys
@@ -49,6 +62,9 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scaledata/sf1"
 REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+TABLES = (set(sys.argv[4].split(",")) if len(sys.argv) > 4 else
+          {"region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings"})
 # far above every key in the source corpus (max l_orderkey ~ 150k,
 # user_id ~ 2k, vec_id 2k); also % 50 == 0 and % 10 == 0 so workload
 # key-derived features (o_custkey % 50, l_orderkey % 10) keep their
@@ -63,26 +79,69 @@ def src(t):
     return f"read_parquet('{SRC}/{t}.parquet')"
 
 
-def caesar_pair(r):
-    """translate() from/to alphabets via an AFFINE cipher on letters:
-    index i -> (a*i + b) % 26 with a = one of four units mod 26 chosen
-    by r//26 and b = r%26 — 104 distinct letter bijections. Two
-    distinct affine maps agree on at most TWO letters, and only on a
-    pair exactly 13 apart ((a1-a2)(i1-i2) = 0 mod 26 with a1-a2 in
-    {2,4,6} forces i1-i2 = 13; none at all when only b differs), so up
-    to 104 replicas have zero cross-replica collisions for any token
-    whose distinct letters are not one such 13-apart pair, even on
-    digitless text (a plain rotation wraps at 26 and gave r, r+26, ...
-    identical mappings — caught at the 100x corpus). Digits rotate by
-    r % 10 on top. r=0 is the identity (a=1, b=0)."""
-    lower = "abcdefghijklmnopqrstuvwxyz"
-    digits = "0123456789"
-    a = [1, 3, 5, 7][(r // 26) % 4]
-    b = r % 26
-    lo_to = "".join(lower[(a * i + b) % 26] for i in range(26))
-    frm = lower + lower.upper() + digits
-    to = lo_to + lo_to.upper() + (digits[r % 10:] + digits[:r % 10])
-    return frm, to
+# The driver corpus' full document vocabulary (31 words, lowercase
+# letters only — verified below against the actual source before any
+# documents part is written, so a changed driver corpus fails LOUDLY
+# instead of silently leaking unciphered tokens across replicas).
+VOCAB = sorted([
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window"])
+
+
+def word_code(r, i, w):
+    """Replica-unique code token for vocabulary word i of replica r.
+
+    'x' + base-26 of (r*len(VOCAB) + i), zero-padded ('a') to
+    max(len(w), 5) - 1 payload letters. Disjointness is structural:
+    - codes never equal SOURCE tokens: the source text contains no 'x'
+      (checked below), every code starts with one;
+    - codes never collide with OTHER codes: same payload length →
+      distinct (r, i) → distinct integer → distinct base-26 string;
+      different payload lengths → different total length;
+    - capacity: payload ≥ 4 letters = 456 976 codes per length class
+      ≥ 31 × 14 741 replicas — three orders past the 1000x corpus
+      (the affine letter cipher this replaces aliased at 104).
+    Word LENGTH is preserved for every vocabulary word of ≥ 5 chars
+    (16 of 31, incl. the high-frequency ones); shorter words widen to
+    5, so per-token hash work grows slightly (conservative: never
+    understates text cost)."""
+    n = r * len(VOCAB) + i
+    width = max(len(w), 5) - 1
+    assert n < 26 ** width, f"replica {r} overflows the {width}-char payload"
+    payload = []
+    for _ in range(width):
+        payload.append(chr(ord("a") + n % 26))
+        n //= 26
+    return "x" + "".join(reversed(payload))
+
+
+def word_cipher_sql(r):
+    """SQL expression rewriting `text` for replica r: split on single
+    spaces, map each vocabulary word through word_code via one CASE,
+    re-join. r=0 is the identity (bit-identical text at every scale)."""
+    if r == 0:
+        return "text"
+    cases = " ".join(
+        f"WHEN '{w}' THEN '{word_code(r, i, w)}'" for i, w in enumerate(VOCAB))
+    return ("array_to_string(list_transform(string_split(text, ' '), "
+            f"t -> CASE t {cases} ELSE t END), ' ')")
+
+
+def assert_vocab_covered():
+    """Every source token must be in VOCAB (ELSE t would pass an
+    unknown token through IDENTICALLY in all replicas — a silent
+    cross-replica shingle leak), and 'x' must not occur in the source
+    (it namespaces the code tokens away from replica 0)."""
+    bad = con.execute(f"""SELECT DISTINCT tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM {src('documents')})
+        WHERE tok NOT IN ({','.join("'" + w + "'" for w in VOCAB)})
+        LIMIT 5""").fetchall()
+    assert not bad, f"source tokens outside the hardcoded VOCAB: {bad}"
+    nx = con.execute(f"SELECT count(*) FROM {src('documents')} "
+                     "WHERE text LIKE '%x%'").fetchone()[0]
+    assert nx == 0, f"{nx} source docs contain 'x' — code-token namespace unsafe"
 
 
 def write(t, union_sql):
@@ -91,6 +150,8 @@ def write(t, union_sql):
     scan at ONE Spark partition (maxPartitionBytes never splits a file
     below its size), which serializes every downstream pipeline and
     measures the corpus artifact, not the plan."""
+    if t not in TABLES:
+        return
     path = f"{OUT}/{t}.parquet"
     os.makedirs(path, exist_ok=True)
     for i, part_sql in enumerate(union_sql if isinstance(union_sql, list) else [union_sql]):
@@ -137,11 +198,12 @@ parts = [f"""SELECT event_id + {r * OFFSET} AS event_id,
     FROM {src('events')}""" for r in range(REPLICAS)]
 write("events", parts)
 
+if "documents" in TABLES:
+    assert_vocab_covered()
 parts = []
 for r in range(REPLICAS):
-    frm, to = caesar_pair(r)
     parts.append(f"""SELECT doc_id + {r * OFFSET} AS doc_id,
-        translate(text, '{frm}', '{to}') AS text, lang, source, n_chars
+        {word_cipher_sql(r)} AS text, lang, source, n_chars
         FROM {src('documents')}""")
 write("documents", parts)
 
