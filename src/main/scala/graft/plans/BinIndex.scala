@@ -154,6 +154,9 @@ object GraftExtensions {
     (FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
       arity("token_counts", 1)(c => TokenCounts(c.head))),
+    (FunctionIdentifier("term_freqs"),
+      new ExpressionInfo(classOf[TermFreqs].getName, "term_freqs"),
+      arity("term_freqs", 1)(c => TermFreqs(c.head))),
     // intersect_size(a, b) == size(array_intersect(a, b)) ONLY for
     // array<string NOT NULL>; nullable-element arrays are rejected at
     // analysis time (array_intersect counts a shared null, the kernel

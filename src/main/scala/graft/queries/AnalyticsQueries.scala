@@ -822,9 +822,20 @@ object AnalyticsQueries {
     // with partial-agg order. Top-50 by (dot desc, pair) — a total
     // order.
     "t_doc_similarity" -> ((s, d) => {
+      // Term frequency is computed IN the row (graft.plans.TermFreqs,
+      // codegen'd single-pass kernel with exact explode(split)+count
+      // semantics — TermFreqsSpec pins the equivalence incl. split's
+      // empty-field edge cases): the former explode -> groupBy(doc_id,
+      // t) form shuffled every (doc, token) OCCURRENCE into a
+      // string-keyed hash aggregate with ~#docs x #distinct-tokens
+      // groups, which the r15 third-decade text spot measured at 40x
+      // for 10x docs (285M-row shuffle, ~155M groups — spill regime).
+      // Row-local tf makes this stage a pure map; the per-TERM df
+      // aggregate below then collapses map-side (distinct tokens,
+      // not occurrences, cross the wire).
       val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), explode(graft.plans.TermFreqs.column(col("text"))).as("kv"))
+        .select(col("doc_id"), col("kv.t").as("t"), col("kv.tf").as("tf"))
       val nDocs = Tables.documents(s, d).count()
       val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
         .filter(col("df") * 10 <= nDocs && col("df") <= MaxSimDf)

@@ -377,6 +377,15 @@ object IvfQueries {
       // per-vector scale is part of the SQ8 code, and ranking the raw
       // integers would systematically favor small-amax vectors. The
       // query's own scale is constant per group — irrelevant to argmax.
+      // Rank with the hash-aggregable argmax kernel (plans.ArgTop1 —
+      // identical semantics to min_by(struct(n_id, score),
+      // struct(-adj, n_id)), spec-pinned): min_by's struct buffer
+      // forced Sort + SortAggregate, a TOTAL SORT of the probe x
+      // corpus product BEFORE reducing it to |probe| rows — the r15
+      // third-decade text spot measured this row at 55x/decade (the
+      // 200M-row sort hits spill at 2M vectors). ObjectHashAggregate
+      // folds each partition to |probe| 25-byte states map-side: no
+      // sort, and the exchange carries #partitions x |probe| rows.
       val qzTop = probe
         .crossJoin(q8.select(col("vec_id").as("n_id"), col("q").as("nq"),
           col("amax0").as("n_amax")))
@@ -385,8 +394,7 @@ object IvfQueries {
           tv.intDot(col("qq"), col("nq")).as("score"), col("n_amax"))
         .withColumn("adj", col("score").cast("double") * col("n_amax"))
         .groupBy("q_id")
-        .agg(min_by(struct(col("n_id"), col("score")),
-          struct(-col("adj"), col("n_id"))).as("t"))
+        .agg(graft.plans.ArgTop1.column(col("adj"), col("n_id"), col("score")).as("t"))
         .select(col("q_id"), col("t.n_id").as("q8_id"), col("t.score").as("q8_score"))
       qzTop.join(bfTop(s, d).select(col("q_id"), col("bf_id")), Seq("q_id"))
         .withColumn("agree", (col("q8_id") === col("bf_id")).cast("int"))

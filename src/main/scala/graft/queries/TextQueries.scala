@@ -1102,8 +1102,19 @@ object TextQueries {
         .select(col("q_id"), col("vec_id").as("n_id"),
           (Fns.dotProduct(col("q_emb"), col("embedding"))
             / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cos"))
-      val wnd = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      pairs.withColumn("rn", row_number().over(wnd)).filter(col("rn") <= 5)
+      // Top-5 via the hash-aggregable ArgTopK kernel — identical rows
+      // and rn values to row_number() OVER (PARTITION BY q_id ORDER BY
+      // cos DESC, n_id) <= 5 (ArgTopKSpec pins the equivalence): the
+      // window form sorted the ENTIRE probe x corpus product to keep 5
+      // rows per query — the r15 third-decade text spot measured that
+      // sort at 17x/decade. ObjectHashAggregate folds each partition
+      // to a 5-entry state per query map-side; nothing global is
+      // sorted, so the row scales with the dot products it computes.
+      pairs.groupBy("q_id")
+        .agg(graft.plans.ArgTopK.column(col("cos"), col("n_id"), col("cos"), 5).as("tops"))
+        .select(col("q_id"), posexplode(col("tops")))
+        .select(col("q_id"), col("col.n_id").as("n_id"), col("col.v").as("cos"),
+          (col("pos") + 1).cast("int").as("rn"))
     }),
 
     // SRP-LSH bucketing — the 100 TB similarity-search path: random-
@@ -1244,14 +1255,25 @@ object TextQueries {
     // the same generate_series bound as the shingle CTE).
     "t_bpe_pair_counts" -> ((s, d) => {
       assertCapMemo(s, d)
+      // Per-doc pair frequencies are computed IN the row (ArrayFreqs —
+      // one entry per DISTINCT bigram with its occurrence count), so
+      // tf = sum(per-doc tf) and df = count(*): each doc contributes
+      // each pair exactly once, which is count_distinct(doc_id) by
+      // construction — WITHOUT the distinct aggregate. The former
+      // count_distinct form expanded every (pair, doc_id) OCCURRENCE
+      // into a two-phase dedup shuffle keyed on (pair, doc_id) — the
+      // r15 third-decade text spot measured it at 15x/decade on the
+      // 285M-occurrence corpus; the row-local form ships only distinct
+      // pairs into a plain hash aggregate that collapses map-side
+      // (TermFreqsSpec pins the kernel equivalence).
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), explode(graft.plans.TermFreqs.arrayColumn(expr(
           """zip_with(slice(toks, 1, size(toks) - 1),
             |         slice(toks, 2, size(toks) - 1),
-            |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
-        .groupBy("pair")
-        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+            |         (a, b) -> concat(a, ' ', b))""".stripMargin))).as("kv"))
+        .groupBy(col("kv.t").as("pair"))
+        .agg(sum(col("kv.tf")).as("tf"), count(lit(1)).as("df"))
         .orderBy(col("tf").desc, col("pair"))
         .limit(100)
     }),
