@@ -386,9 +386,21 @@ object IvfQueries {
       // 200M-row sort hits spill at 2M vectors). ObjectHashAggregate
       // folds each partition to |probe| 25-byte states map-side: no
       // sort, and the exchange carries #partitions x |probe| rows.
-      val qzTop = probe
-        .crossJoin(q8.select(col("vec_id").as("n_id"), col("q").as("nq"),
-          col("amax0").as("n_amax")))
+      // BROADCAST the 100-row probe side explicitly: Catalyst's size
+      // estimate for a filtered scan never clears the auto-broadcast
+      // threshold, so the cross join planned as CartesianProduct —
+      // which BUFFERS each corpus-side partition in an
+      // ExternalAppendOnlyUnsafeRowArray (spills past 4096 rows) and
+      // re-reads the spill once per probe row. That threshold crossing
+      // is scale-dependent: sf10 partitions (~6k rows) sat mostly in
+      // memory, sf100 partitions (~62k rows) paid 100 spill re-reads
+      // each — the residual superlinearity after the ArgTop1 fix
+      // (98.9 s where ~13 s is the dot-product work). BNLJ streams the
+      // corpus side through codegen with zero buffering.
+      val qzTop = q8
+        .select(col("vec_id").as("n_id"), col("q").as("nq"),
+          col("amax0").as("n_amax"))
+        .crossJoin(broadcast(probe))
         .filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"),
           tv.intDot(col("qq"), col("nq")).as("score"), col("n_amax"))

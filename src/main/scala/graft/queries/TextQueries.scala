@@ -1098,7 +1098,13 @@ object TextQueries {
         .cache() // norms computed once, reused by query and candidate sides
       val q = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nsq").as("q_nsq"))
-      val pairs = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+      // broadcast(q): without the hint the filtered-scan estimate never
+      // clears the broadcast threshold and the cross join plans as
+      // CartesianProduct, which buffers every corpus partition in a
+      // spill array re-read once per query row (see t_embed_quantize —
+      // the same scale-dependent threshold crossing, measured 20x at
+      // the 1000x corpus); BNLJ streams the corpus side unbuffered.
+      val pairs = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           (Fns.dotProduct(col("q_emb"), col("embedding"))
             / (sqrt(col("q_nsq")) * sqrt(col("nsq")))).as("cos"))
