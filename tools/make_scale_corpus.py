@@ -90,15 +90,30 @@ VOCAB = sorted([
     "spark", "stream", "table", "the", "value", "vector", "window"])
 
 
+# Multiplicative scrambler for code payloads: odd and not divisible by
+# 13, so it is a unit mod 26^w for every width w — multiplication is a
+# BIJECTION on payload space, preserving code uniqueness while
+# spreading codes uniformly over the letter alphabet. Without it the
+# low sequential integers (r*31+i <= 31k out of 26^4+) zero-pad to
+# 'a'-run-degenerate tokens ("xaaab"): every code shares an 'xaa…'
+# prefix, which char-level workloads read as massive intra-doc
+# repetition — the first r15 corpus measured t_filter_pipeline 13x and
+# t_bpe_encode 12x their committed sf10 times on fake repetition/merge
+# pathologies, corpus artifacts rather than plan behavior.
+MULT = 1_000_003
+
+
 def word_code(r, i, w):
     """Replica-unique code token for vocabulary word i of replica r.
 
-    'x' + base-26 of (r*len(VOCAB) + i), zero-padded ('a') to
-    max(len(w), 5) - 1 payload letters. Disjointness is structural:
+    'x' + base-26 of ((r*len(VOCAB) + i) * MULT mod 26^width), with
+    width = max(len(w), 5) - 1 payload letters. Disjointness is
+    structural:
     - codes never equal SOURCE tokens: the source text contains no 'x'
       (checked below), every code starts with one;
     - codes never collide with OTHER codes: same payload length →
-      distinct (r, i) → distinct integer → distinct base-26 string;
+      distinct (r, i) → distinct integer → distinct scrambled value
+      (MULT is a unit mod 26^width) → distinct base-26 string;
       different payload lengths → different total length;
     - capacity: payload ≥ 4 letters = 456 976 codes per length class
       ≥ 31 × 14 741 replicas — three orders past the 1000x corpus
@@ -107,9 +122,11 @@ def word_code(r, i, w):
     (16 of 31, incl. the high-frequency ones); shorter words widen to
     5, so per-token hash work grows slightly (conservative: never
     understates text cost)."""
-    n = r * len(VOCAB) + i
     width = max(len(w), 5) - 1
-    assert n < 26 ** width, f"replica {r} overflows the {width}-char payload"
+    space = 26 ** width
+    raw = r * len(VOCAB) + i
+    assert raw < space, f"replica {r} overflows the {width}-char payload"
+    n = raw * MULT % space
     payload = []
     for _ in range(width):
         payload.append(chr(ord("a") + n % 26))
