@@ -310,6 +310,20 @@ object Bench {
     // too-restricted sweep).
     val canaryName = if (spotOnly) "" else canaryProbe()
 
+    // Spot-mode infra warm-up (VERDICT r15 Next #6): spot rows are
+    // cold-JVM single shots, so the alphabetically-first row used to
+    // absorb the whole JVM's codegen/shuffle warm-up (Janino + codegen
+    // classloading, shuffle + ObjectHashAggregate machinery) — the r15
+    // spot's lead row (a1_groupby_agg) was only readable as an upper
+    // bound. One untimed SYNTHETIC eval — a shuffled hash aggregate
+    // over spark.range, sharing no sweep row's data or generated code
+    // — warms that shared infrastructure symmetrically: no sweep row
+    // gets its own plan pre-compiled or its input pre-cached.
+    if (spotOnly)
+      evalAll(spark.range(1000000L)
+        .groupBy(pmod(col("id"), lit(1000L)).as("g"))
+        .agg(count(lit(1)).as("n"), sum("id").as("s"), avg("id").as("a")))
+
     val queryTimes = sweepList
       .map { case (name, fn) =>
       val t = try robustQueryTime(iters)(evalAll(fn(spark, sfDir))) catch {
@@ -470,6 +484,17 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    // Compact machine line LAST (VERDICT r15 What's wrong #3): the
+    // driver archives only the TAIL of stdout (~2 KB) and the full
+    // per-query line above overflows it, leaving BENCH_rN.json with
+    // "parsed": null. This line is ~300 bytes — small enough for any
+    // tail window — and carries the graded contract keys (metric/
+    // value/unit/sf) plus the stage headline and the on-disk path of
+    // the complete line, so the graded artifact always holds parsed
+    // numbers even when the big line is truncated.
+    val summary =
+      f"""{"summary":true,$rejectedField"metric":"inferdb_serve_end_to_end","value":$endToEnd%.4f,"unit":"sec","sf":"$sfDir","rows":$rows,"total_query_sec":$total%.2f,"stage_featurize":$featurize%.4f,"stage_translate":$translate%.4f,"stage_score":$score%.4f,"canary_drift":$canaryDrift%.4f,"out_path":"$outFile"}"""
+    println(summary)
     spark.stop()
     if (rejected) {
       System.err.println(

@@ -128,6 +128,19 @@ object Sessions {
       // sides we broadcast are far below it at any SF because they are
       // bounded by key-space/dimension size, not data size.
       .getOrCreate()
+    // Measurement knob (VERDICT r15 Next #7): SPARK_GRAFT_ROCKSDB_STATE=1
+    // swaps every streaming query's state store from the default
+    // in-heap HDFSBackedStateStoreProvider to RocksDB — the provider a
+    // production cluster uses once state outgrows executor heap. Set
+    // AFTER getOrCreate so a fresh checkpoint picks it up (providers
+    // pin at checkpoint creation; graft streaming queries scratch
+    // their checkpoints per eval, so the knob takes effect per run).
+    // Off by default: at graft's gate/sf10 state sizes the in-heap map
+    // is the faster provider (see README's r16 comparison) and the
+    // default keeps committed numbers comparable round-over-round.
+    if (sys.env.get("SPARK_GRAFT_ROCKSDB_STATE").contains("1"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

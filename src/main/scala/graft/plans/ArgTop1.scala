@@ -31,9 +31,14 @@ final class Top1Buf(
   * group map-side, no sort anywhere, and the exchange carries
   * #partitions x #groups rows.
   *
-  * Null contract: rows where any of (adj, id, score) is null are
-  * IGNORED (min_by skips null ordering keys the same way); a group
-  * with no qualifying rows evaluates to a null struct.
+  * Null contract (ADVICE r15): rows where any of (adj, id, score) is
+  * null are IGNORED; a group with no qualifying rows evaluates to a
+  * null struct. This matches min_by for null adj/id (null ORDERING
+  * keys are skipped) but DIVERGES for null score — min_by would still
+  * select such a row and return a null-score struct. The aggregate
+  * therefore assumes score is non-null wherever a bitwise-min_by
+  * claim is made; at its one call site (t_embed_quantize) score is
+  * intDot over non-null int8 arrays, which cannot be null.
   */
 case class ArgTop1(
     adj: Expression, id: Expression, score: Expression,
@@ -149,6 +154,14 @@ final class TopKBuf(val k: Int) {
   * on exactly that sort. As a TypedImperativeAggregate the plan is
   * ObjectHashAggregate: each partition folds to a k-entry state per
   * group map-side and nothing is ever globally sorted.
+  *
+  * Null contract (ADVICE r15): rows with null ord (or id/payload) are
+  * DROPPED. row_number() OVER (ORDER BY ord DESC, id) instead places
+  * null ord LAST and would still assign rn <= k in a group with fewer
+  * than k non-null rows — so the window-equivalence claim assumes ord
+  * is non-null. At the call sites (t_embed_knn, t_dedup_cosine) ord is
+  * a double cosine expression over non-null arrays: it can yield NaN
+  * (ranked first, like the window) but never null.
   */
 case class ArgTopK(
     ord: Expression, id: Expression, payload: Expression, k: Int,
@@ -206,6 +219,11 @@ case class ArgTopK(
     b
   }
 
+  // O(k^2) worst case per merge (k inserts, each an O(k) scan+shift).
+  // Fine at the single-digit k the call sites use; the k <= 1024
+  // require above bounds it at ~1M compares per merge, and merges run
+  // once per (group x partial) — far off any hot path. A heap-backed
+  // buffer only pays off past that bound (VERDICT r15 Next #6).
   override def merge(b: TopKBuf, o: TopKBuf): TopKBuf = {
     var i = 0
     while (i < o.n) { insert(b, o.ord(i), o.id(i), o.payload(i)); i += 1 }

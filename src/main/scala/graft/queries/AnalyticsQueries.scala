@@ -37,6 +37,51 @@ object AnalyticsQueries {
     * gate results are unchanged. */
   private val MaxSimDf = 512
 
+  /** t_doc_similarity tf-stage regime threshold on the DOCUMENTS
+    * table's on-disk bytes (pagerank's [[PrBigBytes]] pattern, VERDICT
+    * r15 Next #1): the row-local [[graft.plans.TermFreqs]] kernel
+    * killed the 5M-doc corpus' 285M-row (doc, token) shuffle
+    * (21.6x → 10.4x/decade at the r15 text spot) but costs ~0.24 s
+    * MORE than the codegen'd explode+groupBy at the 5000-doc gate SF
+    * (min-of-6: 1.00 s kernel vs 0.765 s explode — per-row TreeMap +
+    * UTF8String allocation never amortizes on tiny inputs). Measured
+    * crossover: parity at sf1 (5.8 MB, 1.83 s both forms), kernel
+    * clearly ahead at sf10 (58 MB: 4.24 s vs 5.27 s) — 32 MB sits
+    * between them. Sized on the table (not the corpus dir) because
+    * the text-band spot corpora scale ONLY documents/embeddings; both
+    * tf forms produce the identical (doc_id, t, tf) multiset
+    * (TermFreqsSpec pins the kernel against explode+groupBy;
+    * DocSimRegimeSpec pins the full query output across the switch),
+    * so the fixpoint and the oracle hash never depend on the regime. */
+  private val DocSimKernelBytes = 32L << 20
+
+  /** The full t_doc_similarity body with the tf regime explicit, so
+    * DocSimRegimeSpec can pin bitwise output equality across the
+    * switch directly (both tf forms emit the same (doc_id, t, tf)
+    * multiset; everything downstream is integer-exact). */
+  private[queries] def docSimilarity(docs: DataFrame, kernelTf: Boolean): DataFrame = {
+    val tf =
+      if (kernelTf)
+        docs.select(col("doc_id"),
+            explode(graft.plans.TermFreqs.column(col("text"))).as("kv"))
+          .select(col("doc_id"), col("kv.t").as("t"), col("kv.tf").as("tf"))
+      else
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.count()
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") * 10 <= nDocs && col("df") <= MaxSimDf)
+    val kept = tf.join(df.select("t"), "t")
+    val a = kept.select(col("t"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
+    val b = kept.select(col("t"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
+    a.join(b, Seq("t")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   /** PageRank: part-node id offset (far above any suppkey) and the
     * fixed, oracle-unrollable iteration count. */
   private val PrOffset = 1000000L
@@ -822,32 +867,25 @@ object AnalyticsQueries {
     // with partial-agg order. Top-50 by (dot desc, pair) — a total
     // order.
     "t_doc_similarity" -> ((s, d) => {
-      // Term frequency is computed IN the row (graft.plans.TermFreqs,
-      // codegen'd single-pass kernel with exact explode(split)+count
-      // semantics — TermFreqsSpec pins the equivalence incl. split's
-      // empty-field edge cases): the former explode -> groupBy(doc_id,
-      // t) form shuffled every (doc, token) OCCURRENCE into a
-      // string-keyed hash aggregate with ~#docs x #distinct-tokens
-      // groups, which the r15 third-decade text spot measured at 40x
-      // for 10x docs (285M-row shuffle, ~155M groups — spill regime).
-      // Row-local tf makes this stage a pure map; the per-TERM df
-      // aggregate below then collapses map-side (distinct tokens,
-      // not occurrences, cross the wire).
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(graft.plans.TermFreqs.column(col("text"))).as("kv"))
-        .select(col("doc_id"), col("kv.t").as("t"), col("kv.tf").as("tf"))
-      val nDocs = Tables.documents(s, d).count()
-      val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") * 10 <= nDocs && col("df") <= MaxSimDf)
-      val kept = tf.join(df.select("t"), "t")
-      val a = kept.select(col("t"), col("doc_id").as("doc_a"), col("tf").as("tf_a"))
-      val b = kept.select(col("t"), col("doc_id").as("doc_b"), col("tf").as("tf_b"))
-      a.join(b, Seq("t")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(sum(col("tf_a") * col("tf_b")).as("dot"),
-          count(lit(1)).as("n_shared"))
-        .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
-        .limit(50)
+      // Term-frequency stage is REGIME-SWITCHED on the documents
+      // table's size ([[DocSimKernelBytes]]): above it, tf is computed
+      // IN the row (graft.plans.TermFreqs, codegen'd single-pass
+      // kernel with exact explode(split)+count semantics — TermFreqsSpec
+      // pins the equivalence incl. split's empty-field edge cases),
+      // because the explode -> groupBy(doc_id, t) form shuffles every
+      // (doc, token) OCCURRENCE into a string-keyed hash aggregate
+      // with ~#docs x #distinct-tokens groups — the r15 third-decade
+      // text spot measured that at 40x for 10x docs (285M-row shuffle,
+      // ~155M groups, spill regime). Row-local tf makes the stage a
+      // pure map and the per-TERM df aggregate below collapses
+      // map-side (distinct tokens, not occurrences, cross the wire).
+      // Below the threshold the explode+groupBy form wins (the
+      // kernel's per-row TreeMap never amortizes on a tiny corpus —
+      // see the threshold's doc for the measured crossover); both
+      // forms emit the identical (doc_id, t, tf) multiset, so results
+      // are bitwise regime-independent (DocSimRegimeSpec).
+      docSimilarity(Tables.documents(s, d),
+        graft.Sessions.dirBytes(d + "/documents.parquet") >= DocSimKernelBytes)
     }),
 
     // PageRank over the supplier↔part co-purchase graph — iterative

@@ -38,6 +38,64 @@ import sys
 LINEAR_BOUND = 12.0
 MIN_BASE_S = 0.05
 
+# Per-row construction-complexity notes, attached to EVERY ratio row
+# they name (VERDICT r15 Next #3): rows whose per-decade ratio is >= 6x
+# BY CONSTRUCTION carry the reason in the artifact itself, so a reader
+# of any decade section never has to find the justification in README
+# prose. These are oracle-twin rows — their production-path twins are
+# the flat ANN/LSH rows measured in the same file.
+COMPLEXITY_NOTES = {
+    "x_knn_serve": (
+        "O(rows * |sample| * k) brute-force exact vote by construction: "
+        "the fitted reference sample grows with the corpus until its "
+        "2M-row cap binds, so a decade multiplies BOTH the served rows "
+        "and the per-row scan — ~6x/decade is the expected curve, not a "
+        "shuffle/spill defect. Production path at corpus-scale "
+        "reference sets is the IVF family (x_ann_ivf_*), measured "
+        "flat-per-probe in this same artifact; this row is their "
+        "exact-vote oracle twin."),
+    "t_dedup_cosine": (
+        "brute-force pairwise-cosine oracle twin: near-dup pair OUTPUT "
+        "is ~quadratic in corpus size by construction on the replica "
+        "corpus; the production path is the LSH/IVF-bucketed dedup "
+        "rows in this artifact."),
+    "t_semantic_dedup": (
+        "near-dup pair OUTPUT is ~quadratic by corpus construction "
+        "(1000 mutually-near replicas per base vector at the 1000x "
+        "corpus) — excluded from the text spot for that reason; "
+        "occupancy-capped cells bound the per-cell work, output size "
+        "is the quantity that grows."),
+}
+
+
+# Committed dispositions for measured-superlinear rows (VERDICT r15
+# Next #2, the t_semantic_dedup treatment): a superlinear spot row is
+# either fixed or carries its decided writeup IN the artifact — never
+# dangling. Keyed (row, hi_key) so the disposition only attaches to the
+# decade it was decided for.
+DISPOSITIONS = {
+    ("x_pagerank", "sf100"): (
+        "EXCLUDED from the 12x bound as a single-box STORAGE-TIER "
+        "regime, decided r16: at sf100 the ~1.2B-row edge layout plus "
+        "three supersteps' shuffles exceed both the 48 GB spot heap and "
+        "the box's free disk, so the row runs a DISK_ONLY-checkpoint "
+        "regime whose per-superstep layout re-reads are the whole "
+        "penalty (evidence.x_pagerank). The r16 round attempted the "
+        "layout-shrink remedy and measured it worse, with numbers "
+        "committed in evidence.x_pagerank.r16_shrink_attempt; on a "
+        "cluster whose aggregate memory scales with data the operative "
+        "curve is the in-memory regime measured at sf10: 8.4x/decade."),
+}
+
+
+def attach_notes(row_map, hi_key=None):
+    for name, row in row_map.items():
+        if name in COMPLEXITY_NOTES:
+            row["complexity_note"] = COMPLEXITY_NOTES[name]
+        if (name, hi_key) in DISPOSITIONS:
+            row["disposition"] = DISPOSITIONS[(name, hi_key)]
+    return row_map
+
 a_path, b_path = sys.argv[1], sys.argv[2]
 out = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
 sf10_path = sys.argv[4] if len(sys.argv) > 4 else None
@@ -135,7 +193,7 @@ def estimator(run):
             else "one median-protocol sweep")
 
 
-doc = {"summary": summary, "queries": rows,
+doc = {"summary": summary, "queries": attach_notes(rows),
        "estimator": {"sf01": estimator(base), "sf1": estimator(scaled)},
        "streaming_per_batch": streaming_section(qb, qs, "sf01", "sf1")}
 
@@ -179,7 +237,10 @@ def decade_section(q_lo, hi_run, lo_key, hi_key, corpus_note):
         "noisy_base_large_scaled": sorted(
             k for k, v in spot.items() if v.get("class") == "noisy_base"),
         "streaming_per_batch": streaming_section(q_lo, q_hi, lo_key, hi_key),
-        "queries": spot,
+        "queries": attach_notes(spot, hi_key),
+        "superlinear_dispositions": {
+            n: DISPOSITIONS[(n, hi_key)] for n in sup
+            if (n, hi_key) in DISPOSITIONS},
     }
     return section, full
 

@@ -116,8 +116,9 @@ def word_code(r, i, w):
       (MULT is a unit mod 26^width) → distinct base-26 string;
       different payload lengths → different total length;
     - capacity: payload ≥ 4 letters = 456 976 codes per length class
-      ≥ 31 × 14 741 replicas — three orders past the 1000x corpus
-      (the affine letter cipher this replaces aliased at 104).
+      ≥ 31 × 14 741 replicas (5 codes of headroom at that hard-assert
+      bound) — ~15x past the 1000x corpus's 31 000 codes (the affine
+      letter cipher this replaces aliased at 104).
     Word LENGTH is preserved for every vocabulary word of ≥ 5 chars
     (16 of 31, incl. the high-frequency ones); shorter words widen to
     5, so per-token hash work grows slightly (conservative: never
