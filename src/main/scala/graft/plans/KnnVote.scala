@@ -117,3 +117,153 @@ object KnnVote {
   def column(features: Column, ref: KnnRef): Column =
     GraftColumnBridge.column(KnnVote(GraftColumnBridge.expression(features), ref))
 }
+
+/** IVF-partitioned kNN reference: the SAME fitted sample as [[KnnRef]]
+  * re-organized into centroid cells, with only the `nprobe` nearest
+  * cells' members scanned per query — the ANN-backed serve twin of the
+  * brute-force `knn_vote` (VERDICT r15 Next #3: the exact row's
+  * O(rows·|sample|·k) curve needed its production-path counterpart in
+  * the bench, not just prose). Structure is FITTED CONSTANTS decided
+  * once at plan build (centroids = evenly-strided sample points; each
+  * sample point assigned to its nearest centroid, ties to the smaller
+  * centroid index), so the serve stays a joinless, shuffle-free
+  * codegen'd projection exactly like the exact form — per row it
+  * scans ~|sample|·nprobe/C candidates instead of |sample|.
+  *
+  * Vote semantics are IDENTICAL to [[KnnRef.vote]] — (distance asc,
+  * label asc) insertion top-k, majority with ties to the smallest
+  * label, NaN distances skip, all-unfilled → NaN — over the PROBED
+  * candidate set (which is the approximation: a true neighbor in an
+  * unprobed cell is missed; recall vs the exact vote is a corpus
+  * property, not an engine one).
+  */
+final class IvfKnnRef(
+    val feats: Array[Array[Double]],
+    val labels: Array[Double],
+    val k: Int,
+    val centroids: Array[Array[Double]],
+    cellOf: Array[Int],
+    val nprobe: Int) extends Serializable {
+  require(feats.length == labels.length && feats.nonEmpty)
+  require(cellOf.length == feats.length)
+  require(centroids.nonEmpty && nprobe >= 1)
+  private val dim = feats(0).length
+  private val np = math.min(nprobe, centroids.length)
+  private val kk = math.min(k, feats.length)
+  // cell -> member sample indices (insertion order = sample order)
+  private val members: Array[Array[Int]] = {
+    val bs = Array.fill(centroids.length)(new scala.collection.mutable.ArrayBuffer[Int])
+    var i = 0
+    while (i < cellOf.length) { bs(cellOf(i)) += i; i += 1 }
+    bs.map(_.toArray)
+  }
+
+  def vote(x: ArrayData, xFloat: Boolean): Double = {
+    val d = x.numElements()
+    if (d != dim) throw new IllegalArgumentException(
+      s"ivf_knn_vote: query vector has $d dims, fitted sample has $dim — " +
+        "the serve frame's assembler must match the fit")
+    val q = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      q(i) = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    // nearest-np centroids by (dist asc, index asc) — insertion top-k;
+    // Int.MaxValue marks a never-filled slot (all-NaN query)
+    val cd = new Array[Double](np)
+    val ci = new Array[Int](np)
+    java.util.Arrays.fill(cd, Double.PositiveInfinity)
+    java.util.Arrays.fill(ci, Int.MaxValue)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { val df = q(j) - cent(j); s += df * df; j += 1 }
+      if (s < cd(np - 1) || (s == cd(np - 1) && c < ci(np - 1))) {
+        var p = np - 1
+        while (p > 0 && (cd(p - 1) > s || (cd(p - 1) == s && ci(p - 1) > c))) {
+          cd(p) = cd(p - 1); ci(p) = ci(p - 1); p -= 1
+        }
+        cd(p) = s; ci(p) = c
+      }
+      c += 1
+    }
+    // KnnRef's exact (dist, label) insertion top-k over probed members
+    val bestD = new Array[Double](kk)
+    val bestL = new Array[Double](kk)
+    java.util.Arrays.fill(bestD, Double.PositiveInfinity)
+    var pi = 0
+    while (pi < np) {
+      if (ci(pi) != Int.MaxValue) {
+        val ms = members(ci(pi))
+        var mi = 0
+        while (mi < ms.length) {
+          val f = feats(ms(mi))
+          var s = 0.0
+          var j = 0
+          while (j < dim) { val df = q(j) - f(j); s += df * df; j += 1 }
+          val lab = labels(ms(mi))
+          if (s < bestD(kk - 1) || (s == bestD(kk - 1) && lab < bestL(kk - 1))) {
+            var j2 = kk - 1
+            while (j2 > 0 && (bestD(j2 - 1) > s || (bestD(j2 - 1) == s && bestL(j2 - 1) > lab))) {
+              bestD(j2) = bestD(j2 - 1); bestL(j2) = bestL(j2 - 1); j2 -= 1
+            }
+            bestD(j2) = s; bestL(j2) = lab
+          }
+          mi += 1
+        }
+      }
+      pi += 1
+    }
+    var m = kk
+    while (m > 0 && java.lang.Double.isInfinite(bestD(m - 1))) m -= 1
+    if (m == 0) return Double.NaN
+    // majority over m labels, ties to the smallest label — KnnRef's
+    // exact vote loop (O(k²), k tiny)
+    var winner = bestL(0)
+    var winCnt = 0
+    var a = 0
+    while (a < m) {
+      var cnt = 0
+      var b = 0
+      while (b < m) { if (bestL(b) == bestL(a)) cnt += 1; b += 1 }
+      if (cnt > winCnt || (cnt == winCnt && bestL(a) < winner)) {
+        winner = bestL(a); winCnt = cnt
+      }
+      a += 1
+    }
+    winner
+  }
+}
+
+/** features array<float|double> -> IVF-probed kNN vote against the
+  * embedded [[IvfKnnRef]]. */
+case class IvfKnnVote(child: Expression, ref: IvfKnnRef) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ivf_knn_vote requires array<float|double NOT NULL>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(x: Any): Any = ref.vote(x.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refName = ctx.addReferenceObj("ivfKnnRef", ref, classOf[IvfKnnRef].getName)
+    defineCodeGen(ctx, ev, c => s"$refName.vote($c, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfKnnVote = copy(child = c)
+  override def prettyName: String = "ivf_knn_vote"
+}
+
+object IvfKnnVote {
+  def column(features: Column, ref: IvfKnnRef): Column =
+    GraftColumnBridge.column(IvfKnnVote(GraftColumnBridge.expression(features), ref))
+}

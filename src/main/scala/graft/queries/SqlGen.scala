@@ -169,6 +169,53 @@ object SqlGen {
        |FROM t""".stripMargin
   }
 
+  /** Oracle SQL for the IVF-probed kNN vote
+    * ([[graft.plans.IvfKnnRef]] semantics): the index STRUCTURE
+    * (centroids + each sample point's cell) is fitted literals, so the
+    * oracle replays only the SERVE — per row, rank the centroid
+    * distances as (d asc, index asc) structs and keep the first
+    * `nprobe` cell ids, filter the cell-tagged candidate structs to
+    * those cells, then the same (d asc, label asc) sort + majority the
+    * exact-kNN oracle uses. `len(top)` (not k) in the majority: probed
+    * cells can hold fewer than k members, and the kernel votes over
+    * the filled prefix. Same guards as [[knnClassSql]]: 0/1 labels,
+    * odd k. */
+  def ivfKnnClassSql(
+      sample: Seq[(Seq[Double], Double)],
+      k: Int,
+      centroids: Array[Array[Double]],
+      cellOf: Array[Int],
+      nprobe: Int,
+      featSql: Seq[String],
+      idCols: Seq[String],
+      table: String,
+      predName: String): String = {
+    def distSql(f: Seq[Double]): String =
+      featSql.zip(f).map { case (fx, sv) =>
+        s"($fx - ${dlit(sv)}) * ($fx - ${dlit(sv)})"
+      }.mkString(" + ")
+    val centStructs = centroids.zipWithIndex.map { case (cf, i) =>
+      s"{'d': ${distSql(cf.toSeq)}, 'i': $i}"
+    }
+    val candStructs = sample.zipWithIndex.map { case ((f, l), n) =>
+      s"{'d': ${distSql(f)}, 'l': ${dlit(l)}, 'c': ${cellOf(n)}}"
+    }
+    val ids = idCols.mkString(", ")
+    s"""WITH p AS (
+       |  SELECT $ids,
+       |    [x.i FOR x IN list_sort([${centStructs.mkString(", ")}])[1:$nprobe]] AS probed,
+       |    [${candStructs.mkString(", ")}] AS cand
+       |  FROM $table),
+       |t AS (
+       |  SELECT $ids,
+       |    list_sort([{'d': x.d, 'l': x.l} FOR x IN cand IF list_contains(probed, x.c)])[1:$k] AS top
+       |  FROM p)
+       |SELECT $ids,
+       |  (CASE WHEN len([x FOR x IN top IF x.l = 1.0]) * 2 > len(top)
+       |        THEN 1 ELSE 0 END)::BIGINT AS $predName
+       |FROM t""".stripMargin
+  }
+
   /** Sorted top-k neighbor list expression — the shared core of the
     * kNN serve forms: structs sort by (distance, label), matching
     * KnnRef's deterministic (d asc, l asc) ranking. */
