@@ -21,10 +21,18 @@ object IV {
       sum(target.cast("double")).as("ev"),
       count(lit(1)).cast("double").as("n")
     ).head()
-    val nEv    = tot.getDouble(0)
-    val nNonEv = tot.getDouble(1) - nEv
-    if (nEv == 0 || nNonEv == 0) return 0.0
+    classification(df, keyCols, target, tot.getDouble(0),
+      tot.getDouble(1) - tot.getDouble(0))
+  }
 
+  /** [[classification]] with the global totals precomputed — callers
+    * scoring SEVERAL groupings of the same (df, target) share ONE
+    * totals job instead of re-running it per call (r16, guide §1.2:
+    * a3_iv_classification paid 3 identical totals aggregations). The
+    * per-call IV aggregation is unchanged bit for bit. */
+  def classification(df: DataFrame, keyCols: Seq[Column], target: Column,
+      nEv: Double, nNonEv: Double): Double = {
+    if (nEv == 0 || nNonEv == 0) return 0.0
     val perBin = df
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).cast("double").as("n"), sum(target.cast("double")).as("s"))
@@ -52,15 +60,36 @@ object IV {
   }
 
   /** Multi-class IV (optimizer.py:83-98): per-class one-vs-rest
-    * classification IV, summed across classes. Computed with a single
-    * pair of aggregations + join (SURVEY A5/J8) per call.
+    * classification IV, summed across classes.
+    *
+    * r16 (guide §1.2/§2.3): TWO jobs total — one class-count
+    * aggregation (which also discovers the classes, replacing the old
+    * standalone distinct+collect), then one per-bin aggregation
+    * carrying a conditional sum per class, with the per-class IV terms
+    * summed in the same job. The old form paid 1 + 2·|classes| jobs
+    * (a distinct scan, then a totals job and a per-bin job PER CLASS)
+    * over the same cached frame. Term SET is identical (same per-bin
+    * n/s_c, same classificationIvTerm); only the summation order moves
+    * (bins-then-classes vs classes-then-bins), which every consumer
+    * already absorbs by rounding to 6 decimals — the same tolerance
+    * the cross-engine oracle needs anyway.
     */
   def multiclass(df: DataFrame, keyCols: Seq[Column], target: Column): Double = {
-    val classes = df.select(target.cast("long").as("c")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    classes.map { c =>
-      classification(df, keyCols, (target.cast("long") === c).cast("double"))
-    }.sum
+    val counts = df.groupBy(target.cast("long").as("c"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nTot = counts.values.sum
+    val classes = counts.keys.toSeq.sorted
+    val aggs = count(lit(1)).cast("double").as("n") +: classes.map(c =>
+      sum((target.cast("long") === c).cast("double")).as(s"s_$c"))
+    val terms = classes.flatMap { c =>
+      val nEv = counts(c); val nNonEv = nTot - nEv
+      if (nEv == 0 || nNonEv == 0) None
+      else Some(classificationIvTerm(col("n"), col(s"s_$c"), nEv, nNonEv))
+    }
+    if (terms.isEmpty) return 0.0
+    df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      .agg(sum(terms.reduce(_ + _))).head().getDouble(0)
   }
 
   /** Walk-invariant global target statistics, computed ONCE per

@@ -66,7 +66,12 @@ final case class KvModel(
     kv: DataFrame,                      // (key string, value double)
     prefixes: Seq[(Int, DataFrame)],    // len -> (prefix string, value double), len = keyLen-1 .. 1
     globalValue: Double,                // trie-root fallback
-    maxCompiledEntries: Long = KvModel.MaxCompiledEntries
+    maxCompiledEntries: Long = KvModel.MaxCompiledEntries,
+    // |kv| when the builder already materialized it (fromKv's cache
+    // count; Persist.load's count) — lets the compiled-vs-join decision
+    // skip its own count jobs (r16: the size probe was 3 extra driver
+    // jobs per model build, paid by every model-building query row)
+    kvCountHint: Option[Long] = None
 ) {
   /** The index entries as a typed Dataset (SURVEY §1.2 fixed shape). */
   def entries: org.apache.spark.sql.Dataset[Types.KVEntry] = {
@@ -76,17 +81,29 @@ final case class KvModel(
 
   /** The embedded-cascade kernel when the index fits the size cap —
     * collected ONCE per model (the tables are cached + key-space-
-    * bounded), then reused by every probe this model serves. */
+    * bounded), then reused by every probe this model serves.
+    *
+    * r16 (guide §1.2/§5 — fewer driver jobs per model build): the old
+    * size probe COUNTED kv + every prefix table (up to keyLen driver
+    * jobs) before a compiled model then COLLECTED the same tables
+    * again. Now the gate is the kv count alone — known for free when
+    * the builder materialized the cache ([[kvCountHint]]) — and the
+    * collect itself measures the total: |prefix_l| ≤ |kv| for every l,
+    * so a transient over-collect is bounded by keyLen·cap entries
+    * (a few MB) even when the total lands above the cap and the model
+    * falls back to the join cascade. The compiled/join DECISION is
+    * unchanged (total entries ≤ cap) and the two paths are bitwise
+    * identical anyway (KvProbeSpec), so no declared result can move. */
   @transient private lazy val compiledRef: Option[graft.plans.KvScorerRef] = {
-    // early-exit the size probe: once the running total passes the cap
-    // (usually on the kv count alone for a big index) the remaining
-    // prefix-table count jobs are pointless
-    var entries = 0L
-    val tables = Iterator(kv) ++ prefixes.iterator.map(_._2)
-    while (entries <= maxCompiledEntries && tables.hasNext)
-      entries += tables.next().count()
-    if (entries <= maxCompiledEntries) Some(new graft.plans.KvScorerRef(toLocalScorer))
-    else None
+    val kvN = kvCountHint.getOrElse(kv.count())
+    if (kvN > maxCompiledEntries) None
+    else {
+      val local = toLocalScorer
+      val entries = local.kv.size.toLong +
+        local.prefixes.iterator.map(_._2.size.toLong).sum
+      if (entries <= maxCompiledEntries) Some(new graft.plans.KvScorerRef(local))
+      else None
+    }
   }
 
   /** Append `predName` to `input` by probing the index with `key`.
@@ -317,7 +334,7 @@ object KvIndexBuilder {
       case None    => kvRaw
     }
     val kvCached = kv.cache()
-    kvCached.count() // materialize once; every probe broadcasts from here
+    val kvN = kvCached.count() // materialize once; every probe broadcasts from here
 
     val prefixes = (keyLen - 1 to 1 by -1).map { l =>
       val pfx = kvCached.select(Keys.prefix(col("key"), l).as("prefix"), col("value"))
@@ -337,6 +354,7 @@ object KvIndexBuilder {
       case _ =>
         kvCached.agg(avg("value")).head().getDouble(0)
     }
-    KvModel(task, keyLen, kvCached, prefixes, globalValue)
+    KvModel(task, keyLen, kvCached, prefixes, globalValue,
+      kvCountHint = Some(kvN))
   }
 }

@@ -79,18 +79,35 @@ object Persist {
     * maintenance. Sums/counts round-trip parquet exactly, so
     * load-then-append equals never-saved append bit for bit. */
   def saveState(st: KvIndexState, dir: String): Unit = {
-    val spark = st.stats.sparkSession
-    import spark.implicits._
     st.stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    Seq((taskName(st.task), st.keyLen)).toDF("task", "key_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // task + keyLen are DRIVER-side scalars: a java.util.Properties
+    // sidecar costs zero Spark jobs where the old one-row parquet meta
+    // relation paid a full write job on save and a head() job on load
+    // (r16, guide §1.2 — x_index_lifecycle runs this round trip inside
+    // its timed region). The stats relation stays parquet — it is the
+    // actual data artifact and must round-trip doubles exactly.
+    val props = new java.util.Properties()
+    props.setProperty("task", taskName(st.task))
+    props.setProperty("key_len", st.keyLen.toString)
+    // Hadoop FS API (not java.io): the state dir may be hdfs://or
+    // s3a:// on a real deployment, same substrate the stats parquet
+    // already targets
+    val p = new org.apache.hadoop.fs.Path(dir, "state_meta.properties")
+    val fs = p.getFileSystem(
+      st.stats.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try props.store(os, "graft KvIndexState meta") finally os.close()
   }
 
   def loadState(spark: SparkSession, dir: String): KvIndexState = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val props = new java.util.Properties()
+    val p = new org.apache.hadoop.fs.Path(dir, "state_meta.properties")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val is = fs.open(p)
+    try props.load(is) finally is.close()
     KvIndexState(
-      taskOf(meta.getAs[String]("task")),
-      meta.getAs[Int]("key_len"),
+      taskOf(props.getProperty("task")),
+      props.getProperty("key_len").toInt,
       spark.read.parquet(s"$dir/stats"))
   }
 
@@ -115,7 +132,7 @@ object Persist {
     // cache + materialize like KvIndexBuilder: every probe broadcasts
     // from these, so they must not re-read parquet per probe
     val kv = spark.read.parquet(s"$dir/kv").cache()
-    kv.count()
+    val kvN = kv.count()
     val prefixes = (keyLen - 1 to 1 by -1).map { l =>
       val t = spark.read.parquet(s"$dir/prefix_$l").cache()
       t.count()
@@ -137,6 +154,7 @@ object Persist {
       populatePaths = meta.getAs[Boolean]("populate_paths"))
     graft.InferDbPipeline.Fitted(
       config, bins, strs(meta, "selected"), meta.getAs[Double]("iv"),
-      KvModel(task, keyLen, kv, prefixes, meta.getAs[Double]("global_value")))
+      KvModel(task, keyLen, kv, prefixes, meta.getAs[Double]("global_value"),
+        kvCountHint = Some(kvN)))
   }
 }

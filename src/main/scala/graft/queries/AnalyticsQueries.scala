@@ -274,7 +274,20 @@ object AnalyticsQueries {
     // (Bounds only balance the shards — ANY bounds give the same
     // answer. Supplementary-plane group strings are outside the
     // boxed-equality contract this operator already documents.)
-    val nShards = math.max(1, li.sparkSession.sparkContext.defaultParallelism * 4)
+    // r16 (guide §2 — scale-adaptive partitioning): shard count sized
+    // from the INPUT with a parallelism floor, not a flat 4x cores.
+    // The flat 128 shards (local[32]) made 600 k gate rows pay 128-task
+    // repartition+sort+scan waves where 32 suffice; at bigger corpora
+    // the bytes term takes over (~64 MB of input per shard) up to the
+    // same 4x-cores cap as before, so large-corpus behavior is
+    // unchanged until the cap and the gate stops paying phantom tasks.
+    // Shard count only affects PLACEMENT (pid is a pure row function
+    // and every rank derives from global counts), so the output is
+    // bitwise identical at any value — NtileScaleSpec pins it.
+    val sc = li.sparkSession.sparkContext
+    val byData = (li.queryExecution.optimizedPlan.stats.sizeInBytes / (64L << 20))
+      .min(BigInt(sc.defaultParallelism.toLong * 4L)).toInt
+    val nShards = math.max(math.max(1, sc.defaultParallelism), byData)
     // canonical key types for sampling AND searching (callers may feed
     // int order/line keys; the casts are no-ops on the lineitem gate)
     val keyCols = Seq(col("l_returnflag").cast("string"),

@@ -213,12 +213,31 @@ object ExtraQueries {
     // of exact — deterministic for this data+seed, and a sketch
     // regression flips the hashed boolean, failing the gate loudly.
     "a12_approx_distinct" -> ((s, d) => {
-      val r = Tables.lineitem(s, d).agg(
+      // r16 (guide §2.3/§2.4): the old single agg mixed TWO exact
+      // count_distincts with the HLL sketches, which plans as
+      // Expand (3 rows per input row) -> partial agg keyed on
+      // (gid, partkey, orderkey) -> two exchanges; 600 k rows became
+      // 1.8 M expanded rows before the first partial. Split instead:
+      // the HLL pass stays ONE map-side-combining agg over the raw
+      // rows (no Expand), and the exact side dedups (tag, value) rows
+      // map-side — ~167 k distinct rows reach its one exchange. Same
+      // four values bit for bit (exact integer counts; HLL unchanged —
+      // same column traversal order within each scan), so the declared
+      // row and its oracle are untouched (r16 before/after in
+      // OPTIMIZATION_r16.md).
+      val li = Tables.lineitem(s, d)
+      val r = li.agg(
         approx_count_distinct("l_partkey").as("ap"),
-        approx_count_distinct("l_orderkey").as("ao"),
-        count_distinct(col("l_partkey")).as("ep"),
-        count_distinct(col("l_orderkey")).as("eo")).head()
-      val (ap, ao, ep, eo) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        approx_count_distinct("l_orderkey").as("ao")).head()
+      val (ap, ao) = (r.getLong(0), r.getLong(1))
+      val ex = li.select(lit(0).as("t"), col("l_partkey").as("v"))
+        .unionAll(li.select(lit(1).as("t"), col("l_orderkey").as("v")))
+        // count_distinct skips NULLs; the dedup form must too (no-op on
+        // this data, kept so the forms are equivalent on ANY input)
+        .where(col("v").isNotNull)
+        .distinct().groupBy("t").agg(count(lit(1)).as("n"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      val (ep, eo) = (ex(0), ex(1))
       // default rsd 0.05 → 4×rsd = 20% relative slack (loose on purpose:
       // the check must hold at every SF, not just the tuned one)
       def ok(est: Long, exact: Long): Boolean =
@@ -507,10 +526,16 @@ object ExtraQueries {
             + (col("y") - lit(c(1))) * (col("y") - lit(c(1)))).as("dist"),
             lit(k).as("cluster"))
         }: _*)).getField("cluster"))
-      val n = fv.count()
-      val disagree = exact.select(col("vec_id"), col("cluster"))
+      // r16 (guide §1.2 — fewer driver actions): n and the disagreement
+      // count come out of ONE aggregation job instead of a count() scan
+      // plus a filtered count() over the same join (the inner join on
+      // unique vec_id preserves all n rows, so count(*) == fv.count()).
+      val chk = exact.select(col("vec_id"), col("cluster"))
         .join(model.transform(fv).select(col("vec_id"), col("cluster").as("mcl")), "vec_id")
-        .filter(col("cluster") =!= col("mcl")).count()
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cluster") =!= col("mcl"), 1L).otherwise(0L)).as("dis"))
+        .head()
+      val (n, disagree) = (chk.getLong(0), chk.getLong(1))
       require(disagree <= math.max(1L, n / 10000),
         s"MLlib assignment diverged from the exact argmin on $disagree of $n points")
       exact.groupBy("cluster").agg(count(lit(1)).as("n"))

@@ -139,11 +139,16 @@ object InferDbQueries {
         .agg(count(lit(1)).as("n_train"))
       val serveC = li.groupBy(binCol.as("bin"))
         .agg(count(lit(1)).as("n_serve"))
-      val totals = trainC.agg(sum("n_train")).head().getLong(0) ->
-        serveC.agg(sum("n_serve")).head().getLong(0)
+      // r16 (guide §1.2): the two global totals rode as two standalone
+      // driver actions before the real plan ran; now they are 1-row
+      // aggregates broadcast-cross-joined into the same plan — one
+      // action total, identical values (exact integer sums).
+      val totals = trainC.agg(sum("n_train").as("t_total"))
+        .crossJoin(serveC.agg(sum("n_serve").as("s_total")))
       serveC.join(trainC, Seq("bin"), "left")
+        .crossJoin(broadcast(totals))
         .select(col("bin"), coalesce(col("n_train"), lit(0L)).as("n_train"), col("n_serve"),
-          lit(totals._1).as("t_total"), lit(totals._2).as("s_total"))
+          col("t_total"), col("s_total"))
         .withColumn("train_share",
           expr("CAST(n_train AS DOUBLE) / CAST(t_total AS DOUBLE)"))
         .withColumn("serve_share",
@@ -229,9 +234,16 @@ object InferDbQueries {
         NumericBins(qtySplits.toArray).toColumn(col("l_quantity")).as("b_qty"),
         NumericBins(discSplits.toArray).toColumn(col("l_discount")).as("b_disc"),
         targetCol.as("y")).cache()
-      val ivQty  = IV.classification(li, Seq(col("b_qty")), col("y"))
-      val ivDisc = IV.classification(li, Seq(col("b_disc")), col("y"))
-      val ivJoint = IV.classification(li, Seq(col("b_qty"), col("b_disc")), col("y"))
+      // ONE totals job shared by the three IV calls (r16, guide §1.2 —
+      // they aggregate the same (frame, target), so the old per-call
+      // totals re-ran an identical job 3x); each IV aggregation is
+      // unchanged bit for bit.
+      val tot = li.agg(sum(col("y").cast("double")),
+        count(lit(1)).cast("double")).head()
+      val (nEv, nNonEv) = (tot.getDouble(0), tot.getDouble(1) - tot.getDouble(0))
+      val ivQty  = IV.classification(li, Seq(col("b_qty")), col("y"), nEv, nNonEv)
+      val ivDisc = IV.classification(li, Seq(col("b_disc")), col("y"), nEv, nNonEv)
+      val ivJoint = IV.classification(li, Seq(col("b_qty"), col("b_disc")), col("y"), nEv, nNonEv)
       li.unpersist()
       import s.implicits._
       Seq(("b_qty", ivQty), ("b_disc", ivDisc), ("joint", ivJoint))

@@ -1220,7 +1220,7 @@ object LearnedQueries {
           col("event_type"), col("cnt"), col("sum_value")))
 ,
     // Streaming trending tokens — a REAL streamed stateful window
-    // aggregation (not the batch twin): documents replay as 4 file
+    // aggregation (not the batch twin): documents replay as 2 file
     // micro-batches, each doc carries a deterministic synthetic event
     // time (integer-hash spread over a day — a pure function of
     // doc_id, so replays/retries/oracle agree), tokens explode INSIDE
@@ -1266,7 +1266,15 @@ object LearnedQueries {
     "x_stream_topk" -> ((s, d) => {
       val raw = s.read.parquet(s"$d/documents.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_topk_src", d)
-      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      // 2 staged files (was 4) — the r9/VERDICT-r9-Next-#6 scaffolding
+      // rule the sliding/session/topk_update rows already follow: no
+      // watermark proof rides here (complete-mode sink), the counts are
+      // batch-count independent, and streamed stateful accumulation is
+      // still exercised across a real trigger boundary; the 2 extra
+      // triggers were pure replay-harness wall-clock (r16 before/after
+      // in OPTIMIZATION_r16.md; the per-trigger ms companion row stays
+      // the steady-state operator metric).
+      raw.repartition(2).write.mode("overwrite").parquet(stageDir)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val counts = stream
@@ -1505,11 +1513,14 @@ object LearnedQueries {
           when(col("event_type") === "click", 1.0).otherwise(0.0).as("pred"))
       val model = KvIndexBuilder.buildFromKeyed(train, keyLen = 2, Task.Classification)
       // the file-stream source needs a DIRECTORY; testdata is a single
-      // file — stage it as 4 files so maxFilesPerTrigger=1 genuinely
-      // replays the table as 4 micro-batches
+      // file — stage it as 2 files so maxFilesPerTrigger=1 genuinely
+      // replays the table as 2 micro-batches (was 4; the per-batch plan
+      // is stateless, so the union-of-batches result is batch-count
+      // independent and the extra triggers were replay scaffolding —
+      // the r9 Next #6 rule)
       val raw = s.read.parquet(s"$d/events.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_src", d)
-      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      raw.repartition(2).write.mode("overwrite").parquet(stageDir)
       val outDir = graft.core.TmpDirs.scratch("stream_probe", d)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
@@ -1524,7 +1535,7 @@ object LearnedQueries {
       s.read.parquet(outDir)
     }),
 
-    // ONLINE index maintenance: the events table replays as 4 micro-
+    // ONLINE index maintenance: the events table replays as 2 micro-
     // batches and each batch MERGES into the KvIndexState (partial
     // aggregate + key-keyed merge — O(batch) per trigger, the shape
     // that keeps a serving index fresh from a stream without ever
@@ -1536,7 +1547,12 @@ object LearnedQueries {
       val events = Tables.events(s, d)
       val raw = s.read.parquet(s"$d/events.parquet")
       val stageDir = graft.core.TmpDirs.scratch("stream_idx_src", d)
-      raw.repartition(4).write.mode("overwrite").parquet(stageDir)
+      // 2 staged batches (was 4): build-then-append still exercises
+      // BOTH state paths across a real trigger boundary, and merge ≡
+      // rebuild makes the final model batch-count independent (the
+      // oracle IS the one-shot rebuild) — extra triggers were replay
+      // scaffolding (r9 Next #6 rule)
+      raw.repartition(2).write.mode("overwrite").parquet(stageDir)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val state = new java.util.concurrent.atomic.AtomicReference[Option[graft.core.KvIndexState]](None)

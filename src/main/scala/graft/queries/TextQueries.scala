@@ -986,7 +986,7 @@ object TextQueries {
     }),
 
     // Streaming benchmark decontamination — the arriving-corpus variant
-    // of t_decontaminate: new training documents replayed as 4 file
+    // of t_decontaminate: new training documents replayed as 2 file
     // micro-batches, each batch's distinct shingle hashes joined against
     // the BROADCAST benchmark set, flagged counts appended to the sink.
     // The per-batch plan is stateless (projection + broadcast join +
@@ -998,14 +998,18 @@ object TextQueries {
     "x_stream_decontaminate" -> ((s, d) => {
       assertCapMemo(s, d) // oracle reuses the capped shingle CTE
       val docs = Tables.documents(s, d)
-      // cached: each of the 4 micro-batches runs an independent batch
+      // cached: each of the 2 micro-batches runs an independent batch
       // job, so an uncached bench side would re-shingle + re-broadcast
       // the benchmark corpus per batch
       val bench = docs.filter(col("doc_id") < 50)
         .select(explode(shingles(col("text"))).as("shingle"))
         .select(charHash(col("shingle")).as("h")).distinct().cache()
       val stageDir = graft.core.TmpDirs.scratch("stream_decon_src", d)
-      docs.filter(col("doc_id") >= 50).repartition(4)
+      // 2 staged batches (was 4): the per-batch plan is stateless (no
+      // watermark/state store), so the union of batch outputs equals
+      // the one-shot batch query at ANY batch count — the extra
+      // triggers were replay scaffolding (r9 Next #6 rule)
+      docs.filter(col("doc_id") >= 50).repartition(2)
         .write.mode("overwrite").parquet(stageDir)
       val outDir = graft.core.TmpDirs.scratch("stream_decon_out", d)
       val stream = s.readStream.schema(docs.schema)
