@@ -277,15 +277,21 @@ object AnalyticsQueries {
     // r16 (guide §2 — scale-adaptive partitioning): shard count sized
     // from the INPUT with a parallelism floor, not a flat 4x cores.
     // The flat 128 shards (local[32]) made 600 k gate rows pay 128-task
-    // repartition+sort+scan waves where 32 suffice; at bigger corpora
-    // the bytes term takes over (~64 MB of input per shard) up to the
-    // same 4x-cores cap as before, so large-corpus behavior is
-    // unchanged until the cap and the gate stops paying phantom tasks.
+    // repartition+sort+scan waves where 32 suffice; past ~8 MB of
+    // input per shard the bytes term takes over, capped at the old
+    // 4x-cores value. 8 MB/shard is the SAME density Sessions'
+    // initialShufflePartitions uses, and it was chosen by MEASUREMENT,
+    // not symmetry: a first cut at 64 MB/shard left sf10's 6 M distinct
+    // sort keys on 32 shards, whose per-task sorts SPILLED — the sf10
+    // spot read 87 s vs 22 s at the old 128 (same window, w5b control
+    // at parity); at 8 MB/shard the ladder is gate/sf1 -> 32 (floor),
+    // sf10+ -> 128 (cap, the measured-good r13 value), so the gate
+    // stops paying phantom tasks and scale keeps its spill headroom.
     // Shard count only affects PLACEMENT (pid is a pure row function
     // and every rank derives from global counts), so the output is
     // bitwise identical at any value — NtileScaleSpec pins it.
     val sc = li.sparkSession.sparkContext
-    val byData = (li.queryExecution.optimizedPlan.stats.sizeInBytes / (64L << 20))
+    val byData = (li.queryExecution.optimizedPlan.stats.sizeInBytes / (8L << 20))
       .min(BigInt(sc.defaultParallelism.toLong * 4L)).toInt
     val nShards = math.max(math.max(1, sc.defaultParallelism), byData)
     // canonical key types for sampling AND searching (callers may feed

@@ -237,7 +237,9 @@ object ExtraQueries {
         .where(col("v").isNotNull)
         .distinct().groupBy("t").agg(count(lit(1)).as("n"))
         .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-      val (ep, eo) = (ex(0), ex(1))
+      // empty input yields no (tag, n) rows at all — count_distinct
+      // would have returned 0, so the dedup form must too
+      val (ep, eo) = (ex.getOrElse(0, 0L), ex.getOrElse(1, 0L))
       // default rsd 0.05 → 4×rsd = 20% relative slack (loose on purpose:
       // the check must hold at every SF, not just the tuned one)
       def ok(est: Long, exact: Long): Boolean =
