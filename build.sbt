@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout lines of `sbt "runMain ..."` as
+// bare one-line JSON. sbt's default forked-run output strategy is
+// LoggedOutput, which prefixes every forked line with "[info] " — that
+// prefix made the machine lines unparseable two rounds running
+// (BENCH_r15/BENCH_r16 "parsed": null). StdoutOutput passes the forked
+// JVM's stdout through verbatim, so the JSON lines stay bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time: ..." line so the
+// bench's compact summary JSON is the LAST line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
