@@ -1258,9 +1258,13 @@ object LearnedQueries {
         .select(unix_timestamp(col("w.start")).as("wstart"),
           col("n_docs"), col("sum_chars"))
       val sinkName = s"graft_stream_sliding_${streamSinkSeq.incrementAndGet()}"
-      val q = StreamOps.toMemorySink(agg, sinkName)
-      q.processAllAvailable()
-      StreamOps.recordBatchMillis("x_stream_sliding", q); q.stop()
+      // input-sized state partitions (VERDICT r16 Next #2, guide §2):
+      // see StreamOps.withInputSizedStatePartitions — placement-only
+      StreamOps.withInputSizedStatePartitions(s, stageDir) {
+        val q = StreamOps.toMemorySink(agg, sinkName)
+        q.processAllAvailable()
+        StreamOps.recordBatchMillis("x_stream_sliding", q); q.stop()
+      }
       s.table(sinkName).select("wstart", "n_docs", "sum_chars")
     }),
     "x_stream_topk" -> ((s, d) => {
@@ -1284,9 +1288,13 @@ object LearnedQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(unix_timestamp(col("w.start")).as("wstart"), col("token"), col("cnt"))
       val sinkName = s"graft_stream_topk_${streamSinkSeq.incrementAndGet()}"
-      val q = StreamOps.toMemorySink(counts, sinkName)
-      q.processAllAvailable()
-      StreamOps.recordBatchMillis("x_stream_topk", q); q.stop()
+      // input-sized state partitions (VERDICT r16 Next #2, guide §2):
+      // see StreamOps.withInputSizedStatePartitions — placement-only
+      StreamOps.withInputSizedStatePartitions(s, stageDir) {
+        val q = StreamOps.toMemorySink(counts, sinkName)
+        q.processAllAvailable()
+        StreamOps.recordBatchMillis("x_stream_topk", q); q.stop()
+      }
       s.table(sinkName)
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -1327,12 +1335,18 @@ object LearnedQueries {
       val stageDir = graft.core.TmpDirs.scratch("stream_session_src", d)
       val qCol = ((expr("unix_micros(CAST(ts AS TIMESTAMP))") - lit(lo)) / lit(span))
         .cast("int")
-      val parts = (0 until 2).map(i => ev.filter(qCol === i))
       val sentinel = s.range(1).select(lit(-1L).as("user_id"),
         expr(s"timestamp_micros(${hi + 86400000000L})").as("ts"),
         lit(0.0).as("value"))
-      StreamOps.stageOrderedFiles(parts :+ sentinel, stageDir)
-      val stream = s.readStream.schema(parts.head.schema)
+      // one-JOB staging (r17, guide §1.2): the range-batch tag is a pure
+      // row expression, so one scan + one shuffled write stages all 3
+      // replay files where the old form ran 3 coalesce(1) write jobs,
+      // each rescanning events — identical staged replay by construction
+      // (see StreamOps.stageOrderedFilesTagged).
+      StreamOps.stageOrderedFilesTagged(
+        ev.withColumn("__b", qCol).unionByName(sentinel.withColumn("__b", lit(2))),
+        "__b", 3, stageDir)
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val agg = stream
         .withWatermark("ts", "10 minutes")
@@ -1348,18 +1362,24 @@ object LearnedQueries {
       // The file sink appends each batch's closed sessions from the
       // executors; the declared result is the read-back.
       val outDir = graft.core.TmpDirs.scratch("stream_session_out", d)
-      val q = agg.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation",
-          graft.core.TmpDirs.scratch("stream_session_ckpt", d))
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      q.processAllAvailable()
-      StreamOps.recordBatchMillis("x_stream_session_window", q)
-      val progress = q.recentProgress.flatMap(_.stateOperators)
-      val removed = progress.map(_.numRowsRemoved).sum
-      val lateDropped = progress.map(_.numRowsDroppedByWatermark).sum
-      q.stop()
+      // input-sized state partitions (VERDICT r16 Next #2, guide §2):
+      // see StreamOps.withInputSizedStatePartitions — placement-only
+      val (removed, lateDropped) =
+        StreamOps.withInputSizedStatePartitions(s, stageDir) {
+          val q = agg.writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation",
+              graft.core.TmpDirs.scratch("stream_session_ckpt", d))
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .start()
+          q.processAllAvailable()
+          StreamOps.recordBatchMillis("x_stream_session_window", q)
+          val progress = q.recentProgress.flatMap(_.stateOperators)
+          val rm = progress.map(_.numRowsRemoved).sum
+          val late = progress.map(_.numRowsDroppedByWatermark).sum
+          q.stop()
+          (rm, late)
+        }
       require(removed > 0L,
         "session windows never evicted state — the watermark is not closing sessions")
       require(lateDropped == 0L,
@@ -1392,11 +1412,16 @@ object LearnedQueries {
       // blocks + the flush, not 4 — every extra trigger was pure
       // scaffolding cost (VERDICT r9 Next #6). The oracle mirrors the
       // % 2 block time.
-      val parts = (0 until 2).map(i =>
-        raw.filter(pmod(col("doc_id"), lit(2L)) === i))
       val sentinel = raw.orderBy("doc_id").limit(1)
         .withColumn("doc_id", lit(-1L))
-      StreamOps.stageOrderedFiles(parts :+ sentinel, stageDir)
+      // one-JOB staging (r17, guide §1.2): the hour-block tag is a pure
+      // row expression — one scan + one shuffled write stages all 3
+      // replay files where the old form ran 3 coalesce(1) write jobs,
+      // each rescanning documents (see StreamOps.stageOrderedFilesTagged).
+      StreamOps.stageOrderedFilesTagged(
+        raw.withColumn("__b", pmod(col("doc_id"), lit(2L)).cast("int"))
+          .unionByName(sentinel.withColumn("__b", lit(2))),
+        "__b", 3, stageDir)
       val stream = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stageDir)
       val ts = timestamp_seconds(
@@ -1411,14 +1436,20 @@ object LearnedQueries {
         .agg(count(lit(1)).as("cnt"))
         .select(unix_timestamp(col("w.start")).as("wstart"), col("token"), col("cnt"))
       val sinkName = s"graft_stream_topk_upd_${streamSinkSeq.incrementAndGet()}"
-      val q = StreamOps.toMemorySink(counts, sinkName,
-        org.apache.spark.sql.streaming.OutputMode.Append())
-      q.processAllAvailable()
-      StreamOps.recordBatchMillis("x_stream_topk_update", q)
-      val progress = q.recentProgress.flatMap(_.stateOperators)
-      val removed = progress.map(_.numRowsRemoved).sum
-      val lateDropped = progress.map(_.numRowsDroppedByWatermark).sum
-      q.stop()
+      // input-sized state partitions (VERDICT r16 Next #2, guide §2):
+      // see StreamOps.withInputSizedStatePartitions — placement-only
+      val (removed, lateDropped) =
+        StreamOps.withInputSizedStatePartitions(s, stageDir) {
+          val q = StreamOps.toMemorySink(counts, sinkName,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          q.processAllAvailable()
+          StreamOps.recordBatchMillis("x_stream_topk_update", q)
+          val progress = q.recentProgress.flatMap(_.stateOperators)
+          val rm = progress.map(_.numRowsRemoved).sum
+          val late = progress.map(_.numRowsDroppedByWatermark).sum
+          q.stop()
+          (rm, late)
+        }
       require(removed > 0L,
         "append-mode top-k never evicted state — the watermark is not advancing")
       require(lateDropped == 0L,

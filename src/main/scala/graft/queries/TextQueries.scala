@@ -239,18 +239,38 @@ object TextQueries {
         df.queryExecution.sparkPlan)
   }
 
-  /** LSH candidate pairs (doc_a < doc_b), shared by the pair query and
-    * the cluster-formation query. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
-    // cache: the signature is cheap now (codegen'd kernel) but still
-    // worth materializing once for the two band-join sides.
-    val sig = minhashSig(s, d).cache()
-    val bands = bandsOf(sig)
-    val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+  /** LSH candidate pairs (doc_a < doc_b), shared by the pair query, the
+    * cluster-formation query and the verification queries.
+    *
+    * r17 (VERDICT r16 Next #4, guide §1.2): memoized per (session,
+    * corpus) as an eagerly-materialized frame — t_containment,
+    * t_dedup_verified, t_dedup_minhash and the cluster queries all
+    * consumed the identical banding join, and each used to re-run the
+    * signature + band self-join + distinct from scratch (three extra
+    * banding jobs per eval). The memo is the SAME session-scoped
+    * mechanism the learned fits use: keyed by the live SparkSession, so
+    * every bench/verify invocation still computes it from the parquet
+    * inputs (no cross-run state), and CorpusCaches evicts it on a
+    * corpus switch. localCheckpoint truncates the lineage so consumers
+    * read the materialized pairs instead of re-planning the join; the
+    * pairs frame is band-collision-bounded (orders of magnitude smaller
+    * than the corpus), so pinning it is the cheap side of the r16
+    * retention discipline. First consumer in sweep order pays the
+    * banding once — the clusterMemo precedent. */
+  private val lshPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    graft.core.CorpusCaches.cachedPerCorpus(lshPairsMemo, s, d) {
+      // cache: the signature is cheap now (codegen'd kernel) but still
+      // worth materializing once for the two band-join sides.
+      val sig = minhashSig(s, d).cache()
+      val bands = bandsOf(sig)
+      val a = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bsig")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint(true)
+    }(_ => ()) // checkpoint blocks are ContextCleaner-managed on eviction
 
   /** The (doc_id, band, bsig) band-index rows of a signature frame —
     * ONE definition for the pair join, the incremental probe, and the
@@ -440,12 +460,11 @@ object TextQueries {
     clusterMemo.getOrElseUpdate((s, d), clusterLabelsUncached(s, d))
 
   private def clusterLabelsUncached(s: SparkSession, d: String): DataFrame = {
-      // cache the pairs once: connectedComponents consumes the edge
-      // frame repeatedly across contraction rounds
-      val pairs = lshPairs(s, d).cache()
+      // the memoized pairs are already materialized (localCheckpoint),
+      // so the contraction rounds re-read blocks, not the banding join
+      val pairs = lshPairs(s, d)
       val labels = connectedComponents(
         pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      pairs.unpersist()
       labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
   }
 
@@ -555,7 +574,7 @@ object TextQueries {
       // (semi-join first): at scale the candidate set is orders of
       // magnitude smaller than the corpus, so caching full-corpus
       // shingle arrays would pin memory for rows the verify never reads
-      val cand = lshPairs(s, d).cache()
+      val cand = lshPairs(s, d) // memoized + materialized, no re-cache
       val ids = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val sets = Tables.documents(s, d)
@@ -580,7 +599,7 @@ object TextQueries {
       // executor-local (fine on local[n]; a multi-executor deployment
       // would point this at a reliable checkpoint dir).
       val out = pairs.localCheckpoint(true)
-      cand.unpersist(); sets.unpersist()
+      sets.unpersist()
       out
     }),
 
@@ -678,7 +697,7 @@ object TextQueries {
     // band-collide — at scale containment candidates add a
     // prefix/suffix fingerprint channel (t_chunk_dedup's frame).
     "t_containment" -> ((s, d) => {
-      val cand = lshPairs(s, d).cache()
+      val cand = lshPairs(s, d) // memoized + materialized, no re-cache
       val ids = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val sets = Tables.documents(s, d)
@@ -698,7 +717,7 @@ object TextQueries {
         .select(col("doc_b").as("contained"), col("doc_a").as("container"),
           col("inter"), col("nb").as("n_contained"))
       val out = aInB.unionByName(bInA).localCheckpoint(true)
-      cand.unpersist(); sets.unpersist()
+      sets.unpersist()
       out
     }),
 

@@ -38,6 +38,24 @@ object StreamOps {
       val med = if (s.length % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0
       batchMillis.put(name, med)
     }
+    // Plan-evidence hook (off unless the env var is set, so bench/verify
+    // timed regions never pay it): dump the streaming query's executed
+    // physical plan + the last progress JSON (which carries the state
+    // operators' numShufflePartitions) to <dir>/<name>.txt — the
+    // streaming analog of `.explain("formatted")` for plans/rNN/.
+    sys.env.get("SPARK_GRAFT_STREAM_EXPLAIN_DIR").foreach { dir =>
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        q.explain(extended = false)
+      }
+      val progress = Option(q.lastProgress).map(_.json).getOrElse("{}")
+      val txt = s"== Streaming executed plan: $name ==\n" +
+        buf.toString("UTF-8") + s"\n== lastProgress ==\n$progress\n"
+      val path = java.nio.file.Paths.get(dir, s"$name.txt")
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.write(path,
+        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Watermarked tumbling-window aggregate over an event stream:
@@ -162,6 +180,50 @@ object StreamOps {
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
+  /** Run `body` (a stateful streaming query: stage → start →
+    * processAllAvailable → stop) with `spark.sql.shuffle.partitions`
+    * sized from the staged replay input instead of the session's flat
+    * |cores| (guide §2 — scale-adaptive partitioning, the w6_ntile
+    * technique applied to streams). Stateful operators pin their
+    * STATE-STORE partition count to this conf at checkpoint creation,
+    * and every state partition pays a per-trigger commit (delta file
+    * write + maintenance) regardless of how few rows it holds — at
+    * gate SF that fixed commit cost across 32 partitions dominates the
+    * operator compute (the r16 driver's own 8-core run beat the
+    * 32-core run 2.5x on x_stream_topk_update, 2x on topk/window —
+    * VERDICT r16 Next #2). n = ceil(stagedBytes / 1 MB) clamped to
+    * [4, 4·defaultParallelism]: gate/sf1 land at 4-21 partitions,
+    * sf10 at ~60-128, the cap being the same 4x-cores value
+    * Sessions.initialShufflePartitions uses — so the gate stops paying
+    * phantom state commits while scale keeps real parallelism. AQE
+    * does not apply to stateful streaming exchanges, so this conf is
+    * the only partition knob these operators have.
+    *
+    * Correctness: partition count only affects row PLACEMENT — hash
+    * aggregation, session-window merge and watermark eviction are
+    * partition-count independent (the r16 c8 driver run executed every
+    * streaming row at 8 partitions with green hashes), and the
+    * checkpoint is scratch-per-eval so the pinned count never outlives
+    * the query. The session conf is restored after `body`; the
+    * declared result frames are read back AFTER the stream stops, so
+    * their batch plans ride the restored conf + AQE like every other
+    * query. */
+  def withInputSizedStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, stagedDir: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // SPARK_GRAFT_STREAM_STATE_PARTS pins the count explicitly — the
+    // cluster-operator override (and the A/B lever: =32 reproduces the
+    // old flat-cores setting bit for bit on local[32]).
+    val n = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS").map(_.toLong).getOrElse {
+      val bytes = graft.Sessions.dirBytes(stagedDir)
+      val cap = math.max(4L, spark.sparkContext.defaultParallelism.toLong * 4L)
+      math.min(cap, math.max(4L, (bytes + (1L << 20) - 1) / (1L << 20)))
+    }
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage `parts` as one parquet FILE each (b00.parquet, b01.parquet…)
     * with strictly increasing modification times, so a file-stream
     * replay with maxFilesPerTrigger=1 processes them in EXACTLY this
@@ -187,6 +249,45 @@ object StreamOps {
         s"could not pin modification time of $dst")
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
+
+  /** ONE-JOB form of [[stageOrderedFiles]] (r17, guide §1.2/§2.4 —
+    * fewer passes, fewer driver jobs): `tagged` carries an integer
+    * batch column `bCol` with values 0 until n, and the whole replay
+    * stages in a single shuffle+write job — where the Seq form ran one
+    * coalesce(1) write JOB per batch, each rescanning its input. The
+    * hash repartition on `bCol` puts every batch's rows in exactly one
+    * task, so each `bCol=i` directory holds exactly one part file
+    * (asserted), which is then renamed to the same b<ii>.parquet layout
+    * with the same pinned, strictly increasing modification times — the
+    * replay a FileStreamSource sees is IDENTICAL to the Seq form's
+    * (same files, same order, same rows; only intra-file row order may
+    * differ, which no windowed/sessionized aggregate can observe).
+    * `partitionBy` drops `bCol` from the file schema, matching the
+    * untagged frames the Seq form stages. */
+  def stageOrderedFilesTagged(tagged: DataFrame, bCol: String, n: Int, dir: String): Unit = {
+    val tmp = new java.io.File(dir, "_stage_tagged")
+    tagged.repartition(n, col(bCol))
+      .write.mode("overwrite").partitionBy(bCol).parquet(tmp.toString)
+    (0 until n).foreach { i =>
+      val sub = new java.io.File(tmp, s"$bCol=$i")
+      val part = Option(sub.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")) match {
+        case Array(one) => one
+        case other => throw new IllegalStateException(
+          s"expected exactly one staged part file for $bCol=$i, found ${other.length}")
+      }
+      val dst = new java.io.File(dir, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dst.setLastModified(1700000000000L + i * 60000L),
+        s"could not pin modification time of $dst")
+    }
+    // clean the temp tree (dir-per-value + _SUCCESS)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp)
+  }
 
   /** foreachBatch sink: per-micro-batch the batch DataFrame is handed to
     * an arbitrary BATCH transform (e.g. `fitted.transform(_, "p")` — the
