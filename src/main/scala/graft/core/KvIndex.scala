@@ -145,14 +145,31 @@ final case class KvModel(
   /** Collect the (bounded-by-key-space) kv + prefix tables ONCE into
     * plain maps for driver-local point lookups — the reference's
     * standalone-trie single-row use case (transpiler.py:3117-3215;
-    * SURVEY §1.1). */
+    * SURVEY §1.1).
+    *
+    * r17 (guide §1.2/§2.6 — overlap independent jobs): the kv and each
+    * prefix-table collect are INDEPENDENT actions over tiny cached
+    * frames, but they used to run sequentially — keyLen driver jobs
+    * back to back, each paying full job latency for ~100 rows; the
+    * x_index_lifecycle phase profile measured the sequential collects
+    * at 1.3 s warm, the row's single biggest phase. Submitting them
+    * from a thread pool overlaps the latencies (Spark's scheduler runs
+    * concurrent jobs fine; job-description props are thread-local).
+    * Each map's CONTENT is untouched — same Spark-computed tables,
+    * same rows — so compiled ≡ join parity (KvProbeSpec) is unchanged. */
   def toLocalScorer: LocalScorer = {
-    val kvMap = kv.select(col("key"), col("value"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val pfxMaps = prefixes.map { case (l, t) =>
-      l -> t.select(col("prefix"), col("value"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val kvF = Future(kv.select(col("key"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    val pfxFs = prefixes.map { case (l, t) =>
+      Future(l -> t.select(col("prefix"), col("value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
     }
+    val kvMap = Await.result(kvF, Duration.Inf)
+    val pfxMaps = pfxFs.map(Await.result(_, Duration.Inf))
     LocalScorer(kvMap, pfxMaps, globalValue)
   }
 }

@@ -1580,7 +1580,14 @@ object TextQueries {
       TextHash.charHash(col("text")).as("fp"), length(col("text")).as("len"),
       size(w).as("n_tok"), size(array_distinct(w)).as("n_uniq"),
       sTotal.as("s_total"), predLangCol(w).as("pred_lang"))
-    val canon = base.groupBy("fp", "len").agg(min("doc_id").as("canonical_id"))
+    // r17 (guide §2.4 — share the exchange): canonical_id = min(doc_id)
+    // per (fp, len) used to be a groupBy + SortMergeJoin BACK onto base
+    // — two shuffles + two full sorts of base for a value a window over
+    // the SAME key computes inside one exchange (every base row matches
+    // its own group by construction, so join ≡ window row for row). At
+    // 100 TB that is one full corpus shuffle saved from this pipeline.
+    val canon = base.withColumn("canonical_id",
+      min("doc_id").over(Window.partitionBy("fp", "len")))
     val rep = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -1596,7 +1603,7 @@ object TextQueries {
       .when(col("n_uniq") * 2 < col("n_tok"), "low_quality")
       .when(col("top_cnt") * 5 > col("n_tokens"), "repetitive")
       .otherwise("kept")
-    base.join(canon, Seq("fp", "len"))
+    canon
       .join(rep, "doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), verdict.as("verdict"))
