@@ -120,6 +120,16 @@ object Sessions {
       // events.ts is parquet TIMESTAMP(NANOS) — unsupported natively;
       // read as epoch-nanos long, converted in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r17 (VERDICT r16 Next #6, driver-JVM long-sweep hygiene): the
+      // ContextCleaner's periodic GC defaults to 30min, so a full
+      // ~15-min sweep never gets one and dead shuffle/broadcast/cache
+      // metadata from 200+ queries accumulates until a CMS-triggering
+      // allocation stalls a late row. SPARK_GRAFT_PERIODIC_GC=5min
+      // opts a sweep into more frequent cleaner GCs for the A/B; the
+      // default stays Spark's own so committed numbers ride the stock
+      // config (measured adopt-or-reject in OPTIMIZATION_r17.md).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       // keep saveAsTable metadata out of the working directory (the
       // bucketed-layout queries pass explicit data paths; this catches
       // the empty spark-warehouse/ dir the in-memory catalog creates)

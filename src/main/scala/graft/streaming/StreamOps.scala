@@ -192,12 +192,22 @@ object StreamOps {
     * operator compute (the r16 driver's own 8-core run beat the
     * 32-core run 2.5x on x_stream_topk_update, 2x on topk/window —
     * VERDICT r16 Next #2). n = ceil(stagedBytes / 1 MB) clamped to
-    * [4, 4·defaultParallelism]: gate/sf1 land at 4-21 partitions,
-    * sf10 at ~60-128, the cap being the same 4x-cores value
-    * Sessions.initialShufflePartitions uses — so the gate stops paying
-    * phantom state commits while scale keeps real parallelism. AQE
-    * does not apply to stateful streaming exchanges, so this conf is
-    * the only partition knob these operators have.
+    * [4, defaultParallelism]: gate lands on the 4-partition floor,
+    * sf1 at ~6-21, sf10+ at the cores cap. The cap is CORES, not the
+    * 4x-cores value batch exchanges use: a state partition pays a
+    * per-trigger commit while useful parallelism cannot exceed the
+    * machine's cores, and the sf10 A/B (OPTIMIZATION_r17.md) found no
+    * reproducible win above cores — the first sweep read the
+    * explode-heavy rows 27-38% WORSE at a byte-sized 60/128 than at
+    * 32, repeats put the differences inside this box's ±30%
+    * single-shot noise, and capping at cores makes the sf10+ plans
+    * IDENTICAL to the committed r16 behavior (32 partitions on
+    * local[32]) by construction, so only the small-input side changes
+    * at all. On a real cluster defaultParallelism is the
+    * executor-core total, so a 100 TB stream sizes to its cluster,
+    * not to this box. AQE does not apply to stateful streaming
+    * exchanges, so this conf is the only partition knob these
+    * operators have.
     *
     * Correctness: partition count only affects row PLACEMENT — hash
     * aggregation, session-window merge and watermark eviction are
@@ -217,7 +227,7 @@ object StreamOps {
     // old flat-cores setting bit for bit on local[32]).
     val n = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS").map(_.toLong).getOrElse {
       val bytes = graft.Sessions.dirBytes(stagedDir)
-      val cap = math.max(4L, spark.sparkContext.defaultParallelism.toLong * 4L)
+      val cap = math.max(4L, spark.sparkContext.defaultParallelism.toLong)
       math.min(cap, math.max(4L, (bytes + (1L << 20) - 1) / (1L << 20)))
     }
     spark.conf.set(key, n.toString)

@@ -39,11 +39,11 @@ class StatePartitionSizingSpec extends AnyFunSuite {
     assert(spark.conf.get(key) == before, "conf must be restored on failure too")
   }
 
-  test("sizing grows with bytes and caps at 4x defaultParallelism") {
+  test("sizing grows with bytes and caps at defaultParallelism") {
     // 1 MB/partition density probed through the public entry point: a
-    // staged dir of ~6 MB must land between the floor and the cap and
-    // scale ~linearly with bytes (exact file sizes vary with parquet
-    // framing, so assert the band, not the point value).
+    // multi-MB staged dir must land between the floor and the CORES
+    // cap (state-commit overhead beats parallelism above cores — the
+    // sf10 A/B in OPTIMIZATION_r17.md).
     val dir = graft.core.TmpDirs.scratch("state_sizing_big_spec", "spec")
     import spark.implicits._
     (1L to 400000L).toDF("v").repartition(2)
@@ -53,7 +53,7 @@ class StatePartitionSizingSpec extends AnyFunSuite {
     StreamOps.withInputSizedStatePartitions(spark, dir) {
       inside = spark.conf.get(key).toInt
     }
-    val cap = spark.sparkContext.defaultParallelism * 4
+    val cap = math.max(4, spark.sparkContext.defaultParallelism)
     assert(inside >= 4 && inside <= cap,
       s"sized partitions $inside must stay in [4, $cap]")
   }
